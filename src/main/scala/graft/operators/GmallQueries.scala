@@ -1,0 +1,289 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.{cents, dollars}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reference-parity batch queries, re-expressed over the TESTDATA corpus
+  * (FIXTURES.md §3 mapping: orders↔order_info, lineitem↔order_detail,
+  * part↔sku/trademark/category dims, customer↔user_info,
+  * nation/region↔province, events↔start-log stream).
+  *
+  * Each query is declarative DataFrame code — Catalyst handles pushdown,
+  * pruning and join strategy; we hint `broadcast` only for genuine
+  * dimension tables that stay small at 100 TB fact scale (nation/region
+  * are fixed-cardinality; part/customer scale with SF and are left to
+  * AQE's size-based broadcast decision).
+  */
+object GmallQueries {
+
+  /** A1/P8/P9 (`ads/TrademarkStatApp.scala:67-72`): revenue per trademark
+    * (brand). Map-side partial agg + final agg — the reference's
+    * `reduceByKey` — is automatic in HashAggregateExec. */
+  def trademarkStat(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy($(p, "p_brand").as("tm_name"))
+      .agg(dollars(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
+        .as("amount"))
+  }
+
+  /** J1/P11 (`dws/OrderWideApp.scala:91-111`, `bean/OrderWide.scala:44-92`):
+    * the order-wide row — fact lines joined to the fact header plus three
+    * dimensions. lineitem⋈orders is the genuine big-big shuffle join
+    * (co-partitioned on the order key); part/customer are dim lookups
+    * (J2–J4 analogs) and broadcast; nation is a fixed-25-row broadcast. */
+  def orderWide(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .select(
+        li("l_orderkey").as("order_id"),
+        li("l_linenumber").as("order_detail_id"),
+        li("l_partkey").as("sku_id"),
+        li("l_quantity").as("sku_num"),
+        li("l_extendedprice").as("order_price"),
+        o("o_totalprice").as("final_total_amount"),
+        o("o_orderstatus").as("order_status"),
+        o("o_custkey").as("user_id"),
+        c("c_mktsegment").as("user_segment"),
+        c("c_nationkey").as("province_id"),
+        n("n_name").as("province_name"),
+        p("p_name").as("sku_name"),
+        p("p_brand").as("tm_name"),
+        p("p_type").as("category3_name"),
+        to_date(o("o_orderdate")).as("dt"))
+  }
+
+  /** A2/J6 (`dwd/OrderInfoApp.scala:128-157`): first-order flag. The
+    * reference sorts each user's orders by create_time within a batch and
+    * marks the earliest; the deterministic batch formulation is a
+    * row_number window (single shuffle on user key). */
+  def firstOrder(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").as("user_id"),
+        col("o_orderdate").as("create_time"),
+        when(col("rn") === 1, lit("1")).otherwise(lit("0")).as("if_first_order"))
+  }
+
+  /** A3 (`dws/OrderWideApp.scala:136-178`): payment apportionment with
+    * "last row absorbs the remainder" so Σ detail == order total exactly.
+    * Deterministic reformulation documented in SURVEY §7.4: the highest
+    * line number (instead of arrival order) absorbs the residue; all math
+    * in integer cents with integral `div` so Spark and the oracle agree
+    * bit-for-bit. Two window passes over the same l_orderkey partitioning
+    * — one shuffle, both windows reuse it. */
+  def apportion(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), cents(col("l_extendedprice")).as("amt_c"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_c"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("osum_c", sum(col("amt_c")).over(w))
+      .withColumn("maxln", max(col("l_linenumber")).over(w))
+      .withColumn("prop_c", expr("(total_c * amt_c) div osum_c"))
+      .withColumn("sumprop_c", sum(col("prop_c")).over(w))
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("order_detail_id"),
+        dollars(when(col("l_linenumber") === col("maxln"),
+          col("total_c") - (col("sumprop_c") - col("prop_c")))
+          .otherwise(col("prop_c"))).as("final_detail_amount"))
+  }
+
+  /** F4/A4/P4 (`app/DauApp.scala:52-104`): daily-active dedup — first
+    * sighting of each user per day. Batch formulation of the Redis-SADD
+    * distinct: groupBy (user, day), keep the earliest event. */
+  def dauDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("dt", to_date(col("ts")))
+      .groupBy(col("user_id"), col("dt"))
+      .agg(min(col("event_id")).as("first_event_id"), count(lit(1)).as("n_events"))
+
+  /** DAU rollup (`app/DauApp.scala:115-125` dt/hr breakdown): distinct
+    * users per day-hour. */
+  def dauStat(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("dt", to_date(col("ts")))
+      .withColumn("hr", hour(col("ts")))
+      .groupBy(col("dt"), col("hr"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+
+  /** F1/F2/R1 (`ods/BaseDBMaxwellApp.scala:49-81`): CDC router — keep the
+    * whitelisted record types, compute the fan-out topic `ods_<type>`.
+    * Narrow ops only; the filter is pushed into the parquet scan. */
+  def router(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view", "purchase", "signup"))
+      .select(
+        col("event_id"),
+        concat(lit("ods_"), col("event_type")).as("topic"),
+        col("user_id"),
+        col("value"))
+
+  /** J5 (`dim/SkuInfoApp.scala:60-109`): 3-level dimension enrichment —
+    * supplier ⋈ nation ⋈ region, both dims broadcast (fixed cardinality
+    * at any SF). */
+  def dimEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(
+        s("s_suppkey"),
+        s("s_name"),
+        n("n_name").as("nation_name"),
+        r("r_name").as("region_name"))
+  }
+
+  /** P6/P7 (`dim/UserInfoApp.scala:45-61`): bucketing + decode. Preserves
+    * the reference's boundary semantics — value == low bound falls in the
+    * middle bucket (the age==20 quirk, SURVEY §7.4.4). */
+  def userBucket(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey").as("user_id"),
+      when(col("c_acctbal") < 1000.0, lit("low"))
+        .when(col("c_acctbal") > 5000.0, lit("high"))
+        .otherwise(lit("mid")).as("balance_group"),
+      when(col("c_mktsegment") === "BUILDING", lit("B")).otherwise(lit("O"))
+        .as("segment_code"))
+
+  /** J2 + A1 (`dwd/OrderInfoApp.scala:194-221`): revenue per province
+    * (nation) — fact ⋈ two broadcast dims, then aggregate. */
+  def provinceStat(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name").as("province_name"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        dollars(sum(cents(col("o_totalprice")))).as("total_amount"))
+  }
+
+  /** F1/F3 (`ods/BaseDBCanalApp.scala:62-63`, `dwd/OrderInfoApp.scala:269`):
+    * op-type filter + projection; predicate pushed to the scan. */
+  def statusFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").as("user_id"),
+        col("o_totalprice").as("final_total_amount"),
+        col("o_orderpriority").as("priority"))
+
+  private def $(df: DataFrame, c: String) = df(c)
+
+  /** DuckDB-equivalent SQL per query (driver correctness oracle). Money
+    * math mirrors the cents formulation exactly. */
+  val oracle: Map[String, String] = Map(
+    "q1_trademark_stat" ->
+      """SELECT p_brand AS tm_name,
+        |       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS amount
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q2_order_wide" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS order_detail_id,
+        |       l_partkey AS sku_id, l_quantity AS sku_num,
+        |       l_extendedprice AS order_price, o_totalprice AS final_total_amount,
+        |       o_orderstatus AS order_status, o_custkey AS user_id,
+        |       c_mktsegment AS user_segment, c_nationkey AS province_id,
+        |       n_name AS province_name, p_name AS sku_name, p_brand AS tm_name,
+        |       p_type AS category3_name, CAST(o_orderdate AS DATE) AS dt
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN part     ON l_partkey = p_partkey""".stripMargin,
+    "q3_first_order" ->
+      """SELECT o_orderkey AS order_id, o_custkey AS user_id,
+        |       o_orderdate AS create_time,
+        |       CASE WHEN ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+        |            THEN '1' ELSE '0' END AS if_first_order
+        |FROM orders""".stripMargin,
+    "q4_apportion" ->
+      """WITH d AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS amt_c
+        |  FROM lineitem),
+        |j AS (
+        |  SELECT d.*, CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c
+        |  FROM d JOIN orders ON l_orderkey = o_orderkey),
+        |w AS (
+        |  SELECT *, SUM(amt_c) OVER (PARTITION BY l_orderkey) AS osum_c,
+        |         MAX(l_linenumber) OVER (PARTITION BY l_orderkey) AS maxln
+        |  FROM j),
+        |p AS (SELECT *, (total_c * amt_c) // osum_c AS prop_c FROM w),
+        |s AS (SELECT *, SUM(prop_c) OVER (PARTITION BY l_orderkey) AS sumprop_c FROM p)
+        |SELECT l_orderkey AS order_id, l_linenumber AS order_detail_id,
+        |       CASE WHEN l_linenumber = maxln
+        |            THEN (total_c - (sumprop_c - prop_c))/100.0
+        |            ELSE prop_c/100.0 END AS final_detail_amount
+        |FROM s""".stripMargin,
+    "q5_dau_dedup" ->
+      """SELECT user_id, CAST(ts AS DATE) AS dt,
+        |       MIN(event_id) AS first_event_id, COUNT(*) AS n_events
+        |FROM events GROUP BY user_id, CAST(ts AS DATE)""".stripMargin,
+    "q6_dau_stat" ->
+      """SELECT CAST(ts AS DATE) AS dt, CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hr,
+        |       COUNT(DISTINCT user_id) AS dau
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q7_router" ->
+      """SELECT event_id, 'ods_' || event_type AS topic, user_id, value
+        |FROM events
+        |WHERE event_type IN ('click','view','purchase','signup')""".stripMargin,
+    "q8_dim_enrich" ->
+      """SELECT s_suppkey, s_name, n_name AS nation_name, r_name AS region_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "q9_user_bucket" ->
+      """SELECT c_custkey AS user_id,
+        |       CASE WHEN c_acctbal < 1000.0 THEN 'low'
+        |            WHEN c_acctbal > 5000.0 THEN 'high'
+        |            ELSE 'mid' END AS balance_group,
+        |       CASE WHEN c_mktsegment = 'BUILDING' THEN 'B' ELSE 'O' END AS segment_code
+        |FROM customer""".stripMargin,
+    "q10_province_stat" ->
+      """SELECT n_name AS province_name, COUNT(*) AS order_count,
+        |       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0 AS total_amount
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q11_status_filter" ->
+      """SELECT o_orderkey AS order_id, o_custkey AS user_id,
+        |       o_totalprice AS final_total_amount, o_orderpriority AS priority
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_trademark_stat" -> trademarkStat,
+    "q2_order_wide" -> orderWide,
+    "q3_first_order" -> firstOrder,
+    "q4_apportion" -> apportion,
+    "q5_dau_dedup" -> dauDedup,
+    "q6_dau_stat" -> dauStat,
+    "q7_router" -> router,
+    "q8_dim_enrich" -> dimEnrich,
+    "q9_user_bucket" -> userBucket,
+    "q10_province_stat" -> provinceStat,
+    "q11_status_filter" -> statusFilter,
+  )
+}
