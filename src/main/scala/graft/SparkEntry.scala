@@ -7,9 +7,15 @@ object SparkEntry {
     operators.GmallQueries.orderWide(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.GmallQueries.queries
+    operators.GmallQueries.queries ++
+      operators.TextOps.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.GmallQueries.oracle
+    operators.GmallQueries.oracle ++
+      operators.TextOps.oracle ++
+      operators.Dedup.oracle ++
+      operators.Similarity.oracle
 }

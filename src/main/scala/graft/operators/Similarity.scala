@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * Array[Float] ×64, label).
+  *
+  * Shapes: brute-force top-k is the exact baseline (broadcast the query
+  * set — the fact side streams once, no shuffle of the corpus); the
+  * random-hyperplane LSH variant buckets the corpus so candidate
+  * generation is an equi-join — the only formulation that scales to a
+  * 100 TB corpus where all-pairs is impossible.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double precision with a single sequential fold — deterministic and
+    * engine-reproducible. Pure higher-order functions: stays in codegen.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Exact brute-force top-k cosine neighbors for a query subset
+    * (vec_id < nQueries). The small query side is broadcast; the corpus
+    * is scanned once partition-parallel; per-query top-k via window. At
+    * scale: corpus never shuffles, ranking shuffles only nQueries×corpus
+    * candidate rows — prune further with the LSH variant below. */
+  def annBruteForce(spark: SparkSession, dir: String,
+                    nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val joined = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 folded to [-0.5, 0.5). No RNG state — reproducible across
+    * executors and runs. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble * 2.0))
+
+  /** Random-hyperplane signature for LSH table `t`: `nPlanes` sign bits
+    * packed into a long. Pure expressions over the embedding array. */
+  def lshSignature(emb: Column, t: Int, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, i) => x.cast("double") * planeComponent(t * nPlanes + p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate NN: bucket corpus and queries with `tables` independent
+    * hyperplane signatures (multi-table probing), equi-join on
+    * (table, bucket), exact-rescore candidates, top-k. Recall tested
+    * against the brute-force baseline in ScalaTest. */
+  def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+             nPlanes: Int = 8, tables: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    def bucketed(df: DataFrame, idCol: String, embCol: String): DataFrame =
+      df.select(col(idCol), col(embCol),
+        posexplode(array((0 until tables).map(t =>
+          lshSignature(col(embCol), t, nPlanes)): _*)))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val corpus = bucketed(emb, "vec_id", "embedding")
+    val queries = bucketed(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "query_id", "q_emb")
+    val cand = corpus.join(queries, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .distinct()
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Embedding-cosine near-dup pairs above a threshold. Exact at test SF
+    * via block-nested join through LSH buckets; pairs output. */
+  def nearDupPairs(spark: SparkSession, dir: String, minCos: Double = 0.4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("e_a"), col("e_b")))
+      .filter(col("cos") > minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v1_ann_bruteforce" -> ((s, d) => annBruteForce(s, d)),
+    "v2_ann_lsh" -> ((s, d) => annLsh(s, d)),
+    "v3_near_dup_pairs" -> ((s, d) => nearDupPairs(s, d)),
+  )
+
+  /** Oracles set in SparkEntry after empirical float-parity validation
+    * against DuckDB (see tools/check_oracle.py). */
+  val oracle: Map[String, String] = Map(
+    "v1_ann_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |           / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
+        |            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""".stripMargin,
+    "v3_near_dup_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |          * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) > 0.4""".stripMargin,
+  )
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, over
+  * the `documents` table (doc_id, text, lang, source, n_chars). All are
+  * narrow, per-row column expressions — fully codegen'd, no UDFs, no
+  * shuffle except where aggregation is inherent — so they scale linearly
+  * with input splits at 100 TB.
+  */
+object TextOps {
+
+  /** Tokenize on whitespace. Shared definition so every operator (and its
+    * oracle) agrees on token boundaries. */
+  private def tokens(c: String) = split(trim(col(c)), "\\s+")
+
+  /** Quality scoring: char/token counts, type-token ratio inputs, and
+    * stopword ratio (tiny built-in stopword set). One pass, no shuffle. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("a", "the")
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens("text"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        (size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*)))
+          / size(col("toks")).cast("double")).as("stopword_ratio"))
+  }
+
+  /** Token counting with a BPE-ish regex (word pieces + standalone
+    * punctuation), the classic pre-tokenizer approximation. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(tokens("text")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .as("bpe_tokens"))
+
+  /** Document fingerprint: order-insensitive content hash (md5 of the
+    * sorted distinct token bag). Robust to token reordering — the
+    * "same content, shuffled" near-dup class — and exactly reproducible
+    * in any engine. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      md5(array_join(array_sort(array_distinct(tokens("text"))), " ")
+        .cast("binary")).as("fingerprint"))
+
+  /** Language ID: character-bigram profile score against built-in
+    * per-language marker profiles. Heuristic (documents in this corpus
+    * share one vocabulary, so scores are close); deterministic argmax
+    * with lexicographic tie-break. Pure column expressions — the profile
+    * table is a literal array, no join, no shuffle. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    // marker character-bigrams per language (public linguistic commonplaces)
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("ch", "ei", "de", "en", "sch"),
+      "en" -> Seq("th", "he", "in", "er", "an"),
+      "es" -> Seq("de", "la", "os", "ar", "ci"),
+      "fr" -> Seq("le", "es", "ou", "qu", "ai"),
+      "zh" -> Seq("zh", "sh", "ng", "xi", "ao"))
+    val docs = Tables.documents(spark, dir)
+    val scored = profiles.foldLeft(docs) { case (df, (lang, grams)) =>
+      df.withColumn(s"score_$lang",
+        grams.map(g => size(split(col("text"), java.util.regex.Pattern.quote(g), -1)) - 1)
+          .reduce(_ + _))
+    }
+    // argmax by (score desc, lang asc): sort (−score, lang) ascending
+    val scoreCols = profiles.map { case (l, _) => struct((-col(s"score_$l")).as("s"), lit(l).as("l")) }
+    scored.select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      sort_array(array(scoreCols: _*)).getItem(0).getField("l").as("predicted_lang"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_quality" -> quality,
+    "t2_token_count" -> tokenCount,
+    "t3_fingerprint" -> fingerprint,
+    "t4_lang_id" -> langId,
+  )
+
+  /** t4_lang_id is heuristic/argmax-with-tie-break — left rows-only. */
+  val oracle: Map[String, String] = Map(
+    "t1_quality" ->
+      """SELECT doc_id, LENGTH(text) AS n_chars,
+        |       LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens,
+        |       LEN(list_distinct(string_split_regex(TRIM(text), '\s+'))) AS n_distinct_tokens,
+        |       LEN(list_filter(string_split_regex(TRIM(text), '\s+'), t -> t IN ('a','the')))
+        |         / CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS DOUBLE) AS stopword_ratio
+        |FROM documents""".stripMargin,
+    "t2_token_count" ->
+      """SELECT doc_id,
+        |       LEN(string_split_regex(TRIM(text), '\s+')) AS ws_tokens,
+        |       LEN(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+    "t3_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(array_to_string(list_sort(list_distinct(string_split_regex(TRIM(text), '\s+'))), ' ')) AS fingerprint
+        |FROM documents""".stripMargin,
+  )
+}
