@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   /** Settings every graft session needs regardless of master/memory. */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new functions.GraftExtensions)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

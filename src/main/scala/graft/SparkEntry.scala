@@ -10,12 +10,14 @@ object SparkEntry {
     operators.GmallQueries.queries ++
       operators.TextOps.queries ++
       operators.Dedup.queries ++
-      operators.Similarity.queries
+      operators.Similarity.queries ++
+      operators.Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.GmallQueries.oracle ++
       operators.TextOps.oracle ++
       operators.Dedup.oracle ++
-      operators.Similarity.oracle
+      operators.Similarity.oracle ++
+      operators.Multimodal.oracle
 }

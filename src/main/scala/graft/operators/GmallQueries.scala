@@ -88,19 +88,26 @@ object GmallQueries {
     * — one shuffle, both windows reuse it. */
   def apportion(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_linenumber"), cents(col("l_extendedprice")).as("amt_c"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        cents(col("l_extendedprice")).as("amt_c"))
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_c"))
     val w = Window.partitionBy(col("l_orderkey"))
+    // The remainder row must be unique per order. (l_orderkey,
+    // l_linenumber) is NOT unique in the corpus, so rank rows by content
+    // — deterministic in any engine; ties only between fully identical
+    // rows, where the choice is immaterial to the output multiset.
+    val wOrd = w.orderBy(col("l_linenumber"), col("amt_c"), col("l_partkey"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .withColumn("osum_c", sum(col("amt_c")).over(w))
-      .withColumn("maxln", max(col("l_linenumber")).over(w))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_rows", count(lit(1)).over(w))
       .withColumn("prop_c", expr("(total_c * amt_c) div osum_c"))
       .withColumn("sumprop_c", sum(col("prop_c")).over(w))
       .select(
         col("l_orderkey").as("order_id"),
         col("l_linenumber").as("order_detail_id"),
-        dollars(when(col("l_linenumber") === col("maxln"),
+        dollars(when(col("rn") === col("n_rows"),
           col("total_c") - (col("sumprop_c") - col("prop_c")))
           .otherwise(col("prop_c"))).as("final_detail_amount"))
   }
@@ -219,7 +226,7 @@ object GmallQueries {
         |FROM orders""".stripMargin,
     "q4_apportion" ->
       """WITH d AS (
-        |  SELECT l_orderkey, l_linenumber,
+        |  SELECT l_orderkey, l_linenumber, l_partkey,
         |         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS amt_c
         |  FROM lineitem),
         |j AS (
@@ -227,12 +234,14 @@ object GmallQueries {
         |  FROM d JOIN orders ON l_orderkey = o_orderkey),
         |w AS (
         |  SELECT *, SUM(amt_c) OVER (PARTITION BY l_orderkey) AS osum_c,
-        |         MAX(l_linenumber) OVER (PARTITION BY l_orderkey) AS maxln
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_linenumber, amt_c, l_partkey) AS rn,
+        |         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_rows
         |  FROM j),
         |p AS (SELECT *, (total_c * amt_c) // osum_c AS prop_c FROM w),
         |s AS (SELECT *, SUM(prop_c) OVER (PARTITION BY l_orderkey) AS sumprop_c FROM p)
         |SELECT l_orderkey AS order_id, l_linenumber AS order_detail_id,
-        |       CASE WHEN l_linenumber = maxln
+        |       CASE WHEN rn = n_rows
         |            THEN (total_c - (sumprop_c - prop_c))/100.0
         |            ELSE prop_c/100.0 END AS final_detail_amount
         |FROM s""".stripMargin,

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+/** Typed rows for the streaming pipelines, mirroring the reference beans
+  * (FIXTURES.md §2; `bean/OrderInfo.scala:6-28`, `bean/OrderDetail.scala:3-17`)
+  * with immutable case classes — enrichment adds columns instead of
+  * mutating `var` fields.
+  */
+final case class OrderInfo(
+    id: Long,
+    user_id: Long,
+    province_id: Long,
+    order_status: String,
+    final_total_amount: Double,
+    original_total_amount: Double,
+    create_time: Timestamp)
+
+final case class OrderDetail(
+    id: Long,
+    order_id: Long,
+    sku_id: Long,
+    sku_num: Long,
+    order_price: Double,
+    create_time: Timestamp)
+
+/** Joined order-wide row pre-apportionment (`bean/OrderWide.scala:6-43`). */
+final case class OrderWide(
+    order_detail_id: Long,
+    order_id: Long,
+    sku_id: Long,
+    sku_num: Long,
+    sku_price: Double,
+    final_total_amount: Double,
+    original_total_amount: Double,
+    create_time: Timestamp)
+
+/** Output row with the apportioned payment share. */
+final case class OrderWideSplit(
+    order_detail_id: Long,
+    order_id: Long,
+    sku_id: Long,
+    sku_num: Long,
+    sku_price: Double,
+    final_total_amount: Double,
+    original_total_amount: Double,
+    create_time: Timestamp,
+    final_detail_amount: Double)
+
+/** Keyed state for the apportionment operator: running sums in cents
+  * (`dws/OrderWideApp.scala:136-178`'s two Redis keys, moved into the
+  * Spark state store). */
+final case class ApportionState(originSumC: Long, splitSumC: Long)
+
+/** App-start log for the DAU pipeline (FIXTURES.md §1.1). */
+final case class StartLog(mid: String, uid: String, ar: String, ch: String,
+    vc: String, ts: Timestamp)

@@ -1,0 +1,163 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming pipelines as Dataset→Dataset transforms — source/sink
+  * agnostic, so the same logical code runs under batch (for oracle
+  * tests) and under Structured Streaming with `readStream`/`writeStream`
+  * bound at the edges.
+  *
+  * Behavioral upgrades over the reference, by design (SURVEY §7.4):
+  * event-time watermarks replace processing-time windows, and the state
+  * store replaces Redis — exactly-once without external systems.
+  */
+object Pipelines {
+
+  /** F4/A4 DAU dedup (`app/DauApp.scala:85-104`): first sighting per
+    * (mid, day). The Redis `SADD dau:<dt>` with 24 h TTL becomes
+    * watermarked streaming dedup — state evicted by watermark instead of
+    * TTL. `dedupDelay` mirrors the reference's 24 h key expiry. */
+  def dauFirstVisits(startLogs: DataFrame, tsCol: String = "ts",
+                     dedupDelay: String = "24 hours"): DataFrame = {
+    val withDt = startLogs
+      .withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .withColumn("hr", date_format(col(tsCol), "HH"))
+    if (withDt.isStreaming)
+      withDt.withWatermark(tsCol, dedupDelay).dropDuplicates("mid", "dt")
+    else withDt.dropDuplicates("mid", "dt")
+  }
+
+  /** F1/F2/R1 CDC router (`ods/BaseDBMaxwellApp.scala:49-81`): parse the
+    * CDC envelope, keep facts on insert + whitelisted dims on any op,
+    * emit (topic, value) pairs for the Kafka sink — `topic` is a computed
+    * column, so one writeStream fans out to all `ods_*` topics. */
+  def routeCdc(envelopes: DataFrame,
+               factTables: Seq[String] = Seq("order_info", "order_detail"),
+               dimTables: Seq[String] = Seq("base_province", "user_info", "sku_info",
+                 "base_trademark", "base_category3", "spu_info")): DataFrame =
+    envelopes
+      .filter(col("data").isNotNull && col("data") =!= "" &&
+        ((col("table").isin(factTables: _*) &&
+          col("type") === "insert") ||
+          col("table").isin(dimTables: _*)))
+      .select(
+        concat(lit("ods_"), col("table")).as("topic"),
+        col("data").as("value"))
+
+  /** J1/W1 stream-stream join (`dws/OrderWideApp.scala:91-111`): the
+    * reference's 20 s sliding processing-time windows + Redis dedup
+    * become an event-time interval join with watermarks — exact
+    * semantics, bounded state, no duplicate pairs. */
+  def orderWideJoin(orderInfo: Dataset[OrderInfo], orderDetail: Dataset[OrderDetail],
+                    maxSkew: String = "20 seconds"): Dataset[OrderWide] = {
+    import orderInfo.sparkSession.implicits._
+    val oi = orderInfo.withColumnRenamed("create_time", "oi_time")
+      .withWatermark("oi_time", maxSkew)
+    val od = orderDetail
+      .withColumnRenamed("id", "order_detail_id")
+      .withColumnRenamed("create_time", "od_time")
+      .withWatermark("od_time", maxSkew)
+    od.join(oi,
+      expr(s"""order_id = id AND
+               od_time BETWEEN oi_time - INTERVAL $maxSkew AND oi_time + INTERVAL $maxSkew"""))
+      .select(
+        col("order_detail_id"),
+        col("order_id"),
+        col("sku_id"),
+        col("sku_num"),
+        col("order_price").as("sku_price"),
+        col("final_total_amount"),
+        col("original_total_amount"),
+        col("oi_time").as("create_time"))
+      .as[OrderWide]
+  }
+
+  private def roundC(d: Double): Long = Math.round(d * 100)
+
+  /** A3 apportionment (`dws/OrderWideApp.scala:136-178`), exact reference
+    * semantics: per order, running origin/split sums live in keyed state;
+    * each detail gets the proportional share `round(final * detail /
+    * original)` except the detail that completes the origin sum, which
+    * absorbs the remainder so Σ shares == final_total exactly. Arrival-
+    * order-dependent like the reference (Redis sums were too); within one
+    * group iteration rows are processed in order_detail_id order for
+    * determinism. State TTL mirrors the reference's 600 s Redis expiry
+    * via ProcessingTimeTimeout. */
+  /** stateTtlMs == 0 disables the timeout (NoTimeout). With a TTL, pace
+    * the query with an explicit trigger (as Runner does): timeout firing
+    * schedules extra micro-batches, and an unpaced `processAllAvailable`
+    * test loop would spin on empty timeout batches. */
+  def apportion(rows: Dataset[OrderWide],
+                stateTtlMs: Long = 600000L): Dataset[OrderWideSplit] = {
+    import rows.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows.groupByKey(_.order_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        apportionGroup(stateTtlMs))
+  }
+
+  private[streaming] def apportionGroup(stateTtlMs: Long)(
+      orderId: Long, rows: Iterator[OrderWide],
+      state: GroupState[ApportionState]): Iterator[OrderWideSplit] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var st = state.getOption.getOrElse(ApportionState(0L, 0L))
+    val out = rows.toSeq.sortBy(_.order_detail_id).map { r =>
+      val detailC = roundC(r.sku_price * r.sku_num)
+      val originalC = roundC(r.original_total_amount)
+      val finalC = roundC(r.final_total_amount)
+      val shareC =
+        if (detailC == originalC - st.originSumC) finalC - st.splitSumC
+        else (finalC * detailC) / originalC // Long math: exact integral div
+      st = ApportionState(st.originSumC + detailC, st.splitSumC + shareC)
+      OrderWideSplit(r.order_detail_id, r.order_id, r.sku_id, r.sku_num,
+        r.sku_price, r.final_total_amount, r.original_total_amount,
+        r.create_time, shareC / 100.0)
+    }
+    state.update(st)
+    if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+    out.iterator
+  }
+
+  /** A1 trademark revenue (`ads/TrademarkStatApp.scala:67-72`) upgraded
+    * from per-5s-batch sums to event-time tumbling windows with late-data
+    * handling; output mode update ≙ the reference's per-batch emission. */
+  def trademarkAmount(orderWide: DataFrame, tmCol: String = "tm_name",
+                      amountCol: String = "final_detail_amount",
+                      window_ : String = "5 seconds",
+                      lateness: String = "10 seconds"): DataFrame = {
+    val base =
+      if (orderWide.isStreaming) orderWide.withWatermark("create_time", lateness)
+      else orderWide
+    base.groupBy(window(col("create_time"), window_), col(tmCol))
+      .agg(round(sum(col(amountCol)), 2).as("amount"))
+      .select(
+        col("window.start").as("stat_time"),
+        col(tmCol).as("trademark_name"),
+        col("amount"))
+  }
+
+  /** J6/A2 first-order flag (`dwd/OrderInfoApp.scala:92-157`): keyed
+    * state holds "has this user ever ordered"; within one batch the
+    * earliest order wins — the reference's lookup + intra-batch
+    * correction collapsed into one stateful operator (SURVEY §7.4.3),
+    * read-your-own-writes by construction. */
+  def firstOrderFlag(orders: Dataset[OrderInfo]): Dataset[(OrderInfo, String)] = {
+    import orders.sparkSession.implicits._
+    orders.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[OrderInfo], state: GroupState[Boolean]) => {
+          var consumed = state.getOption.getOrElse(false)
+          val out = rows.toSeq.sortBy(r => (r.create_time.getTime, r.id)).map { r =>
+            val flag = if (consumed) "0" else "1"
+            consumed = true
+            (r, flag)
+          }
+          state.update(consumed)
+          out.iterator
+        })
+  }
+}

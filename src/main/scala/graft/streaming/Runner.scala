@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Binds the logical pipelines to physical sources/sinks.
+  *
+  * Production wiring is Kafka (`readStream.format("kafka")` →
+  * `writeStream.format("kafka")` with a computed `topic` column for the
+  * router fan-out — `util/MyKafkaSink.scala`'s dynamic topic, native).
+  * This environment has no Kafka broker, so the file variants below bind
+  * the same pipelines to parquet streams: source = file stream over a
+  * directory, sink = parquet partitioned by the fan-out column. The
+  * pipeline code is identical — only these edges differ.
+  */
+object Runner {
+
+  /** CDC envelope schema (Maxwell-shaped, FIXTURES.md §1.3) with `data`
+    * kept as a raw JSON string for per-table downstream parsing. */
+  val cdcSchema: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("table", StringType),
+    StructField("data", StringType)))
+
+  val startLogSchema: StructType = StructType(Seq(
+    StructField("ts", LongType),
+    StructField("common", StructType(Seq(
+      StructField("mid", StringType), StructField("uid", StringType),
+      StructField("ar", StringType), StructField("ch", StringType),
+      StructField("vc", StringType))))))
+
+  /** Kafka-value JSON lines → typed start-log rows (P1/P4). */
+  def parseStartLogs(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), startLogSchema).as("j"))
+      .select(
+        col("j.common.mid").as("mid"), col("j.common.uid").as("uid"),
+        col("j.common.ar").as("ar"), col("j.common.ch").as("ch"),
+        col("j.common.vc").as("vc"),
+        timestamp_millis(col("j.ts")).as("ts"))
+
+  /** DAU end-to-end on file edges: JSON-lines dir → dedup → daily-
+    * partitioned parquet (ES daily index ≙ `dt=` partition, K2). */
+  def dauQuery(spark: SparkSession, inDir: String, outDir: String,
+               checkpoint: String): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .json(inDir)
+    Pipelines.dauFirstVisits(parseStartLogs(raw))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .partitionBy("dt")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .start()
+  }
+
+  /** ODS router on file edges: CDC JSON-lines → (topic, value) →
+    * parquet partitioned by topic (≙ Kafka sink with computed topic). */
+  def routerQuery(spark: SparkSession, inDir: String, outDir: String,
+                  checkpoint: String): StreamingQuery =
+    Pipelines.routeCdc(
+      spark.readStream.schema(cdcSchema).json(inDir))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .partitionBy("topic")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .start()
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Invariant specs for the batch operators on the sf0.001 corpus. The
+  * value-level correctness gate is the DuckDB oracle (Verify +
+  * tools/check_oracle.py); these specs assert the semantic invariants
+  * that hold at any scale factor.
+  */
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = GraftSession.tune(
+    SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("apportion: per-order shares sum exactly to the order total") {
+    import spark.implicits._
+    val bad = GmallQueries.apportion(spark, sf)
+      .groupBy("order_id").agg(sum("final_detail_amount").as("s"))
+      .join(Tables.orders(spark, sf), col("order_id") === col("o_orderkey"))
+      .filter(abs(col("s") - col("o_totalprice")) > 1e-9)
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("first_order: exactly one '1' per user, on the earliest order") {
+    import spark.implicits._
+    val fo = GmallQueries.firstOrder(spark, sf).cache()
+    val perUser = fo.groupBy("user_id")
+      .agg(sum(when(col("if_first_order") === "1", 1).otherwise(0)).as("n_first"))
+    assert(perUser.filter(col("n_first") =!= 1).count() === 0L)
+    // the flagged order is the minimum (create_time, order_id) per user
+    val flagged = fo.filter(col("if_first_order") === "1")
+      .select(col("user_id"), col("create_time").as("f_time"), col("order_id").as("f_id"))
+    val earliest = fo.groupBy("user_id")
+      .agg(min(struct(col("create_time"), col("order_id"))).as("m"))
+      .select(col("user_id"), col("m.create_time").as("e_time"), col("m.order_id").as("e_id"))
+    val mismatch = flagged.join(earliest, "user_id")
+      .filter(col("f_id") =!= col("e_id")).count()
+    assert(mismatch === 0L)
+    fo.unpersist()
+  }
+
+  test("dau_dedup: one row per (user, day); re-dedup is a fixpoint") {
+    val dd = GmallQueries.dauDedup(spark, sf).cache()
+    assert(dd.groupBy("user_id", "dt").count().filter(col("count") > 1).count() === 0L)
+    assert(dd.dropDuplicates("user_id", "dt").count() === dd.count())
+    dd.unpersist()
+  }
+
+  test("router: output topics are exactly ods_<whitelisted types>, count preserved") {
+    val r = GmallQueries.router(spark, sf).cache()
+    val topics = r.select("topic").distinct().collect().map(_.getString(0)).toSet
+    assert(topics === Set("ods_click", "ods_view", "ods_purchase", "ods_signup"))
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view", "purchase", "signup")).count()
+    assert(r.count() === expected)
+    r.unpersist()
+  }
+
+  test("minhash-LSH recovers every exact-Jaccard near-dup pair (recall=1 on corpus)") {
+    import spark.implicits._
+    val exactPairs = Dedup.ngramJaccard(spark, sf, minJ = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lshPairs = Dedup.minhashLsh(spark, sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exactPairs.nonEmpty, "corpus should contain planted near-dups")
+    assert(exactPairs.subsetOf(lshPairs),
+      s"missed: ${exactPairs.diff(lshPairs).take(5)}")
+  }
+
+  test("simhash: deterministic across runs; near-dup pairs have close hashes") {
+    import spark.implicits._
+    val h1 = Dedup.simhash(spark, sf).as[(Long, Long)].collect().toMap
+    val h2 = Dedup.simhash(spark, sf).as[(Long, Long)].collect().toMap
+    assert(h1 === h2)
+    val dupPairs = Dedup.ngramJaccard(spark, sf, minJ = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val closeFrac = dupPairs.count { case (a, b) =>
+      java.lang.Long.bitCount(h1(a) ^ h1(b)) <= 8
+    }.toDouble / math.max(dupPairs.length, 1)
+    assert(closeFrac >= 0.8, s"only $closeFrac of J>=0.9 pairs within hamming 8")
+  }
+
+  test("ann-lsh: candidates are rescored exactly (cos matches brute force)") {
+    import spark.implicits._
+    // k large enough to rank the whole corpus → the join is total
+    val bf = Similarity.annBruteForce(spark, sf, nQueries = 10, k = 1 << 20)
+      .select($"query_id", $"neighbor_id", $"cos".as("bf_cos"))
+    val lsh = Similarity.annLsh(spark, sf)
+    val joined = lsh.join(bf, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter(col("bf_cos").isNull).count() === 0L,
+      "every LSH candidate must appear in the full brute-force ranking")
+    assert(joined.filter(abs(col("cos") - col("bf_cos")) > 1e-12).count() === 0L)
+  }
+
+  test("fingerprint: invariant under token reordering") {
+    import spark.implicits._
+    // same bag of tokens, different order → same fingerprint definition
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(split(trim(col("text")), "\\s+"))), " ")
+          .cast("binary")).as("fp"))
+    val fps = df.select("fp").as[String].collect()
+    assert(fps(0) === fps(1))
+  }
+
+  test("lang_id: deterministic and total (one prediction per doc)") {
+    val l1 = TextOps.langId(spark, sf)
+    assert(l1.count() === Tables.documents(spark, sf).count())
+    assert(l1.filter(col("predicted_lang").isNull).count() === 0L)
+  }
+}

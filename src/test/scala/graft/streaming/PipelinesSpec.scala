@@ -1,0 +1,172 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.tune(
+    SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ---- apportionment (A3) ----
+
+  test("apportion: shares sum exactly to final_total, last-arriving detail absorbs remainder") {
+    import spark.implicits._
+    // details sum exactly to original_total (order invariant): 33.33+33.33+33.36
+    val rows = Seq(
+      OrderWide(1, 10, 100, 1, 33.33, 90.00, 100.02, ts("2024-01-01 00:00:00")),
+      OrderWide(2, 10, 101, 1, 33.33, 90.00, 100.02, ts("2024-01-01 00:00:01")),
+      OrderWide(3, 10, 102, 1, 33.36, 90.00, 100.02, ts("2024-01-01 00:00:02")))
+    val out = Pipelines.apportion(rows.toDS()).collect().sortBy(_.order_detail_id)
+    assert(out.map(_.final_detail_amount).sum === 90.00)
+    // proportional share: floor(9000*3333/10002) = 2999 cents
+    assert(out(0).final_detail_amount === 29.99)
+    assert(out(1).final_detail_amount === 29.99)
+    // completes the origin sum → remainder
+    assert(out(2).final_detail_amount === 30.02)
+  }
+
+  test("apportion: state carries across micro-batches (MemoryStream)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[OrderWide]
+    // stateTtlMs=0 → NoTimeout: a TTL'd query schedules timeout batches
+    // that keep processAllAvailable from settling without a paced trigger
+    val q = Pipelines.apportion(mem.toDS(), stateTtlMs = 0L)
+      .writeStream.format("memory").queryName("apportion_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        OrderWide(1, 20, 100, 1, 40.00, 99.00, 100.00, ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      mem.addData(
+        OrderWide(2, 20, 101, 1, 60.00, 99.00, 100.00, ts("2024-01-01 00:00:05")))
+      q.processAllAvailable()
+      val out = spark.table("apportion_out").as[OrderWideSplit]
+        .collect().sortBy(_.order_detail_id)
+      assert(out.length === 2)
+      // batch 1: proportional 9900*4000/10000 = 3960
+      assert(out(0).final_detail_amount === 39.60)
+      // batch 2: detail completes origin sum → remainder 99.00-39.60
+      assert(out(1).final_detail_amount === 59.40)
+      assert(out.map(_.final_detail_amount).sum === 99.00)
+    } finally q.stop()
+  }
+
+  // ---- stream-stream join (J1/W1) ----
+
+  test("orderWideJoin matches details to orders across micro-batches within skew window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val oiMem = MemoryStream[OrderInfo]
+    val odMem = MemoryStream[OrderDetail]
+    val q = Pipelines.orderWideJoin(oiMem.toDS(), odMem.toDS())
+      .writeStream.format("memory").queryName("ow_out").outputMode("append").start()
+    try {
+      oiMem.addData(OrderInfo(1, 7, 1, "1001", 50.0, 50.0, ts("2024-01-01 00:00:10")))
+      q.processAllAvailable()
+      // detail arrives a batch later, 5s later in event time (inside 20s)
+      odMem.addData(OrderDetail(11, 1, 100, 1, 50.0, ts("2024-01-01 00:00:15")))
+      q.processAllAvailable()
+      // a detail far outside the window never joins
+      odMem.addData(OrderDetail(12, 1, 100, 1, 50.0, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("ow_out").as[OrderWide].collect()
+      assert(out.map(_.order_detail_id).toSet === Set(11L))
+    } finally q.stop()
+  }
+
+  // ---- DAU dedup (F4) ----
+
+  test("dauFirstVisits keeps one row per (mid, day) across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StartLog]
+    val q = Pipelines.dauFirstVisits(mem.toDF())
+      .writeStream.format("memory").queryName("dau_out").outputMode("append").start()
+    try {
+      mem.addData(
+        StartLog("mid1", "u1", "110000", "appstore", "v1", ts("2024-01-01 08:00:00")),
+        StartLog("mid1", "u1", "110000", "appstore", "v1", ts("2024-01-01 09:00:00")),
+        StartLog("mid2", "u2", "110000", "appstore", "v1", ts("2024-01-01 08:30:00")))
+      q.processAllAvailable()
+      mem.addData( // same mid same day later batch → dropped; next day → kept
+        StartLog("mid1", "u1", "110000", "appstore", "v1", ts("2024-01-01 10:00:00")),
+        StartLog("mid1", "u1", "110000", "appstore", "v1", ts("2024-01-02 08:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("dau_out").select("mid", "dt").as[(String, String)].collect().toSet
+      assert(out === Set(("mid1", "2024-01-01"), ("mid2", "2024-01-01"), ("mid1", "2024-01-02")))
+    } finally q.stop()
+  }
+
+  // ---- first-order flag (J6/A2) ----
+
+  test("firstOrderFlag: earliest order in batch gets 1, later batches get 0") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[OrderInfo]
+    val q = Pipelines.firstOrderFlag(mem.toDS())
+      .map { case (o, flag) => (o.id, flag) }
+      .writeStream.format("memory").queryName("fo_out").outputMode("append").start()
+    try {
+      mem.addData(
+        OrderInfo(2, 7, 1, "1001", 10.0, 10.0, ts("2024-01-01 00:00:05")),
+        OrderInfo(1, 7, 1, "1001", 10.0, 10.0, ts("2024-01-01 00:00:01")),
+        OrderInfo(3, 8, 1, "1001", 10.0, 10.0, ts("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      mem.addData(OrderInfo(4, 7, 1, "1001", 10.0, 10.0, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("fo_out").as[(Long, String)].collect().toMap
+      assert(out === Map(1L -> "1", 2L -> "0", 3L -> "1", 4L -> "0"))
+    } finally q.stop()
+  }
+
+  // ---- router (F2/R1) ----
+
+  test("routeCdc keeps facts on insert only, dims on any op, builds ods_ topics") {
+    import spark.implicits._
+    val env = Seq(
+      ("insert", "order_info", """{"id":1}"""),
+      ("update", "order_info", """{"id":1}"""),   // fact update → dropped
+      ("update", "user_info", """{"id":2}"""),    // dim update → kept
+      ("insert", "unknown_tbl", """{"id":3}"""),  // not whitelisted → dropped
+      ("insert", "sku_info", ""))                 // empty data → dropped
+      .toDF("type", "table", "data")
+    val out = Pipelines.routeCdc(env).as[(String, String)].collect().toSet
+    assert(out === Set(
+      ("ods_order_info", """{"id":1}"""),
+      ("ods_user_info", """{"id":2}""")))
+  }
+
+  // ---- windowed agg (A1) ----
+
+  test("trademarkAmount aggregates into event-time windows with late data handled") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[OrderWideSplit]
+    val q = Pipelines.trademarkAmount(
+      mem.toDF().withColumn("tm_name", concat(lit("tm_"), col("sku_id"))))
+      .writeStream.format("memory").queryName("tm_out").outputMode("complete").start()
+    try {
+      mem.addData(
+        OrderWideSplit(1, 1, 100, 1, 10.0, 10.0, 10.0, ts("2024-01-01 00:00:01"), 10.0),
+        OrderWideSplit(2, 2, 100, 1, 10.0, 10.0, 10.0, ts("2024-01-01 00:00:03"), 2.5),
+        OrderWideSplit(3, 3, 200, 1, 10.0, 10.0, 10.0, ts("2024-01-01 00:00:07"), 7.25))
+      q.processAllAvailable()
+      val out = spark.table("tm_out")
+        .select("trademark_name", "amount").as[(String, Double)].collect().toSet
+      assert(out === Set(("tm_100", 12.5), ("tm_200", 7.25)))
+    } finally q.stop()
+  }
+}
