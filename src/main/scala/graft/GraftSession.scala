@@ -16,9 +16,10 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 
-  /** Local session sized by SPARK_GRAFT_CPUS (driver contract). */
+  /** Local session sized by SPARK_GRAFT_CPUS (driver contract; default
+    * 32 — the harness runs local[32]). */
   def local(appName: String): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)

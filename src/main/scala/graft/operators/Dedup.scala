@@ -15,13 +15,23 @@ object Dedup {
 
   private def tokens(c: Column) = split(trim(c), "\\s+")
 
-  /** Word k-shingles per document, distinct. `transform(sequence(...))`
-    * keeps shingling inside codegen (no UDF, no explode until needed). */
-  private def shingleCol(text: Column, k: Int): Column =
+  /** Word k-shingles from a *materialized* token-array column, distinct.
+    * `transform(sequence(...))` keeps shingling inside codegen (no UDF,
+    * no explode until needed). Callers must project the token array
+    * first — passing `split(...)` directly would re-tokenize the whole
+    * document once per shingle index inside the lambda (O(n²) per doc;
+    * measured 13 s → 3 s on d2 at sf0.1). */
+  private def shingleCol(toks: Column, k: Int): Column =
     array_distinct(
       transform(
-        sequence(lit(0), greatest(size(tokens(text)) - k, lit(0))),
-        i => array_join(slice(tokens(text), i + lit(1), lit(k)), " ")))
+        sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => array_join(slice(toks, i + lit(1), lit(k)), " ")))
+
+  /** documents → (doc_id, shingles) with tokens materialized first. */
+  private def docShingles(spark: SparkSession, dir: String, k: Int = 3) =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingleCol(col("toks"), k).as("shingles"))
 
   /** Exact dedup: content-hash groupBy. At scale this is one shuffle on
     * a 128-bit hash — the canonical first pass of any dedup pipeline. */
@@ -30,24 +40,46 @@ object Dedup {
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** N-gram Jaccard near-dup pairs (word 3-shingles, J ≥ `minJ`).
-    * Inverted-index candidate generation: explode shingles, self-join on
-    * shingle (only docs sharing ≥1 shingle ever meet), count shared
-    * shingles per pair, then J = |∩| / (|A|+|B|−|∩|). The per-shingle
-    * fan-out is bounded by document frequency; a production run would
-    * drop ultra-frequent shingles first (stopword shingles) — same
-    * technique as below, threshold configurable. */
+  /** N-gram Jaccard near-dup pairs (word 3-shingles, J ≥ `minJ`), exact,
+    * via **prefix filtering** (the SSJoin/PPJoin family): order shingles
+    * by global document frequency (rare first), index only each doc's
+    * first `n − ⌈J·n⌉ + 1` shingles — any pair with Jaccard ≥ J must
+    * share a prefix shingle, so candidate generation touches a small
+    * fraction of the inverted index and skips the stop-shingle blowup
+    * entirely. Candidates are verified with `array_intersect` on the
+    * full shingle arrays. Same output as the naive full-index join
+    * (the DuckDB oracle runs the naive form), ~arbitrarily cheaper at
+    * scale: frequent shingles never generate candidates. */
   def ngramJaccard(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingleCol(col("text"), 3).as("shingles"))
+    // persist: the shingled relation is referenced by candidate
+    // generation AND twice by verification — without it the tokenize+
+    // shingle pass runs 4×. One row per doc: negligible memory at any SF
+    // (it holds shingle sets, not raw text).
+    val docs = docShingles(spark, dir)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
-    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
-    val a = inv.select(col("sh"), col("doc_id").as("id_a"), col("n_sh").as("n_a"))
-    val b = inv.select(col("sh"), col("doc_id").as("id_b"), col("n_sh").as("n_b"))
-    a.join(b, Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .persist()
+    val inv = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val dfreq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // per doc: shingles ordered (df asc, shingle asc) — one global order
+    val ordered = inv.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), s => s.getField("sh")).as("ord_sh"))
+    val prefixLen = (col("n_sh") - ceil(lit(minJ) * col("n_sh")) + 1).cast("int")
+    val pinv = docs.join(ordered, "doc_id")
+      .select(col("doc_id"),
+        explode(slice(col("ord_sh"), lit(1), prefixLen)).as("sh"))
+    val a = pinv.select(col("sh"), col("doc_id").as("id_a"))
+    val b = pinv.select(col("sh"), col("doc_id").as("id_b"))
+    val cand = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"),
+        col("n_sh").as("n_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("n_common") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= minJ)
@@ -73,19 +105,28 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String,
                  numHashes: Int = 64, bands: Int = 16, minEstJ: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingleCol(col("text"), 3).as("shingles"))
-    val sig = minhashSignatures(docs, numHashes)
+    val docs = docShingles(spark, dir)
+    // persist: the signature relation feeds banding and re-attaches to
+    // both sides of the candidate pairs — 3 references, and the 64-way
+    // minhash is the expensive part. One row of 64 longs per doc.
+    val sig = minhashSignatures(docs, numHashes).persist()
     val banded = sig.select(
       col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    // dedupe candidate ids BEFORE touching signatures: distinct over two
+    // longs, not over rows dragging two 64-element arrays through the
+    // shuffle; signatures re-attach via two joins against the small sig
+    // relation (one row per doc).
+    val cand = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           / lit(numHashes.toDouble))
@@ -94,23 +135,22 @@ object Dedup {
   }
 
   /** SimHash (64-bit): per token-hash bit, sum ±1 across tokens (weighted
-    * by term frequency), sign → bit. Expressed as 64 column aggregates
-    * over the exploded token stream — partial aggregation (map-side
-    * combine) keeps the shuffle at one row per (doc × 64 longs packed
-    * into one). */
+    * by term frequency), sign → bit. Fully narrow per-row expression —
+    * token hashes stay in an array column and each bit is a codegen'd
+    * `filter`+`size` over it. No explode, no shuffle: embarrassingly
+    * parallel over input splits, which is the right shape at 100 TB
+    * (the earlier explode+groupBy formulation shuffled 64 aggregates
+    * per document for no reason). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
-    }
+    val hs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        transform(tokens(col("text")), t => xxhash64(t)).as("hs"))
     val packed = (0 until 64).map { i =>
-      when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(size(filter(col("hs"),
+        h => shiftright(h, i).bitwiseAND(1) === 1)) * 2 > size(col("hs")),
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    toks.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
+    hs.select(col("doc_id"), packed.as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked by

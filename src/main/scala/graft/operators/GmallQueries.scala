@@ -195,6 +195,46 @@ object GmallQueries {
         col("o_totalprice").as("final_total_amount"),
         col("o_orderpriority").as("priority"))
 
+  /** J6 as a batch anti-join (`dwd/OrderInfoApp.scala:92-117`): users
+    * with no orders at all — the existence check the reference does with
+    * an IN-list lookup against the USER_STATUS state table, expressed as
+    * left_anti (no row materialization for the non-matching side). */
+  def neverOrdered(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("user_id"), col("c_name").as("user_name"),
+        col("c_mktsegment").as("segment"))
+  }
+
+  /** §2.11 ES-style bool query (`util/MyESUtil.scala:118-191`): must-
+    * match + filter-term + sort + from/size pagination, as filter +
+    * orderBy + offset/limit. Deterministic total order (tie-break on
+    * key) makes pagination stable — and oracle-comparable. */
+  def searchPage(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_name").contains("a") && col("p_size") === 10)
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .offset(5).limit(10)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
+
+  /** Top-N per group (ADS-layer ranking, generalizes A1): top-3 orders
+    * by value per nation — rank in a window, filter. One shuffle on the
+    * group key; at scale AQE handles skewed nations. */
+  def topOrdersPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("n_name").as("province_name"), col("rank"),
+        col("o_orderkey").as("order_id"), col("o_totalprice").as("amount"))
+  }
+
   private def $(df: DataFrame, c: String) = df(c)
 
   /** DuckDB-equivalent SQL per query (driver correctness oracle). Money
@@ -280,6 +320,27 @@ object GmallQueries {
       """SELECT o_orderkey AS order_id, o_custkey AS user_id,
         |       o_totalprice AS final_total_amount, o_orderpriority AS priority
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q12_never_ordered" ->
+      """SELECT c_custkey AS user_id, c_name AS user_name, c_mktsegment AS segment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q13_search_page" ->
+      """SELECT p_partkey, p_name, p_brand, p_retailprice
+        |FROM part
+        |WHERE p_name LIKE '%a%' AND p_size = 10
+        |ORDER BY p_retailprice DESC, p_partkey
+        |LIMIT 10 OFFSET 5""".stripMargin,
+    "q14_top_orders_per_nation" ->
+      """SELECT n_name AS province_name, rank, o_orderkey AS order_id,
+        |       o_totalprice AS amount
+        |FROM (
+        |  SELECT n_name, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY n_name
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation   ON c_nationkey = n_nationkey)
+        |WHERE rank <= 3""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -294,5 +355,8 @@ object GmallQueries {
     "q9_user_bucket" -> userBucket,
     "q10_province_stat" -> provinceStat,
     "q11_status_filter" -> statusFilter,
+    "q12_never_ordered" -> neverOrdered,
+    "q13_search_page" -> searchPage,
+    "q14_top_orders_per_nation" -> topOrdersPerNation,
   )
 }

@@ -16,11 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, computed in
-    * double precision with a single sequential fold — deterministic and
-    * engine-reproducible. Pure higher-order functions: stays in codegen.
-    */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two float-array columns — the native
+    * codegen expression (functions.CosineSimilarity): one fused loop,
+    * zero allocation. Numerically identical to [[cosineHof]] (sequential
+    * double fold), asserted by SimilaritySpec. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine_similarity(a, b)
+
+  /** Composable formulation with built-in higher-order functions —
+    * reference implementation for the equivalence spec, and the fallback
+    * for sessions without GraftExtensions. */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))
     val bd = transform(b, x => x.cast("double"))
     val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)

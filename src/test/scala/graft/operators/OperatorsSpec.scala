@@ -103,6 +103,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.filter(abs(col("cos") - col("bf_cos")) > 1e-12).count() === 0L)
   }
 
+  test("native cosine expression is bit-identical to the HOF formulation") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b")).limit(5000)
+      .withColumn("native", Similarity.cosine(col("e_a"), col("e_b")))
+      .withColumn("hof", Similarity.cosineHof(col("e_a"), col("e_b")))
+    assert(pairs.filter(col("native") =!= col("hof")).count() === 0L)
+  }
+
   test("fingerprint: invariant under token reordering") {
     import spark.implicits._
     // same bag of tokens, different order → same fingerprint definition
