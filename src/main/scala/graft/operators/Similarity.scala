@@ -99,6 +99,66 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN — the scale path for partitioned corpora:
+    * train a coarse quantizer (Lloyd iterations from deterministic
+    * seeds — the k lowest vec_ids; at 100 TB you train on a sample, the
+    * full corpus is only *assigned*), bucket every vector by nearest
+    * centroid (broadcast map-side argmax, no shuffle of the corpus
+    * beyond the final per-cluster grouping), then answer queries by
+    * probing the `nprobe` nearest centroids and exact-rescoring within
+    * those clusters via an equi-join on cluster id.
+    *
+    * Determinism: seeds are id-ordered, Lloyd means are exact double
+    * averages, argmax ties break on highest centroid id via struct
+    * ordering — identical across runs/executors. On embeddings with no
+    * cluster structure (this corpus), expected recall ≈ nprobe/k — the
+    * spec asserts that floor rather than pretending structure exists. */
+  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+             nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+
+    def toFloat(c: Column): Column = transform(c, v => v.cast("float"))
+    // nearest-centroid assignment: broadcast centroids, per-vector argmax
+    def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("cos", cosine(col("embedding"), col("centroid")))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+
+    var centroids = emb.orderBy(col("vec_id")).limit(nClusters)
+      .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assign(emb, centroids).join(emb, "vec_id")
+      centroids = assigned
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("v"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("v")))).as("dims"))
+        .select(col("cid"),
+          toFloat(transform(col("dims"), d => d.getField("v"))).as("centroid"))
+    }
+    centroids = centroids.persist()
+
+    val corpusAssign = assign(emb, centroids).join(emb, "vec_id")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // probe: top-nprobe centroids per query
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("qcos", cosine(col("q_emb"), col("centroid")))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cid"))))
+      .filter(col("cr") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cid"))
+    val cand = probes.join(corpusAssign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-dup pairs above a threshold. Exact at test SF
     * via block-nested join through LSH buckets; pairs output. */
   def nearDupPairs(spark: SparkSession, dir: String, minCos: Double = 0.4): DataFrame = {
@@ -115,6 +175,7 @@ object Similarity {
     "v1_ann_bruteforce" -> ((s, d) => annBruteForce(s, d)),
     "v2_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "v3_near_dup_pairs" -> ((s, d) => nearDupPairs(s, d)),
+    "v4_ann_ivf" -> ((s, d) => annIvf(s, d)),
   )
 
   /** Oracles set in SparkEntry after empirical float-parity validation

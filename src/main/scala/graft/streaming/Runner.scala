@@ -58,6 +58,44 @@ object Runner {
       .start()
   }
 
+  val orderInfoSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("user_id", LongType),
+    StructField("province_id", LongType), StructField("order_status", StringType),
+    StructField("final_total_amount", DoubleType),
+    StructField("original_total_amount", DoubleType),
+    StructField("create_time", TimestampType)))
+
+  val orderDetailSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("order_id", LongType),
+    StructField("sku_id", LongType), StructField("sku_num", LongType),
+    StructField("order_price", DoubleType),
+    StructField("create_time", TimestampType)))
+
+  /** DWS order-wide on file edges: one CDC JSON-lines dir in → router →
+    * typed parse → watermarked stream-stream join → stateful
+    * apportionment → parquet out (≙ OrderWideApp end-to-end; the
+    * ClickHouse/Kafka sinks are this `writeStream` with a different
+    * format string). */
+  def orderWideQuery(spark: SparkSession, cdcDir: String, outDir: String,
+                     checkpoint: String): StreamingQuery = {
+    import spark.implicits._
+    val routed = Pipelines.routeCdc(spark.readStream.schema(cdcSchema).json(cdcDir))
+    val oi = routed.filter(col("topic") === "ods_order_info")
+      .select(from_json(col("value"), orderInfoSchema).as("o"))
+      .select("o.*").as[OrderInfo]
+    val od = routed.filter(col("topic") === "ods_order_detail")
+      .select(from_json(col("value"), orderDetailSchema).as("o"))
+      .select("o.*").as[OrderDetail]
+    Pipelines.apportion(Pipelines.orderWideJoin(oi, od))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .start()
+  }
+
   /** ODS router on file edges: CDC JSON-lines → (topic, value) →
     * parquet partitioned by topic (≙ Kafka sink with computed topic). */
   def routerQuery(spark: SparkSession, inDir: String, outDir: String,

@@ -103,6 +103,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.filter(abs(col("cos") - col("bf_cos")) > 1e-12).count() === 0L)
   }
 
+  test("ann-ivf: deterministic, exact rescoring, recall ≥ probe-fraction floor") {
+    import spark.implicits._
+    val ivf1 = Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivf2 = Similarity.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf1 === ivf2)
+    // recall@5 vs brute force: corpus has no cluster structure, so the
+    // honest expectation is ≈ nprobe/k = 4/16; assert half that floor
+    val bf = Similarity.annBruteForce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val hits = ivf1.count { case (q, _, n) => bf.contains((q, n)) }
+    val recall = hits.toDouble / bf.size
+    assert(recall >= 0.125, s"recall@5 = $recall below probe-fraction floor")
+    // rescoring is exact: cos values match brute force for shared pairs
+    val bfCos = Similarity.annBruteForce(spark, sf, k = 1 << 20)
+      .select($"query_id", $"neighbor_id", $"cos".as("bf_cos"))
+    val bad = Similarity.annIvf(spark, sf)
+      .join(bfCos, Seq("query_id", "neighbor_id"))
+      .filter(abs(col("cos") - col("bf_cos")) > 1e-12).count()
+    assert(bad === 0L)
+  }
+
   test("native cosine expression is bit-identical to the HOF formulation") {
     val emb = graft.Tables.embeddings(spark, sf)
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
