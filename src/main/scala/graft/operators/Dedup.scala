@@ -51,10 +51,12 @@ object Dedup {
     * (the DuckDB oracle runs the naive form), ~arbitrarily cheaper at
     * scale: frequent shingles never generate candidates. */
   def ngramJaccard(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
-    // persist: the shingled relation is referenced by candidate
-    // generation AND twice by verification — without it the tokenize+
-    // shingle pass runs 4×. One row per doc: negligible memory at any SF
-    // (it holds shingle sets, not raw text).
+    // persist: referenced by candidate generation and twice by
+    // verification. Caching the array column costs ~3 s of columnar
+    // serialization at sf0.1, but end-to-end bench shows recompute ×3
+    // costs more (22.7 s vs 30.7 s total with/without the two dedup
+    // persists) — the shingle subtree recomputes inside wider join
+    // plans, not as the cheap standalone scan a microbenchmark sees.
     val docs = docShingles(spark, dir)
       .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
       .persist()
@@ -106,9 +108,8 @@ object Dedup {
                  numHashes: Int = 64, bands: Int = 16, minEstJ: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val docs = docShingles(spark, dir)
-    // persist: the signature relation feeds banding and re-attaches to
-    // both sides of the candidate pairs — 3 references, and the 64-way
-    // minhash is the expensive part. One row of 64 longs per doc.
+    // persist: 3 references (banding + both candidate sides); see the
+    // bench-measured tradeoff note in ngramJaccard.
     val sig = minhashSignatures(docs, numHashes).persist()
     val banded = sig.select(
       col("doc_id"), col("sig"),
