@@ -135,24 +135,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
-  /** SimHash (64-bit): per token-hash bit, sum ±1 across tokens (weighted
-    * by term frequency), sign → bit. Fully narrow per-row expression —
-    * token hashes stay in an array column and each bit is a codegen'd
-    * `filter`+`size` over it. No explode, no shuffle: embarrassingly
-    * parallel over input splits, which is the right shape at 100 TB
-    * (the earlier explode+groupBy formulation shuffled 64 aggregates
-    * per document for no reason). */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val hs = Tables.documents(spark, dir)
+  /** SimHash (64-bit): per token-hash bit, majority vote across tokens
+    * (term-frequency weighted), sign → bit. Fully narrow per-row — no
+    * explode, no shuffle: embarrassingly parallel over input splits at
+    * any scale. The bit voting runs in the native
+    * [[graft.functions.SimHash64]] codegen expression: one pass with a
+    * local int[64] instead of a 64-term filter/size expression tree. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
-        transform(tokens(col("text")), t => xxhash64(t)).as("hs"))
-    val packed = (0 until 64).map { i =>
-      when(size(filter(col("hs"),
-        h => shiftright(h, i).bitwiseAND(1) === 1)) * 2 > size(col("hs")),
-        shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    hs.select(col("doc_id"), packed.as("simhash"))
-  }
+        graft.functions.SimHash64.simhash64(
+          transform(tokens(col("text")), t => xxhash64(t))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked by
     * 16-bit chunks (pigeonhole: any pair within distance 3 shares at
