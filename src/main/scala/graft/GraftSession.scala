@@ -16,6 +16,14 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 
+  /** Production-streaming additions: RocksDB state store — keyed state
+    * (dedup at 1e9+ keys, join state, apportionment sums) spills off
+    * heap instead of living in the HDFSBacked in-memory map. Apply to
+    * sessions that run the streaming pipelines at scale. */
+  def streamingTune(b: SparkSession.Builder): SparkSession.Builder =
+    tune(b).config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   /** Local session sized by SPARK_GRAFT_CPUS (driver contract; default
     * 32 — the harness runs local[32]). */
   def local(appName: String): SparkSession = {

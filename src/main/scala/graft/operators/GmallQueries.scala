@@ -235,6 +235,32 @@ object GmallQueries {
         col("o_orderkey").as("order_id"), col("o_totalprice").as("amount"))
   }
 
+  /** Hierarchical rollup (ADS-layer drill-down): revenue by
+    * region → nation → grand total in one pass — `ROLLUP` runs as a
+    * single expanded aggregate, not three queries. */
+  def regionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(r("r_name").as("region_name"), n("n_name").as("province_name"))
+      .agg(count(lit(1)).as("order_count"),
+        dollars(sum(cents(col("o_totalprice")))).as("total_amount"))
+  }
+
+  /** HLL-style approximate distinct (north-star §7.2-9): sketch-based
+    * DAU per day — the constant-memory path when exact distinct state
+    * would hold 1e9+ keys. Sketches are engine-specific → rows-only
+    * check; exactness bound asserted in ScalaTest vs q6. */
+  def dauApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("dt", to_date(col("ts")))
+      .groupBy(col("dt"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("dau_approx"))
+
   private def $(df: DataFrame, c: String) = df(c)
 
   /** DuckDB-equivalent SQL per query (driver correctness oracle). Money
@@ -341,6 +367,15 @@ object GmallQueries {
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation   ON c_nationkey = n_nationkey)
         |WHERE rank <= 3""".stripMargin,
+    "q15_region_rollup" ->
+      """SELECT r_name AS region_name, n_name AS province_name,
+        |       COUNT(*) AS order_count,
+        |       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0 AS total_amount
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -358,5 +393,7 @@ object GmallQueries {
     "q12_never_ordered" -> neverOrdered,
     "q13_search_page" -> searchPage,
     "q14_top_orders_per_nation" -> topOrdersPerNation,
+    "q15_region_rollup" -> regionRollup,
+    "q16_dau_approx" -> dauApprox,
   )
 }

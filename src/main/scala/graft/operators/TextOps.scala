@@ -77,11 +77,27 @@ object TextOps {
       sort_array(array(scoreCols: _*)).getItem(0).getField("l").as("predicted_lang"))
   }
 
+  /** Corpus-level n-gram frequency: top word-bigrams (explode →
+    * partial+final count → global top-k under a total order). The
+    * orderBy+limit pattern stays a TakeOrderedAndProject — no full
+    * sort of the aggregate at scale. */
+  def ngramFreq(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(tokens("text").as("toks"))
+      .select(explode(transform(
+        sequence(lit(0), greatest(size(col("toks")) - 2, lit(0))),
+        i => array_join(slice(col("toks"), i + lit(1), lit(2)), " "))).as("gram"))
+    grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_quality" -> quality,
     "t2_token_count" -> tokenCount,
     "t3_fingerprint" -> fingerprint,
     "t4_lang_id" -> langId,
+    "t5_ngram_freq" -> ((s, d) => ngramFreq(s, d)),
   )
 
   /** t4_lang_id is heuristic/argmax-with-tie-break — left rows-only. */
@@ -102,5 +118,14 @@ object TextOps {
       """SELECT doc_id,
         |       md5(array_to_string(list_sort(list_distinct(string_split_regex(TRIM(text), '\s+'))), ' ')) AS fingerprint
         |FROM documents""".stripMargin,
+    "t5_ngram_freq" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(TRIM(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT UNNEST([array_to_string(array_slice(t, i+1, i+2), ' ')
+        |                 FOR i IN range(0, GREATEST(LEN(t)-2, 0) + 1)]) AS gram
+        |  FROM toks)
+        |SELECT gram, COUNT(*) AS n FROM grams
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
   )
 }

@@ -148,6 +148,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fps(0) === fps(1))
   }
 
+  test("dau_approx within HLL error bound of exact distinct counts") {
+    import spark.implicits._
+    val exact = GmallQueries.dauDedup(spark, sf)
+      .groupBy("dt").agg(countDistinct("user_id").as("d"))
+      .select(col("dt").cast("string"), col("d")).as[(String, Long)].collect().toMap
+    val approx = GmallQueries.dauApprox(spark, sf)
+      .select(col("dt").cast("string"), col("dau_approx")).as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (dt, a) =>
+      val e = exact(dt)
+      assert(math.abs(a - e).toDouble / e <= 0.10, s"$dt: approx $a vs exact $e")
+    }
+  }
+
   test("lang_id: deterministic and total (one prediction per doc)") {
     val l1 = TextOps.langId(spark, sf)
     assert(l1.count() === Tables.documents(spark, sf).count())

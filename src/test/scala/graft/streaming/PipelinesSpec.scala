@@ -110,6 +110,27 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("dauFirstVisits runs on the RocksDB state store (production config)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StartLog]
+      val q = Pipelines.dauFirstVisits(mem.toDF())
+        .writeStream.format("memory").queryName("dau_rocks").outputMode("append").start()
+      try {
+        mem.addData(
+          StartLog("m1", "u1", "a", "c", "v", ts("2024-01-01 08:00:00")),
+          StartLog("m1", "u1", "a", "c", "v", ts("2024-01-01 09:00:00")))
+        q.processAllAvailable()
+        mem.addData(StartLog("m1", "u1", "a", "c", "v", ts("2024-01-01 10:00:00")))
+        q.processAllAvailable()
+        assert(spark.table("dau_rocks").count() === 1)
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   // ---- first-order flag (J6/A2) ----
 
   test("firstOrderFlag: earliest order in batch gets 1, later batches get 0") {
