@@ -51,35 +51,45 @@ object Dedup {
     * (the DuckDB oracle runs the naive form), ~arbitrarily cheaper at
     * scale: frequent shingles never generate candidates. */
   def ngramJaccard(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
-    // persist: referenced by candidate generation and twice by
-    // verification. Caching the array column costs ~3 s of columnar
-    // serialization at sf0.1, but end-to-end bench shows recompute ×3
-    // costs more (22.7 s vs 30.7 s total with/without the two dedup
-    // persists) — the shingle subtree recomputes inside wider join
-    // plans, not as the cheap standalone scan a microbenchmark sees.
+    // Prefix order = (xxhash64(shingle), shingle): a global total order
+    // computable PER ROW — no document-frequency pass, no
+    // collect_list shuffle, no persist. (A df-ascending order prunes
+    // candidates harder on stop-shingle-heavy corpora, but costs a
+    // global aggregation + join + the cache round-trips that dominated
+    // this operator's runtime; the hash order keeps the whole candidate
+    // side narrow. The prefix-filter guarantee only needs SOME shared
+    // total order, so exactness is unaffected.)
+    // shingle-hash arrays, globally ordered: the hash IS both the prefix
+    // order and the verification token (intersecting sorted longs beats
+    // intersecting strings; a 64-bit collision changing a count has
+    // probability ~2^-64 per pair — ignorable, and the oracle agreed on
+    // every corpus tested).
     val docs = docShingles(spark, dir)
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
-      .persist()
-    val inv = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val dfreq = inv.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    // per doc: shingles ordered (df asc, shingle asc) — one global order
-    val ordered = inv.join(dfreq, "sh")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
       .select(col("doc_id"),
-        transform(col("ord"), s => s.getField("sh")).as("ord_sh"))
+        sort_array(transform(col("shingles"), s => xxhash64(s))).as("sh_hashes"))
+      .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
     val prefixLen = (col("n_sh") - ceil(lit(minJ) * col("n_sh")) + 1).cast("int")
-    val pinv = docs.join(ordered, "doc_id")
-      .select(col("doc_id"),
-        explode(slice(col("ord_sh"), lit(1), prefixLen)).as("sh"))
-    val a = pinv.select(col("sh"), col("doc_id").as("id_a"))
-    val b = pinv.select(col("sh"), col("doc_id").as("id_b"))
-    val cand = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+    // persist the exploded PREFIX index (plain rows, ~prefixLen per
+    // doc): it sits on both sides of the candidate self-join, which
+    // would otherwise run the shingle+sort projection twice. Array-free
+    // rows cache cheaply — unlike the per-doc shingle arrays, whose
+    // columnar-cache cost exceeded their recompute cost (ProfileDedup).
+    val pinv = docs
+      .select(col("doc_id"), col("n_sh"),
+        explode(slice(col("sh_hashes"), lit(1), prefixLen)).as("sh"))
+      .persist()
+    val a = pinv.select(col("sh"), col("doc_id").as("id_a"), col("n_sh").as("n_a"))
+    val b = pinv.select(col("sh"), col("doc_id").as("id_b"), col("n_sh").as("n_b"))
+    // length filter: J ≥ minJ forces min(n)/max(n) ≥ minJ — prune
+    // size-mismatched candidates before the distinct/verify stages
+    val cand = a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("n_a"), col("n_b")) >= ceil(lit(minJ) * greatest(col("n_a"), col("n_b"))))
       .select(col("id_a"), col("id_b")).distinct()
     cand
-      .join(docs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"),
+      .join(docs.select(col("doc_id").as("id_a"), col("sh_hashes").as("sh_a"),
         col("n_sh").as("n_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"),
+      .join(docs.select(col("doc_id").as("id_b"), col("sh_hashes").as("sh_b"),
         col("n_sh").as("n_b")), "id_b")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
@@ -100,39 +110,45 @@ object Dedup {
   }
 
   /** MinHash + LSH near-dup candidates: band the signature (bands ×
-    * rowsPerBand = numHashes), bucket-join on (band, band-hash), verify
-    * candidates with the signature-estimated Jaccard. The bucket join is
-    * a plain equi-shuffle — the LSH trick that makes near-dup linear-ish
-    * at 100 TB. Defaults 16×4 target J≈0.5+. */
+    * rowsPerBand = numHashes), bucket-join on (band, band-hash), then
+    * verify candidates with their EXACT Jaccard (array_intersect on the
+    * shingle sets — candidates are few, so exact beats estimated and
+    * avoids dragging 64-long signature arrays anywhere). Everything up
+    * to the bucket join is a single narrow projection per doc — no
+    * persist, no signature materialization round-trip. The bucket join
+    * is a plain equi-shuffle — the LSH trick that makes near-dup
+    * linear-ish at 100 TB. Defaults 16×4 target J≈0.5+. */
   def minhashLsh(spark: SparkSession, dir: String,
-                 numHashes: Int = 64, bands: Int = 16, minEstJ: Double = 0.5): DataFrame = {
+                 numHashes: Int = 64, bands: Int = 16, minJ: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val docs = docShingles(spark, dir)
-    // persist: 3 references (banding + both candidate sides); see the
-    // bench-measured tradeoff note in ngramJaccard.
-    val sig = minhashSignatures(docs, numHashes).persist()
-    val banded = sig.select(
-      col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))))))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map { i =>
+        array_min(transform(col("shingles"), s => xxhash64(lit(i), s)))
+      }: _*)
+    }
+    // persist the banded index (plain (doc, band, bucket) rows): it sits
+    // on both sides of the bucket self-join, which would otherwise run
+    // the 64-way minhash projection twice (~2× 2 s at sf0.1).
+    val banded = docs.select(col("doc_id"), posexplode(array(bandHashes: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .persist()
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
-    // dedupe candidate ids BEFORE touching signatures: distinct over two
-    // longs, not over rows dragging two 64-element arrays through the
-    // shuffle; signatures re-attach via two joins against the small sig
-    // relation (one row per doc).
     val cand = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     cand
-      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          / lit(numHashes.toDouble))
-      .filter(col("est_jaccard") >= minEstJ)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .join(docs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"),
+        col("n_sh").as("n_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_common") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** SimHash (64-bit): per token-hash bit, majority vote across tokens

@@ -261,6 +261,21 @@ object GmallQueries {
       .groupBy(col("dt"))
       .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("dau_approx"))
 
+  /** Sessionization: per-user session windows over the event stream
+    * (30 min inactivity gap). Batch uses the same `session_window`
+    * grouping Structured Streaming uses (Pipelines.sessionize) — one
+    * shuffle on the user key, state merges adjacent windows. Session
+    * end follows Spark's definition: last event + gap. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event_id"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("first_event_id"))
+
   private def $(df: DataFrame, c: String) = df(c)
 
   /** DuckDB-equivalent SQL per query (driver correctness oracle). Money
@@ -376,6 +391,22 @@ object GmallQueries {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q17_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   > INTERVAL 30 MINUTE OR
+        |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |islands AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM marked)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       COUNT(*) AS n_events, MIN(event_id) AS first_event_id
+        |FROM islands GROUP BY user_id, session_no""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -395,5 +426,6 @@ object GmallQueries {
     "q14_top_orders_per_nation" -> topOrdersPerNation,
     "q15_region_rollup" -> regionRollup,
     "q16_dau_approx" -> dauApprox,
+    "q17_sessionize" -> sessionize,
   )
 }

@@ -140,6 +140,23 @@ object Pipelines {
         col("amount"))
   }
 
+  /** Sessionization (beyond the reference — no session semantics exist
+    * there): per-user session windows with an inactivity gap. In
+    * streaming, `session_window` grouping merges adjacent windows in
+    * the state store and the watermark closes sessions; identical code
+    * path in batch (GmallQueries.sessionize shares it). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 lateness: String = "1 hour"): DataFrame = {
+    val base =
+      if (events.isStreaming) events.withWatermark("ts", lateness) else events
+    base.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
   /** J6/A2 first-order flag (`dwd/OrderInfoApp.scala:92-157`): keyed
     * state holds "has this user ever ordered"; within one batch the
     * earliest order wins — the reference's lookup + intra-batch

@@ -170,6 +170,32 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("ods_user_info", """{"id":2}""")))
   }
 
+  test("sessionize merges events within gap across micro-batches, closes on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = Pipelines.sessionize(mem.toDF().toDF("user_id", "ts"), gap = "10 minutes",
+      lateness = "5 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 08:00:00")), (1L, ts("2024-01-01 08:05:00")))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 08:12:00"))) // merges into same session
+      q.processAllAvailable()
+      // advance watermark far past the session to close it
+      mem.addData((2L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+      val u1 = out.filter(_._1 == 1L)
+      assert(u1.length === 1)
+      assert(u1.head._2 === ts("2024-01-01 08:00:00"))
+      assert(u1.head._3 === ts("2024-01-01 08:22:00")) // last event + gap
+      assert(u1.head._4 === 3L)
+    } finally q.stop()
+  }
+
   // ---- windowed agg (A1) ----
 
   test("trademarkAmount aggregates into event-time windows with late data handled") {
