@@ -125,7 +125,18 @@ object Multimodal {
     "m1_media_features" -> mediaFeatures,
   )
 
-  /** Entropy/decoding are Scala-side; only structural fields could be
-    * oracled — rows-only check keeps this honest without false precision. */
-  val oracle: Map[String, String] = Map.empty
+  /** The corpus payloads are ASCII text bytes, so byte entropy equals
+    * DuckDB's character `entropy()` — every scalar output column is
+    * oracle-checkable (the stubbed feature vector is excluded from the
+    * output by design). */
+  val oracle: Map[String, String] = Map(
+    "m1_media_features" ->
+      """SELECT doc_id AS media_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |       ROUND(entropy(c), 6) AS byte_entropy_r6,
+        |       64 AS feature_dim
+        |FROM (SELECT doc_id, text, UNNEST(string_split(text, '')) AS c FROM documents)
+        |GROUP BY doc_id, text""".stripMargin,
+  )
 }
