@@ -33,7 +33,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // streaming throughput: the DAU pipeline (watermark + stateful
+    // dedup) over the full events table as one micro-batch — the
+    // reference's envelope is "fits a 5 s trigger on 4 cores"
+    // (BASELINE.md); rows/sec makes that comparable.
+    val streamRate = try {
+      val events = Tables.events(spark, sfDir)
+        .selectExpr("cast(user_id as string) as mid", "ts")
+      val n = events.count()
+      val t0 = System.nanoTime()
+      streaming.Pipelines.dauFirstVisits(events).count()
+      n / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""stream_dau_rows_per_sec":${streamRate.toLong},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
