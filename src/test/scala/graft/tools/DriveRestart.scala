@@ -9,7 +9,10 @@ import graft.streaming.Runner
   * the checkpoint. Phase 1 feeds one detail of a two-detail order and
   * exits; phase 2 (fresh JVM invocation) feeds the second detail — if
   * state recovered, the second detail completes the origin sum and gets
-  * the remainder, and Σ shares == final_total exactly.
+  * the remainder, and Σ shares == final_total exactly. final_total is
+  * 45.01 ON PURPOSE: recovered state → remainder 27.01; lost state →
+  * proportional 27.00 — the two paths are distinguishable (a clean
+  * 45.00 would print 27.00 either way and mask broken recovery).
   * `sbt "Test/runMain graft.tools.DriveRestart <phase> <dir>"`.
   */
 object DriveRestart {
@@ -22,7 +25,7 @@ object DriveRestart {
       Files.writeString(Paths.get(s"$cdcDir/$name"), lines.mkString("\n"))
     if (phase == "1") {
       feed("b1.json",
-        """{"type":"insert","table":"order_info","data":"{\"id\":300,\"user_id\":7,\"province_id\":1,\"order_status\":\"1001\",\"final_total_amount\":45.00,\"original_total_amount\":50.00,\"create_time\":\"2024-01-01T00:00:10\"}"}""",
+        """{"type":"insert","table":"order_info","data":"{\"id\":300,\"user_id\":7,\"province_id\":1,\"order_status\":\"1001\",\"final_total_amount\":45.01,\"original_total_amount\":50.00,\"create_time\":\"2024-01-01T00:00:10\"}"}""",
         """{"type":"insert","table":"order_detail","data":"{\"id\":31,\"order_id\":300,\"sku_id\":11,\"sku_num\":2,\"order_price\":10.00,\"create_time\":\"2024-01-01T00:00:12\"}"}""")
     } else {
       feed("b2.json",
