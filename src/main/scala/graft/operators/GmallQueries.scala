@@ -276,6 +276,36 @@ object GmallQueries {
         col("session_window.end").as("session_end"),
         col("n_events"), col("first_event_id"))
 
+  /** Pivot (status × nation revenue matrix). Pivot values are pinned —
+    * an unpinned pivot needs a distinct-scan of the pivot column first,
+    * which is an extra pass at 100 TB. */
+  def statusPivot(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name").as("province_name"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dollars(sum(cents(col("o_totalprice")))))
+      .withColumnRenamed("F", "amount_f")
+      .withColumnRenamed("O", "amount_o")
+      .withColumnRenamed("P", "amount_p")
+  }
+
+  /** Exact interpolated percentiles per group (both engines use the
+    * (n−1)·p linear-interpolation definition). At 100 TB exact
+    * percentiles require a per-group sort — the approx_percentile
+    * sketch is the scale path; this is the exact-ADS variant. */
+  def orderPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
+
   private def $(df: DataFrame, c: String) = df(c)
 
   /** DuckDB-equivalent SQL per query (driver correctness oracle). Money
@@ -407,6 +437,21 @@ object GmallQueries {
         |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
         |       COUNT(*) AS n_events, MIN(event_id) AS first_event_id
         |FROM islands GROUP BY user_id, session_no""".stripMargin,
+    "q18_status_pivot" ->
+      """SELECT n_name AS province_name,
+        |       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) FILTER (WHERE o_orderstatus='F')/100.0 AS amount_f,
+        |       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) FILTER (WHERE o_orderstatus='O')/100.0 AS amount_o,
+        |       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) FILTER (WHERE o_orderstatus='P')/100.0 AS amount_p
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q19_order_percentiles" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |       ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+        |       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |       ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -427,5 +472,7 @@ object GmallQueries {
     "q15_region_rollup" -> regionRollup,
     "q16_dau_approx" -> dauApprox,
     "q17_sessionize" -> sessionize,
+    "q18_status_pivot" -> statusPivot,
+    "q19_order_percentiles" -> orderPercentiles,
   )
 }
