@@ -306,6 +306,19 @@ object GmallQueries {
         round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
         round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
 
+  /** Set operations (completing the relational surface — the reference
+    * has none): high-value customers = (bought at 'F' status) ∩ (bought
+    * at 'O' status) minus anyone with a 'P' order; plus the union-all
+    * row feed underneath. Set ops compile to joins/aggregates — at
+    * scale each is one shuffle on the full row. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def buyers(status: String) =
+      o.filter(col("o_orderstatus") === status)
+        .select(col("o_custkey").as("user_id")).distinct()
+    buyers("F").intersect(buyers("O")).except(buyers("P"))
+  }
+
   private def $(df: DataFrame, c: String) = df(c)
 
   /** DuckDB-equivalent SQL per query (driver correctness oracle). Money
@@ -452,6 +465,12 @@ object GmallQueries {
         |       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
         |       ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q20_set_ops" ->
+      """SELECT DISTINCT o_custkey AS user_id FROM orders WHERE o_orderstatus='F'
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O'
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='P'""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -474,5 +493,6 @@ object GmallQueries {
     "q17_sessionize" -> sessionize,
     "q18_status_pivot" -> statusPivot,
     "q19_order_percentiles" -> orderPercentiles,
+    "q20_set_ops" -> setOps,
   )
 }

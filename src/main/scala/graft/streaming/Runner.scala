@@ -96,6 +96,42 @@ object Runner {
       .start()
   }
 
+  /** Multi-sink fan-out (the reference's cache-before-multi-sink,
+    * `dwd/OrderInfoApp.scala:265` / `dws/OrderWideApp.scala:180`):
+    * one DWS stream written to BOTH a detail sink and an aggregate sink
+    * in a single `foreachBatch` — the batch is persisted once, written
+    * twice, and both writes commit under the same checkpointed batchId
+    * (idempotent on replay, the K5 exactly-once recipe without the
+    * driver-side collect). */
+  def orderWideMultiSinkQuery(spark: SparkSession, cdcDir: String, detailDir: String,
+                              aggDir: String, checkpoint: String): StreamingQuery = {
+    import spark.implicits._
+    val routed = Pipelines.routeCdc(spark.readStream.schema(cdcSchema).json(cdcDir))
+    val oi = routed.filter(col("topic") === "ods_order_info")
+      .select(from_json(col("value"), orderInfoSchema).as("o"))
+      .select("o.*").as[OrderInfo]
+    val od = routed.filter(col("topic") === "ods_order_detail")
+      .select(from_json(col("value"), orderDetailSchema).as("o"))
+      .select("o.*").as[OrderDetail]
+    Pipelines.apportion(Pipelines.orderWideJoin(oi, od))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[OrderWideSplit], batchId: Long) =>
+        val cached = batch.persist()
+        try {
+          cached.write.mode("append").parquet(detailDir)      // ≙ ClickHouse K4
+          cached.groupBy(col("order_id"))                      // ≙ ADS aggregate K5
+            .agg(sum(col("final_detail_amount")).as("order_amount"),
+              count(lit(1)).as("n_details"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(aggDir)
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+  }
+
   /** ODS router on file edges: CDC JSON-lines → (topic, value) →
     * parquet partitioned by topic (≙ Kafka sink with computed topic). */
   def routerQuery(spark: SparkSession, inDir: String, outDir: String,
