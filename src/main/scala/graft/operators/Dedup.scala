@@ -121,11 +121,18 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String,
                  numHashes: Int = 64, bands: Int = 16, minJ: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // hash each shingle to a long ONCE; the 64 minhash permutations then
+    // re-hash fixed-width longs instead of strings (~64× fewer string
+    // hashes — measured ~2 s → sub-second at sf0.1). Set semantics are
+    // preserved: shingle→hash is deterministic and collision-free in
+    // practice (64-bit).
     val docs = docShingles(spark, dir)
-      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+      .select(col("doc_id"),
+        array_distinct(transform(col("shingles"), s => xxhash64(s))).as("sh_hashes"))
+      .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
     val bandHashes = (0 until bands).map { b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map { i =>
-        array_min(transform(col("shingles"), s => xxhash64(lit(i), s)))
+        array_min(transform(col("sh_hashes"), h => xxhash64(lit(i), h)))
       }: _*)
     }
     // persist the banded index (plain (doc, band, bucket) rows): it sits
@@ -140,9 +147,9 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     cand
-      .join(docs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"),
+      .join(docs.select(col("doc_id").as("id_a"), col("sh_hashes").as("sh_a"),
         col("n_sh").as("n_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"),
+      .join(docs.select(col("doc_id").as("id_b"), col("sh_hashes").as("sh_b"),
         col("n_sh").as("n_b")), "id_b")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
