@@ -92,12 +92,32 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Document chunking with overlap — the standard pre-training /
+    * RAG-ingest reshape: fixed-size token windows with `overlap` tokens
+    * of context carried between consecutive chunks. Narrow explode per
+    * doc (no shuffle); chunk count ≈ n/(size−overlap). */
+  def chunk(spark: SparkSession, dir: String,
+            chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
+    val stride = chunkSize - overlap
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens("text").as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), greatest(
+            floor((size(col("toks")) - lit(overlap + 1)) / lit(stride)).cast("int"),
+            lit(0))),
+          i => array_join(slice(col("toks"), i * stride + 1, lit(chunkSize)), " "))))
+      .select(col("doc_id"), col("pos").as("chunk_no"), col("col").as("chunk_text"),
+        size(split(col("col"), " ")).as("n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_quality" -> quality,
     "t2_token_count" -> tokenCount,
     "t3_fingerprint" -> fingerprint,
     "t4_lang_id" -> langId,
     "t5_ngram_freq" -> ((s, d) => ngramFreq(s, d)),
+    "t6_chunking" -> ((s, d) => chunk(s, d)),
   )
 
   /** t4_lang_id is heuristic/argmax-with-tie-break — left rows-only. */
@@ -127,5 +147,15 @@ object TextOps {
         |  FROM toks)
         |SELECT gram, COUNT(*) AS n FROM grams
         |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    "t6_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_no,
+        |         array_to_string(array_slice(t, i*24+1, i*24+32), ' ') AS chunk_text
+        |  FROM toks, UNNEST(range(0, GREATEST((LEN(t)-9)//24, 0) + 1)) AS u(i))
+        |SELECT doc_id, chunk_no, chunk_text,
+        |       LEN(string_split(chunk_text, ' ')) AS n_tokens
+        |FROM c""".stripMargin,
   )
 }
