@@ -74,6 +74,49 @@ object Pipelines {
       .as[OrderWide]
   }
 
+  /** J1 variant: LEFT OUTER interval join — details whose order header
+    * never arrives inside the skew window emit with null order fields
+    * once the watermark closes the window, instead of vanishing (the
+    * reference silently dropped pairs >20 s apart,
+    * `dws/OrderWideApp.scala:91-111`). The unmatched rows are the
+    * monitoring signal the reference never had. */
+  def orderWideJoinLeftOuter(orderInfo: Dataset[OrderInfo], orderDetail: Dataset[OrderDetail],
+                             maxSkew: String = "20 seconds"): DataFrame = {
+    val oi = orderInfo.withColumnRenamed("create_time", "oi_time")
+      .withWatermark("oi_time", maxSkew)
+    val od = orderDetail
+      .withColumnRenamed("id", "order_detail_id")
+      .withColumnRenamed("create_time", "od_time")
+      .withWatermark("od_time", maxSkew)
+    od.join(oi,
+      expr(s"""order_id = id AND
+               od_time BETWEEN oi_time - INTERVAL $maxSkew AND oi_time + INTERVAL $maxSkew"""),
+      "left_outer")
+      .select(
+        col("order_detail_id"), col("order_id"), col("sku_id"), col("sku_num"),
+        col("order_price").as("sku_price"),
+        col("final_total_amount"), col("original_total_amount"),
+        col("od_time").as("detail_time"),
+        col("id").isNotNull.as("matched"))
+  }
+
+  /** J2 exact semantics (`dwd/OrderInfoApp.scala:194-221`): the
+    * reference re-reads the full dimension table EVERY batch, so dim
+    * updates are visible on the next micro-batch. A plain stream-static
+    * join snapshots the static plan once; re-reading inside foreachBatch
+    * restores the per-batch refresh. `loadDim` is called once per
+    * trigger; `sink` receives the enriched batch. */
+  def runEnrichWithRefreshingDim(stream: DataFrame, loadDim: () => DataFrame,
+                                 joinKeys: Seq[String], checkpoint: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(batch.join(broadcast(loadDim()), joinKeys, "left"), batchId)
+      }
+      .start()
+
   private def roundC(d: Double): Long = Math.round(d * 100)
 
   /** A3 apportionment (`dws/OrderWideApp.scala:136-178`), exact reference

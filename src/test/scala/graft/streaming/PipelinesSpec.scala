@@ -87,6 +87,58 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched details with matched=false after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val oiMem = MemoryStream[OrderInfo]
+    val odMem = MemoryStream[OrderDetail]
+    val q = Pipelines.orderWideJoinLeftOuter(oiMem.toDS(), odMem.toDS())
+      .writeStream.format("memory").queryName("owlo_out").outputMode("append").start()
+    try {
+      oiMem.addData(OrderInfo(1, 7, 1, "1001", 50.0, 50.0, ts("2024-01-01 00:00:10")))
+      odMem.addData(OrderDetail(11, 1, 100, 1, 50.0, ts("2024-01-01 00:00:15"))) // matches
+      odMem.addData(OrderDetail(12, 2, 100, 1, 50.0, ts("2024-01-01 00:00:16"))) // no header
+      q.processAllAvailable()
+      // advance both watermarks far past the window so the unmatched row emits
+      oiMem.addData(OrderInfo(99, 8, 1, "1001", 1.0, 1.0, ts("2024-01-01 01:00:00")))
+      odMem.addData(OrderDetail(91, 99, 100, 1, 1.0, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("owlo_out")
+        .select("order_detail_id", "matched").as[(Long, Boolean)].collect().toMap
+      assert(out(11L) === true)
+      assert(out(12L) === false, "detail without header must emit unmatched after watermark")
+    } finally q.stop()
+  }
+
+  test("per-batch refreshing dim join sees dim updates on the next micro-batch (J2 semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dimDir = java.nio.file.Files.createTempDirectory("dim").toString
+    Seq((100L, "tm_old")).toDF("sku_id", "tm_name")
+      .write.mode("overwrite").parquet(dimDir)
+    val mem = MemoryStream[OrderDetail]
+    val results = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("dimckpt").toString
+    val q = Pipelines.runEnrichWithRefreshingDim(
+      mem.toDF(), () => spark.read.parquet(dimDir), Seq("sku_id"), ckpt) { (batch, _) =>
+      results.synchronized {
+        results ++= batch.select("id", "tm_name").as[(Long, String)].collect()
+      }
+    }
+    try {
+      mem.addData(OrderDetail(1, 10, 100, 1, 5.0, ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // dim updated between batches — the reference's per-batch re-read
+      Seq((100L, "tm_new")).toDF("sku_id", "tm_name")
+        .write.mode("overwrite").parquet(dimDir)
+      mem.addData(OrderDetail(2, 11, 100, 1, 5.0, ts("2024-01-01 00:00:05")))
+      q.processAllAvailable()
+      val m = results.toMap
+      assert(m(1L) === "tm_old")
+      assert(m(2L) === "tm_new", "dim refresh must be visible on the next batch")
+    } finally q.stop()
+  }
+
   // ---- DAU dedup (F4) ----
 
   test("dauFirstVisits keeps one row per (mid, day) across batches") {
