@@ -49,12 +49,8 @@ object Bench {
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$sfDir/events.parquet"))
       val raw = spark.readStream.schema(schema).parquet(srcDir.toString)
-      val ev = (raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-        case _ => raw
-      }).selectExpr("cast(user_id as string) as mid", "ts")
+      val ev = Tables.normalizeEventTs(raw)
+        .selectExpr("cast(user_id as string) as mid", "ts")
       val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
       val t0 = System.nanoTime()
       val q = streaming.Pipelines.dauFirstVisits(ev)

@@ -26,17 +26,19 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   /** `events.parquet` stores TIMESTAMP(NANOS) which Spark 4 only reads
     * via `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * [[GraftSession]]); convert the raw nanos back to a timestamp here.
-    * The corpus has microsecond-resolution values, so `div 1000` is
-    * lossless. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val df = load(spark, dir, "events")
+    * [[GraftSession]]); convert the raw nanos back to a timestamp. The
+    * corpus has microsecond-resolution values, so `div 1000` is
+    * lossless. Shared by the batch loader and streaming readers
+    * (Bench). */
+  def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
-  }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(load(spark, dir, "events"))
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

@@ -13,25 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private def tokens(c: Column) = split(trim(c), "\\s+")
+  import TextOps.{tokens, tokenWindows}
 
-  /** Word k-shingles from a *materialized* token-array column, distinct.
-    * `transform(sequence(...))` keeps shingling inside codegen (no UDF,
-    * no explode until needed). Callers must project the token array
-    * first — passing `split(...)` directly would re-tokenize the whole
-    * document once per shingle index inside the lambda (O(n²) per doc;
-    * measured 13 s → 3 s on d2 at sf0.1). */
-  private def shingleCol(toks: Column, k: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - k, lit(0))),
-        i => array_join(slice(toks, i + lit(1), lit(k)), " ")))
-
-  /** documents → (doc_id, shingles) with tokens materialized first. */
+  /** documents → (doc_id, shingles): distinct word k-shingles, built on
+    * TextOps.tokenWindows over a materialized token array (see its note
+    * on lambda-body re-evaluation). */
   private def docShingles(spark: SparkSession, dir: String, k: Int = 3) =
     Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingleCol(col("toks"), k).as("shingles"))
+      .select(col("doc_id"),
+        array_distinct(tokenWindows(col("toks"), k, 1)).as("shingles"))
 
   /** Exact dedup: content-hash groupBy. At scale this is one shuffle on
     * a 128-bit hash — the canonical first pass of any dedup pipeline. */

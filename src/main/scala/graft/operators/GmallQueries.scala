@@ -26,7 +26,7 @@ object GmallQueries {
     val li = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
     li.join(p, li("l_partkey") === p("p_partkey"))
-      .groupBy($(p, "p_brand").as("tm_name"))
+      .groupBy(p("p_brand").as("tm_name"))
       .agg(dollars(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
         .as("amount"))
   }
@@ -319,7 +319,6 @@ object GmallQueries {
     buyers("F").intersect(buyers("O")).except(buyers("P"))
   }
 
-  private def $(df: DataFrame, c: String) = df(c)
 
   /** DuckDB-equivalent SQL per query (driver correctness oracle). Money
     * math mirrors the cents formulation exactly. */

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines, over
@@ -12,9 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Tokenize on whitespace. Shared definition so every operator (and its
-    * oracle) agrees on token boundaries. */
-  private def tokens(c: String) = split(trim(col(c)), "\\s+")
+  /** Tokenize on whitespace. Shared definition (used by Dedup too) so
+    * every operator and its oracle agree on token boundaries. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  private def tokens(c: String): Column = tokens(col(c))
+
+  /** Sliding token windows joined back to strings — the one formula
+    * behind shingles (k, stride=1), n-grams (k=2, stride=1) and chunks
+    * (k=32, stride=24): windows start every `stride` tokens, the last
+    * window covers the tail. Kept inside codegen via
+    * `transform(sequence(...))`; callers must pass a MATERIALIZED token
+    * array (an inline `split` would re-tokenize per window — lambda
+    * bodies get no subexpression elimination). */
+  def tokenWindows(toks: Column, k: Int, stride: Int): Column =
+    transform(
+      sequence(lit(0), greatest(
+        floor((size(toks) - lit(k - stride + 1)) / lit(stride)).cast("int"),
+        lit(0))),
+      i => array_join(slice(toks, i * stride + lit(1), lit(k)), " "))
 
   /** Quality scoring: char/token counts, type-token ratio inputs, and
     * stopword ratio (tiny built-in stopword set). One pass, no shuffle. */
@@ -66,7 +82,7 @@ object TextOps {
     val docs = Tables.documents(spark, dir)
     val scored = profiles.foldLeft(docs) { case (df, (lang, grams)) =>
       df.withColumn(s"score_$lang",
-        grams.map(g => size(split(col("text"), java.util.regex.Pattern.quote(g), -1)) - 1)
+        grams.map(g => regexp_count(col("text"), lit(java.util.regex.Pattern.quote(g))))
           .reduce(_ + _))
     }
     // argmax by (score desc, lang asc): sort (−score, lang) ascending
@@ -84,9 +100,7 @@ object TextOps {
   def ngramFreq(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
     val grams = Tables.documents(spark, dir)
       .select(tokens("text").as("toks"))
-      .select(explode(transform(
-        sequence(lit(0), greatest(size(col("toks")) - 2, lit(0))),
-        i => array_join(slice(col("toks"), i + lit(1), lit(2)), " "))).as("gram"))
+      .select(explode(tokenWindows(col("toks"), 2, 1)).as("gram"))
     grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram"))
       .limit(topK)
@@ -102,11 +116,7 @@ object TextOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), tokens("text").as("toks"))
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), greatest(
-            floor((size(col("toks")) - lit(overlap + 1)) / lit(stride)).cast("int"),
-            lit(0))),
-          i => array_join(slice(col("toks"), i * stride + 1, lit(chunkSize)), " "))))
+        posexplode(tokenWindows(col("toks"), chunkSize, stride)))
       .select(col("doc_id"), col("pos").as("chunk_no"), col("col").as("chunk_text"),
         size(split(col("col"), " ")).as("n_tokens"))
   }

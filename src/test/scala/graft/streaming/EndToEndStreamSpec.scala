@@ -27,17 +27,8 @@ class EndToEndStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
-  private val oiSchema = StructType(Seq(
-    StructField("id", LongType), StructField("user_id", LongType),
-    StructField("province_id", LongType), StructField("order_status", StringType),
-    StructField("final_total_amount", DoubleType),
-    StructField("original_total_amount", DoubleType),
-    StructField("create_time", TimestampType)))
-  private val odSchema = StructType(Seq(
-    StructField("id", LongType), StructField("order_id", LongType),
-    StructField("sku_id", LongType), StructField("sku_num", LongType),
-    StructField("order_price", DoubleType),
-    StructField("create_time", TimestampType)))
+  private val oiSchema = Runner.orderInfoSchema
+  private val odSchema = Runner.orderDetailSchema
 
   test("stage 1: CDC → router → parse → join → apportion") {
     import spark.implicits._
