@@ -23,12 +23,13 @@ object Bench {
     spark.catalog.clearCache() // drop warm-up persists
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators persist small intermediates internally; clear between
       // queries so timings are independent of bench order / cache churn
       spark.catalog.clearCache()
-      name -> dt
+      // a crashed query must not masquerade as a fast success — report -1
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -162,13 +162,20 @@ object Dedup {
           transform(tokens(col("text")), t => xxhash64(t))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, blocked by
-    * 16-bit chunks (pigeonhole: any pair within distance 3 shares at
-    * least one of 4 chunks) — again a bucket equi-join, never pairwise. */
+    * `maxDist + 1` bit-chunks (pigeonhole: a pair within distance d must
+    * share at least one of d+1 chunks) — a bucket equi-join, never
+    * pairwise. The chunk count is DERIVED from maxDist so recall is
+    * guaranteed for any setting; a fixed chunking would silently miss
+    * pairs beyond its design distance. */
   def simhashPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32, s"maxDist $maxDist out of range")
+    val nChunks = maxDist + 1
+    val width = 64 / nChunks
+    val mask = (1L << width) - 1
     val sh = simhash(spark, dir)
     val chunked = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      posexplode(array((0 until nChunks).map(c =>
+        shiftright(col("simhash"), c * width).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
     val l = chunked.select(col("chunk"), col("key"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val r = chunked.select(col("chunk"), col("key"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))

@@ -35,7 +35,8 @@ object GmallQueries {
     * the order-wide row — fact lines joined to the fact header plus three
     * dimensions. lineitem⋈orders is the genuine big-big shuffle join
     * (co-partitioned on the order key); part/customer are dim lookups
-    * (J2–J4 analogs) and broadcast; nation is a fixed-25-row broadcast. */
+    * (J2–J4 analogs) left to AQE's size-based broadcast choice (they
+    * scale with SF); nation is a fixed-25-row broadcast hint. */
   def orderWide(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
@@ -43,9 +44,9 @@ object GmallQueries {
     val n = Tables.nation(spark, dir)
     val p = Tables.part(spark, dir)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(p, li("l_partkey") === p("p_partkey"))
       .select(
         li("l_orderkey").as("order_id"),
         li("l_linenumber").as("order_detail_id"),
@@ -176,7 +177,7 @@ object GmallQueries {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(n("n_name").as("province_name"))
       .agg(
@@ -227,7 +228,7 @@ object GmallQueries {
     val n = Tables.nation(spark, dir)
     val w = Window.partitionBy(col("n_name"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
@@ -243,7 +244,7 @@ object GmallQueries {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .rollup(r("r_name").as("region_name"), n("n_name").as("province_name"))
@@ -283,7 +284,7 @@ object GmallQueries {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(n("n_name").as("province_name"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))

@@ -50,7 +50,8 @@ object Multimodal {
     }
     def resize(pixels: Array[Float], w: Int, h: Int): Array[Float] = {
       val n = math.max(1, math.min(w * h, 64))
-      Array.tabulate(n)(i => pixels(i * pixels.length / n))
+      if (pixels.isEmpty) new Array[Float](n) // empty payload → zero features
+      else Array.tabulate(n)(i => pixels(i * pixels.length / n))
     }
     def sampleFrames(payload: Array[Byte], everyMs: Long): Seq[Array[Byte]] = {
       val step = math.max(1, (everyMs / 40).toInt) * 16

@@ -25,7 +25,14 @@ object Pipelines {
       .withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
       .withColumn("hr", date_format(col(tsCol), "HH"))
     if (withDt.isStreaming)
-      withDt.withWatermark(tsCol, dedupDelay).dropDuplicates("mid", "dt")
+      // dropDuplicatesWithinWatermark, NOT dropDuplicates: plain dedup
+      // keys without the event-time column carry no watermark metadata,
+      // so their state would never be evicted (unbounded growth). The
+      // within-watermark variant expires each (mid, dt) entry once the
+      // watermark passes its event time + delay — the 24 h Redis TTL,
+      // enforced by the state store.
+      withDt.withWatermark(tsCol, dedupDelay)
+        .dropDuplicatesWithinWatermark("mid", "dt")
     else withDt.dropDuplicates("mid", "dt")
   }
 
@@ -154,6 +161,9 @@ object Pipelines {
       val finalC = roundC(r.final_total_amount)
       val shareC =
         if (detailC == originalC - st.originSumC) finalC - st.splitSumC
+        // malformed order (original total 0) must not poison-pill the
+        // query — a task throw would crash-loop on checkpoint replay
+        else if (originalC == 0L) 0L
         else (finalC * detailC) / originalC // Long math: exact integral div
       st = ApportionState(st.originSumC + detailC, st.splitSumC + shareC)
       OrderWideSplit(r.order_detail_id, r.order_id, r.sku_id, r.sku_num,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -44,9 +44,11 @@ object Runner {
     * partitioned parquet (ES daily index ≙ `dt=` partition, K2). */
   def dauQuery(spark: SparkSession, inDir: String, outDir: String,
                checkpoint: String): StreamingQuery = {
-    val raw = spark.readStream
-      .schema(StructType(Seq(StructField("value", StringType))))
-      .json(inDir)
+    // text source: each raw line lands in a `value` column — the same
+    // shape a Kafka source's value has, and what parseStartLogs expects.
+    // (A json reader with a value-only schema would look for a
+    // top-level "value" FIELD and null out every fixture line.)
+    val raw = spark.readStream.text(inDir)
     Pipelines.dauFirstVisits(parseStartLogs(raw))
       .writeStream
       .outputMode("append")
@@ -71,13 +73,10 @@ object Runner {
     StructField("order_price", DoubleType),
     StructField("create_time", TimestampType)))
 
-  /** DWS order-wide on file edges: one CDC JSON-lines dir in → router →
-    * typed parse → watermarked stream-stream join → stateful
-    * apportionment → parquet out (≙ OrderWideApp end-to-end; the
-    * ClickHouse/Kafka sinks are this `writeStream` with a different
-    * format string). */
-  def orderWideQuery(spark: SparkSession, cdcDir: String, outDir: String,
-                     checkpoint: String): StreamingQuery = {
+  /** CDC file stream → routed → typed order header/detail streams
+    * (shared by the single- and multi-sink DWS queries). */
+  private def parseOrderStreams(spark: SparkSession, cdcDir: String)
+      : (Dataset[OrderInfo], Dataset[OrderDetail]) = {
     import spark.implicits._
     val routed = Pipelines.routeCdc(spark.readStream.schema(cdcSchema).json(cdcDir))
     val oi = routed.filter(col("topic") === "ods_order_info")
@@ -86,6 +85,17 @@ object Runner {
     val od = routed.filter(col("topic") === "ods_order_detail")
       .select(from_json(col("value"), orderDetailSchema).as("o"))
       .select("o.*").as[OrderDetail]
+    (oi, od)
+  }
+
+  /** DWS order-wide on file edges: one CDC JSON-lines dir in → router →
+    * typed parse → watermarked stream-stream join → stateful
+    * apportionment → parquet out (≙ OrderWideApp end-to-end; the
+    * ClickHouse/Kafka sinks are this `writeStream` with a different
+    * format string). */
+  def orderWideQuery(spark: SparkSession, cdcDir: String, outDir: String,
+                     checkpoint: String): StreamingQuery = {
+    val (oi, od) = parseOrderStreams(spark, cdcDir)
     Pipelines.apportion(Pipelines.orderWideJoin(oi, od))
       .writeStream
       .outputMode("append")
@@ -105,14 +115,7 @@ object Runner {
     * driver-side collect). */
   def orderWideMultiSinkQuery(spark: SparkSession, cdcDir: String, detailDir: String,
                               aggDir: String, checkpoint: String): StreamingQuery = {
-    import spark.implicits._
-    val routed = Pipelines.routeCdc(spark.readStream.schema(cdcSchema).json(cdcDir))
-    val oi = routed.filter(col("topic") === "ods_order_info")
-      .select(from_json(col("value"), orderInfoSchema).as("o"))
-      .select("o.*").as[OrderInfo]
-    val od = routed.filter(col("topic") === "ods_order_detail")
-      .select(from_json(col("value"), orderDetailSchema).as("o"))
-      .select("o.*").as[OrderDetail]
+    val (oi, od) = parseOrderStreams(spark, cdcDir)
     Pipelines.apportion(Pipelines.orderWideJoin(oi, od))
       .writeStream
       .outputMode("append")

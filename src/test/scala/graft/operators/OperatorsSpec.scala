@@ -126,6 +126,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad === 0L)
   }
 
+  test("cosine on mismatched dimensions yields NULL (native and HOF agree)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("simhash pair blocking adapts chunk count to maxDist") {
+    // maxDist=7 → 8 chunks of 8 bits; must at least recover the
+    // maxDist=3 result set (monotone in distance)
+    import spark.implicits._
+    val d3 = Dedup.simhashPairs(spark, sf, maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val d7 = Dedup.simhashPairs(spark, sf, maxDist = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(d3.subsetOf(d7))
+  }
+
   test("native cosine expression is bit-identical to the HOF formulation") {
     val emb = graft.Tables.embeddings(spark, sf)
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
