@@ -33,7 +33,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // headline total covers successful queries only — a crashed query's
+    // -1 sentinel must not subtract from (i.e. flatter) the total; it is
+    // reported separately in "failed" so a crash is loud, not invisible
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     // streaming throughput: the DAU pipeline through a REAL streaming
     // query — file-stream source → watermark → state-store dedup → noop
     // sink (a batch DataFrame would take Pipelines' non-streaming
@@ -62,7 +67,7 @@ object Bench {
       n / ((System.nanoTime() - t0) / 1e9)
     } catch { case _: Throwable => -1.0 }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""stream_dau_rows_per_sec":${streamRate.toLong},"sf":"$sfDir"}""")
+      s""""failed":$failed,"stream_dau_rows_per_sec":${streamRate.toLong},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -105,14 +105,31 @@ object CosineSimilarity {
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  // builders get no arity checking from the analyzer — wrong-arity SQL
+  // calls must raise an analysis-time error, not an IndexOutOfBounds at
+  // construction (or silently drop extra args)
+  private def checkArity(name: String, n: Int, exprs: Seq[Expression]): Unit =
+    if (exprs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> n.toString,
+          "actualNum" -> exprs.length.toString, "docroot" -> ""))
+
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        checkArity("cosine_similarity", 2, exprs)
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        checkArity("simhash64", 1, exprs)
+        SimHash64(exprs.head)
+      }))
   }
 }

@@ -111,6 +111,10 @@ object Dedup {
     * linear-ish at 100 TB. Defaults 16×4 target J≈0.5+. */
   def minhashLsh(spark: SparkSession, dir: String,
                  numHashes: Int = 64, bands: Int = 16, minJ: Double = 0.5): DataFrame = {
+    // integer division would silently drop trailing hashes (64/10 → 6×10
+    // used, 4 ignored), changing the effective LSH threshold — fail fast
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     // hash each shingle to a long ONCE; the 64 minhash permutations then
     // re-hash fixed-width longs instead of strings (~64× fewer string

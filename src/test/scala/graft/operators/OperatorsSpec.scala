@@ -187,4 +187,43 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l1.count() === Tables.documents(spark, sf).count())
     assert(l1.filter(col("predicted_lang").isNull).count() === 0L)
   }
+
+  test("session_window boundary: a gap of exactly 30 min MERGES (touching windows)") {
+    // pins the oracle's split condition (> INTERVAL 30 MINUTE, strict) to
+    // Spark's session merge rule: sessions merge when the next event's
+    // window TOUCHES the current session end (start <= end), so an event
+    // at exactly prev+gap stays in the same session. Only a gap strictly
+    // greater than the gap duration splits. The corpus's sub-second
+    // timestamps never hit this boundary on their own — this test pins it.
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00"),
+      (1L, "2024-01-01 00:30:00"), // exactly prev+gap → MERGED (touching)
+      (2L, "2024-01-01 00:00:00"),
+      (2L, "2024-01-01 00:30:01")  // strictly beyond gap → new session
+    ).toDF("user_id", "t").select(col("user_id"), col("t").cast("timestamp").as("ts"))
+    val sessions = ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count().groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(sessions(1L) === 1L)
+    assert(sessions(2L) === 2L)
+  }
+
+  test("SQL function builders reject wrong arity with an analysis error") {
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_similarity(array(1.0f))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_similarity(array(1.0f), array(1.0f), array(1.0f))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64(array(1L), array(2L))").collect()
+    }
+  }
+
+  test("minhashLsh rejects bands that do not divide numHashes") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLsh(spark, sf, numHashes = 64, bands = 10)
+    }
+  }
 }
