@@ -153,6 +153,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Portable MinHash signatures (md5 permutations) — the cross-engine
+    * checkable variant of [[minhashSignatures]]: permutation i maps each
+    * shingle to `md5(i + "|" + shingle)` and takes the lexicographic min
+    * of the hex digests. md5 hex is identical in any engine (DuckDB
+    * oracle included), so the SIGNATURE computation itself is under the
+    * value-level correctness gate — xxhash64 variants above stay the
+    * fast path (md5 is ~10× the cost; use this one for auditability,
+    * that one for throughput). Exploded output (doc_id, perm, minhash)
+    * keeps the oracle join-free. */
+  def minhashSigPortable(spark: SparkSession, dir: String,
+                         numHashes: Int = 16): DataFrame =
+    docShingles(spark, dir)
+      .select(col("doc_id"), posexplode(array((0 until numHashes).map { i =>
+        array_min(transform(col("shingles"),
+          s => md5(concat(lit(s"$i|"), s).cast("binary"))))
+      }: _*)))
+      .withColumnRenamed("pos", "perm").withColumnRenamed("col", "minhash")
+
   /** SimHash (64-bit): per token-hash bit, majority vote across tokens
     * (term-frequency weighted), sign → bit. Fully narrow per-row — no
     * explode, no shuffle: embarrassingly parallel over input splits at
@@ -197,11 +215,49 @@ object Dedup {
     "d3_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
     "d4_simhash" -> simhash,
     "d5_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
+    "d6_minhash_sig" -> ((s, d) => minhashSigPortable(s, d)),
   )
 
-  /** d3–d5 depend on xxhash64 (no DuckDB equivalent) → rows-only checks;
-    * their semantics are covered by ScalaTest recall/agreement specs. */
+  /** d4/d5 depend on xxhash64 (no DuckDB equivalent) → rows-only checks;
+    * their semantics are covered by ScalaTest recall/agreement specs.
+    * d3's VERIFIED output (exact hash-set Jaccard ≥ 0.5) is oracled
+    * against exact string-shingle Jaccard: valid because (a) verification
+    * is exact, so banding only affects recall, and (b) on this corpus
+    * every qualifying pair has J ≥ 0.89, where 16×4-band recall is
+    * deterministic-complete (asserted by the recall=1 ScalaTest). */
   val oracle: Map[String, String] = Map(
+    "d3_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(t[i+1:i+3], ' ')
+        |                        FOR i IN range(0, GREATEST(LEN(t)-3, 0) + 1)]) AS shingles
+        |  FROM toks),
+        |inv AS (
+        |  SELECT doc_id, LEN(shingles) AS n_sh, UNNEST(shingles) AS s FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+        |         COUNT(*) AS n_common
+        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2,3,4)
+        |SELECT id_a, id_b,
+        |       n_common / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+        |FROM pairs
+        |WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.5""".stripMargin,
+    "d6_minhash_sig" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct([array_to_string(t[i+1:i+3], ' ')
+        |                        FOR i IN range(0, GREATEST(LEN(t)-3, 0) + 1)]) AS shingles
+        |  FROM toks)
+        |SELECT doc_id, CAST(perm AS INTEGER) AS perm,
+        |       MIN(md5(perm::VARCHAR || '|' || s)) AS minhash
+        |FROM (SELECT doc_id, UNNEST(shingles) AS s FROM sh)
+        |CROSS JOIN (SELECT UNNEST(range(0, 16)) AS perm)
+        |GROUP BY doc_id, perm""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -71,14 +71,18 @@ object TextOps {
     * share one vocabulary, so scores are close); deterministic argmax
     * with lexicographic tie-break. Pure column expressions — the profile
     * table is a literal array, no join, no shuffle. */
+  // marker character-bigrams per language (public linguistic
+  // commonplaces); shared by langId and its generated DuckDB oracle so
+  // the two can never drift
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("ch", "ei", "de", "en", "sch"),
+    "en" -> Seq("th", "he", "in", "er", "an"),
+    "es" -> Seq("de", "la", "os", "ar", "ci"),
+    "fr" -> Seq("le", "es", "ou", "qu", "ai"),
+    "zh" -> Seq("zh", "sh", "ng", "xi", "ao"))
+
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    // marker character-bigrams per language (public linguistic commonplaces)
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "de" -> Seq("ch", "ei", "de", "en", "sch"),
-      "en" -> Seq("th", "he", "in", "er", "an"),
-      "es" -> Seq("de", "la", "os", "ar", "ci"),
-      "fr" -> Seq("le", "es", "ou", "qu", "ai"),
-      "zh" -> Seq("zh", "sh", "ng", "xi", "ao"))
+    val profiles = langProfiles
     val docs = Tables.documents(spark, dir)
     val scored = profiles.foldLeft(docs) { case (df, (lang, grams)) =>
       df.withColumn(s"score_$lang",
@@ -130,8 +134,30 @@ object TextOps {
     "t6_chunking" -> ((s, d) => chunk(s, d)),
   )
 
-  /** t4_lang_id is heuristic/argmax-with-tie-break — left rows-only. */
+  /** t4's DuckDB oracle, generated from [[langProfiles]]: literal
+    * occurrence counts via replace-length arithmetic (same
+    * non-overlapping left-to-right semantics as Spark's regexp_count on
+    * a quoted literal), argmax via ROW_NUMBER ordered (score DESC, lang)
+    * — exactly langId's (−score, lang) lexicographic tie-break. */
+  private def langIdOracle: String = {
+    val branches = langProfiles.map { case (lang, grams) =>
+      val score = grams.map(g =>
+        s"(LENGTH(text) - LENGTH(REPLACE(text, '$g', ''))) // ${g.length}")
+        .mkString(" + ")
+      s"SELECT doc_id, lang AS labeled_lang, '$lang' AS cand, $score AS score FROM documents"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH scores AS (
+       |$branches),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                               ORDER BY score DESC, cand) AS r
+       |  FROM scores)
+       |SELECT doc_id, labeled_lang, cand AS predicted_lang
+       |FROM ranked WHERE r = 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "t4_lang_id" -> langIdOracle,
     "t1_quality" ->
       """SELECT doc_id, LENGTH(text) AS n_chars,
         |       LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens,
