@@ -131,5 +131,19 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         checkArity("simhash64", 1, exprs)
         SimHash64(exprs.head)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => {
+        checkArity("minhash_sigs", 2, exprs)
+        MinHashSigs(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+      (exprs: Seq[Expression]) => {
+        checkArity("hyperplane_sig", 3, exprs)
+        HyperplaneSig(exprs.head, exprs(1), exprs(2))
+      }))
   }
 }

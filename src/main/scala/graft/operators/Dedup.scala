@@ -55,10 +55,16 @@ object Dedup {
     // intersecting strings; a 64-bit collision changing a count has
     // probability ~2^-64 per pair — ignorable, and the oracle agreed on
     // every corpus tested).
+    // persist: the hashed-shingle relation feeds the prefix index AND
+    // both verify joins — three evaluations of tokenize+shingle+sort
+    // otherwise. Long arrays (~100 × 8 B/doc) cache columnar-cheap,
+    // unlike the string-shingle arrays that made caching a loss upstream
+    // (ProfileDedup).
     val docs = docShingles(spark, dir)
       .select(col("doc_id"),
         sort_array(transform(col("shingles"), s => xxhash64(s))).as("sh_hashes"))
       .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
+      .persist()
     val prefixLen = (col("n_sh") - ceil(lit(minJ) * col("n_sh")) + 1).cast("int")
     // persist the exploded PREFIX index (plain rows, ~prefixLen per
     // doc): it sits on both sides of the candidate self-join, which
@@ -90,15 +96,15 @@ object Dedup {
   }
 
   /** MinHash signatures: `numHashes` permutations approximated by
-    * xxhash64(seed_i, shingle); signature = per-seed min over shingles.
-    * Entirely column expressions — the min-over-shingles runs inside
-    * codegen via aggregate(), one row out per document. */
-  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
-    val sigs = (0 until numHashes).map { i =>
-      array_min(transform(col("shingles"), s => xxhash64(lit(i), s))).as(s"mh_$i")
-    }
-    docs.select(col("doc_id") +: array(sigs: _*).as("sig") +: Nil: _*)
-  }
+    * xxhash64(seed_i, shingle-hash); signature = per-seed min over the
+    * set. One fused codegen loop over all permutations
+    * ([[graft.functions.MinHashSigs]] — bit-identical to the composable
+    * `array_min(transform(...))` formulation, without its per-permutation
+    * array allocation). */
+  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.MinHashSigs.minhash_sigs(
+        transform(col("shingles"), s => xxhash64(s)), lit(numHashes)).as("sig"))
 
   /** MinHash + LSH near-dup candidates: band the signature (bands ×
     * rowsPerBand = numHashes), bucket-join on (band, band-hash), then
@@ -125,15 +131,24 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(transform(col("shingles"), s => xxhash64(s))).as("sh_hashes"))
       .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
+      .persist() // feeds the banded index and both verify joins (see d2)
+    // all numHashes permutation minima in ONE fused codegen loop
+    // (functions.MinHashSigs) — the composable per-permutation
+    // array_min(transform(...)) form walks and allocates the array
+    // numHashes times per doc; values are bit-identical
     val bandHashes = (0 until bands).map { b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map { i =>
-        array_min(transform(col("sh_hashes"), h => xxhash64(lit(i), h)))
+        element_at(col("sigs"), i + 1)
       }: _*)
     }
     // persist the banded index (plain (doc, band, bucket) rows): it sits
     // on both sides of the bucket self-join, which would otherwise run
-    // the 64-way minhash projection twice (~2× 2 s at sf0.1).
-    val banded = docs.select(col("doc_id"), posexplode(array(bandHashes: _*)))
+    // the minhash projection twice (~2× at sf0.1).
+    val banded = docs
+      .select(col("doc_id"),
+        graft.functions.MinHashSigs.minhash_sigs(
+          col("sh_hashes"), lit(numHashes)).as("sigs"))
+      .select(col("doc_id"), posexplode(array(bandHashes: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .persist()
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
@@ -163,7 +178,16 @@ object Dedup {
     * that one for throughput). Exploded output (doc_id, perm, minhash)
     * keeps the oracle join-free. */
   def minhashSigPortable(spark: SparkSession, dir: String,
-                         numHashes: Int = 16): DataFrame =
+                         numHashes: Int = 8): DataFrame =
+    // fully narrow: numHashes md5 passes per doc inside one codegen
+    // projection, no shuffle at all. md5 is inherently ~10× xxhash64 —
+    // that is the price of cross-engine-checkable digests; keep
+    // numHashes small and use the xxhash64 signatures (minhashLsh) as
+    // the throughput path. (Both a groupBy-min over exploded shingles
+    // and a distinct-shingle dictionary + broadcast re-join measured
+    // SLOWER here: string min-aggregates fall out of whole-stage
+    // codegen, and the digest dictionary's broadcast cost exceeds the
+    // duplicate-hash saving at 10× shingle duplication.)
     docShingles(spark, dir)
       .select(col("doc_id"), posexplode(array((0 until numHashes).map { i =>
         array_min(transform(col("shingles"),
@@ -195,10 +219,14 @@ object Dedup {
     val width = 64 / nChunks
     val mask = (1L << width) - 1
     val sh = simhash(spark, dir)
+    // persist the chunked index (4 scalars/row): it feeds BOTH sides of
+    // the bucket self-join, which would otherwise tokenize+simhash the
+    // corpus twice (self-joins re-execute unshared subtrees per side)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nChunks).map(c =>
         shiftright(col("simhash"), c * width).bitwiseAND(mask)): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
+      .persist()
     val l = chunked.select(col("chunk"), col("key"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val r = chunked.select(col("chunk"), col("key"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
     l.join(r, Seq("chunk", "key"))
@@ -256,7 +284,7 @@ object Dedup {
         |SELECT doc_id, CAST(perm AS INTEGER) AS perm,
         |       MIN(md5(perm::VARCHAR || '|' || s)) AS minhash
         |FROM (SELECT doc_id, UNNEST(shingles) AS s FROM sh)
-        |CROSS JOIN (SELECT UNNEST(range(0, 16)) AS perm)
+        |CROSS JOIN (SELECT UNNEST(range(0, 8)) AS perm)
         |GROUP BY doc_id, perm""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -55,26 +55,40 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 folded to [-0.5, 0.5). No RNG state — reproducible across
-    * executors and runs. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble * 2.0))
+    * xxhash64 folded to [-0.5, 0.5), computed ON THE DRIVER with the
+    * same XXH64 chain Spark's `xxhash64(lit(plane), dim)` evaluates
+    * (seed 42, int inputs) — bit-identical buckets to an all-expression
+    * formulation, but the matrix becomes a plan literal instead of
+    * per-row hash evaluations. No RNG state — reproducible everywhere. */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    XXH64.hashInt(dim, XXH64.hashInt(plane, 42L)).toDouble /
+      (Long.MaxValue.toDouble * 2.0)
+  }
+
+  /** Flattened row-major plane matrix for LSH table `t` (nPlanes × dim). */
+  private def planeMatrix(t: Int, nPlanes: Int, dim: Int): Array[Double] =
+    Array.tabulate(nPlanes * dim) { idx =>
+      planeComponent(t * nPlanes + idx / dim, idx % dim)
+    }
 
   /** Random-hyperplane signature for LSH table `t`: `nPlanes` sign bits
-    * packed into a long. Pure expressions over the embedding array. */
-  def lshSignature(emb: Column, t: Int, nPlanes: Int): Column =
-    (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, i) => x.cast("double") * planeComponent(t * nPlanes + p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    * packed into a long — one fused codegen loop
+    * ([[graft.functions.HyperplaneSig]]) against the literal plane
+    * matrix, replacing nPlanes separate `aggregate(zip_with(...))`
+    * folds (HOF lambdas get no CSE; measured ~4× on the signature pass). */
+  def lshSignature(emb: Column, t: Int, nPlanes: Int, dim: Int = 64): Column =
+    graft.functions.HyperplaneSig.hyperplane_sig(
+      emb, typedLit(planeMatrix(t, nPlanes, dim)), lit(nPlanes))
 
   /** Approximate NN: bucket corpus and queries with `tables` independent
     * hyperplane signatures (multi-table probing), equi-join on
     * (table, bucket), exact-rescore candidates, top-k. Recall tested
-    * against the brute-force baseline in ScalaTest. */
+    * against the brute-force baseline in ScalaTest.
+    *
+    * Candidate dedup happens AFTER scoring, on scalar (query_id, vec_id,
+    * cos) rows — a `groupBy.max` instead of a `distinct` that would
+    * shuffle the embedding arrays themselves. */
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
              nPlanes: Int = 8, tables: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -90,9 +104,9 @@ object Similarity {
       "query_id", "q_emb")
     val cand = corpus.join(queries, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("q_emb"), col("vec_id"), col("embedding"))
-      .distinct()
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -117,39 +131,54 @@ object Similarity {
              nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
 
-    def toFloat(c: Column): Column = transform(c, v => v.cast("float"))
-    // nearest-centroid assignment: broadcast centroids, per-vector argmax
-    def assign(vecs: DataFrame, cents: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(cents))
-        .withColumn("cos", cosine(col("embedding"), col("centroid")))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("cos"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"))
+    // The MODEL (≤ nClusters × dim floats) lives on the driver and enters
+    // plans as literals — the MLlib KMeans pattern. The corpus is never
+    // collected; assignment is a NARROW per-row argmax (zero shuffles),
+    // where the old crossJoin+groupBy formulation shuffled
+    // corpus × nClusters rows per Lloyd pass. Only the centroid update
+    // aggregates (one shuffle per iteration, nClusters×dim rows out).
 
-    var centroids = emb.orderBy(col("vec_id")).limit(nClusters)
-      .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+    // argmax over literal centroids: lexicographic max of (cos, cid)
+    // structs — ties break to the highest cid, identical to the previous
+    // max(struct(cos, cid)) aggregation semantics
+    def assignCol(cents: Seq[(Long, Array[Float])], embCol: Column): Column =
+      array_max(array(cents.map { case (cid, v) =>
+        struct(cosine(embCol, typedLit(v)).as("cos"), lit(cid).as("cid"))
+      }: _*)).getField("cid")
+
+    // seed centroids: the nClusters lowest vec_ids (deterministic)
+    var cents: Seq[(Long, Array[Float])] = {
+      import spark.implicits._
+      emb.orderBy(col("vec_id")).limit(nClusters)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().toSeq
+    }
     for (_ <- 0 until iters) {
-      val assigned = assign(emb, centroids).join(emb, "vec_id")
-      centroids = assigned
+      import spark.implicits._
+      // Lloyd update: narrow assign → per-(cluster, dim) exact double
+      // means → collect the nClusters×dim model rows back to the driver
+      val dims = emb.withColumn("cid", assignCol(cents, col("embedding")))
         .select(col("cid"), posexplode(col("embedding")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("v"))
-        .groupBy(col("cid"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("v")))).as("dims"))
-        .select(col("cid"),
-          toFloat(transform(col("dims"), d => d.getField("v"))).as("centroid"))
+        .as[(Long, Int, Double)].collect()
+      cents = dims.groupBy(_._1).toSeq.map { case (cid, rows) =>
+        cid -> rows.sortBy(_._2).map(_._3.toFloat).toArray
+      }.sortBy(_._1)
     }
-    centroids = centroids.persist()
 
-    val corpusAssign = assign(emb, centroids).join(emb, "vec_id")
+    val corpusAssign = emb.withColumn("cid", assignCol(cents, col("embedding")))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    // probe: top-nprobe centroids per query
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("qcos", cosine(col("q_emb"), col("centroid")))
-      .withColumn("cr", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cid"))))
-      .filter(col("cr") <= nprobe)
-      .select(col("query_id"), col("q_emb"), col("cid"))
+    // probe: top-nprobe centroids per query — narrow sort of a literal
+    // nClusters-length array, ordered (qcos desc, cid asc) like the old
+    // row_number ranking
+    val probeArr = sort_array(array(cents.map { case (cid, v) =>
+      struct((-cosine(col("q_emb"), typedLit(v))).as("negcos"), lit(cid).as("cid"))
+    }: _*))
+    val probes = queries
+      .select(col("query_id"), col("q_emb"),
+        explode(slice(probeArr, 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("q_emb"), col("probe.cid").as("cid"))
     val cand = probes.join(corpusAssign, "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
