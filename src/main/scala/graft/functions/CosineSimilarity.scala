@@ -132,6 +132,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         SimHash64(exprs.head)
       }))
     e.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => {
+        checkArity("sorted_intersect_count", 2, exprs)
+        SortedIntersectCount(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       (exprs: Seq[Expression]) => {

@@ -88,7 +88,10 @@ object Dedup {
         col("n_sh").as("n_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("sh_hashes").as("sh_b"),
         col("n_sh").as("n_b")), "id_b")
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // linear merge over the pre-sorted hash arrays — no per-pair hash
+      // set / intersection array like size(array_intersect) builds
+      .withColumn("n_common", graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("n_common") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= minJ)
@@ -127,9 +130,12 @@ object Dedup {
     // hashes — measured ~2 s → sub-second at sf0.1). Set semantics are
     // preserved: shingle→hash is deterministic and collision-free in
     // practice (64-bit).
+    // sorted so verification can merge-count (sort is once per doc;
+    // minhash minima are order-insensitive)
     val docs = docShingles(spark, dir)
       .select(col("doc_id"),
-        array_distinct(transform(col("shingles"), s => xxhash64(s))).as("sh_hashes"))
+        sort_array(array_distinct(transform(col("shingles"), s => xxhash64(s))))
+          .as("sh_hashes"))
       .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
       .persist() // feeds the banded index and both verify joins (see d2)
     // all numHashes permutation minima in ONE fused codegen loop
@@ -161,7 +167,8 @@ object Dedup {
         col("n_sh").as("n_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("sh_hashes").as("sh_b"),
         col("n_sh").as("n_b")), "id_b")
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_common", graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("n_common") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= minJ)

@@ -226,4 +226,52 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Dedup.minhashLsh(spark, sf, numHashes = 64, bands = 10)
     }
   }
+
+  // --- fused codegen expressions vs their composable formulations ---
+  // the fused forms exist purely for throughput; these specs pin that
+  // swapping them in can never change a value
+
+  private def tokenHashes = Tables.documents(spark, sf)
+    .select(col("doc_id"),
+      sort_array(array_distinct(transform(split(trim(col("text")), "\\s+"),
+        t => xxhash64(t)))).as("hs"))
+
+  test("minhash_sigs is bit-identical to per-permutation array_min(transform)") {
+    val n = 8
+    val fused = tokenHashes.select(col("doc_id"),
+      graft.functions.MinHashSigs.minhash_sigs(col("hs"), lit(n)).as("sig"))
+    val composed = tokenHashes.select(col("doc_id"),
+      array((0 until n).map(i =>
+        array_min(transform(col("hs"), h => xxhash64(lit(i), h)))): _*).as("sig"))
+    assert(fused.exceptAll(composed).count() === 0L)
+    assert(composed.exceptAll(fused).count() === 0L)
+  }
+
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    val pairs = tokenHashes.select(col("doc_id").as("id_a"), col("hs").as("a"))
+      .crossJoin(tokenHashes.select(col("doc_id").as("id_b"), col("hs").as("b")))
+      .filter(col("id_a") < col("id_b")).limit(5000)
+    val bad = pairs.filter(
+      graft.functions.SortedIntersectCount.sorted_intersect_count(col("a"), col("b"))
+        =!= size(array_intersect(col("a"), col("b")))).count()
+    assert(bad === 0L)
+  }
+
+  test("hyperplane_sig is bit-identical to the per-plane xxhash64 fold") {
+    val emb = Tables.embeddings(spark, sf)
+    val t = 1; val nPlanes = 8
+    val fused = Similarity.lshSignature(col("embedding"), t, nPlanes)
+    // the formulation hyperplane_sig replaced: per-plane HOF fold with
+    // per-row hash evaluation of the plane matrix
+    val composed = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x.cast("double") *
+            (xxhash64(lit(t * nPlanes + p), i).cast("double") /
+              lit(Long.MaxValue.toDouble * 2.0))),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    assert(emb.filter(fused =!= composed).count() === 0L)
+  }
 }
