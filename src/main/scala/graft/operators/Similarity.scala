@@ -200,7 +200,38 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** LSH-bucketed near-dup pairs — the scale path for [[nearDupPairs]]:
+    * candidates share a hyperplane-signature bucket in at least one of
+    * `tables` tables (equi-join, never all-pairs), then exact-rescore and
+    * threshold. Dedup across tables happens after scoring on scalar rows.
+    * Probabilistic recall (vs v3's exact-but-O(n²) sweep) governed by
+    * nPlanes/tables; found pairs carry the EXACT cosine — asserted
+    * subset-equal against the brute-force sweep in ScalaTest. On this
+    * corpus near-dups sit at cos ≈ 0.5 (near-random embeddings), where
+    * hyperplane collision probability is intrinsically low — at real
+    * near-dup thresholds (cos ≥ 0.9) the same parameters give
+    * near-complete recall. */
+  def nearDupLsh(spark: SparkSession, dir: String, minCos: Double = 0.4,
+                 nPlanes: Int = 6, tables: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val sigs = emb.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t =>
+        lshSignature(col("embedding"), t, nPlanes)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      .persist() // both sides of the bucket self-join
+    val l = sigs.select(col("tbl"), col("bucket"),
+      col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val r = sigs.select(col("tbl"), col("bucket"),
+      col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    l.join(r, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("e_a"), col("e_b")))
+      .groupBy(col("id_a"), col("id_b")).agg(max(col("cos")).as("cos"))
+      .filter(col("cos") > minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v5_near_dup_lsh" -> ((s, d) => nearDupLsh(s, d)),
     "v1_ann_bruteforce" -> ((s, d) => annBruteForce(s, d)),
     "v2_ann_lsh" -> ((s, d) => annLsh(s, d)),
     "v3_near_dup_pairs" -> ((s, d) => nearDupPairs(s, d)),

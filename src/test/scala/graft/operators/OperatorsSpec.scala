@@ -257,6 +257,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad === 0L)
   }
 
+  test("near-dup LSH: subset of the exact sweep with identical cosines") {
+    import spark.implicits._
+    val exact = Similarity.nearDupPairs(spark, sf)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val lsh = Similarity.nearDupLsh(spark, sf)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b, c) =>
+      assert(exact.contains((a, b)), s"($a,$b) not in exact sweep")
+      assert(exact((a, b)) === c, s"cos mismatch for ($a,$b)")
+    }
+  }
+
   test("hyperplane_sig is bit-identical to the per-plane xxhash64 fold") {
     val emb = Tables.embeddings(spark, sf)
     val t = 1; val nPlanes = 8
