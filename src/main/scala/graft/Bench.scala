@@ -78,8 +78,62 @@ object Bench {
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       rate
     } catch { case _: Throwable => -1.0 }
+    // stream-stream interval join throughput (the reference's DWS core,
+    // J1/W1): lineitem+orders as two file streams through
+    // Pipelines.orderWideJoin. The corpus's synthetic ship/order dates
+    // are ±2400 days apart, so event time derives from the join key on
+    // both sides (same value → pairs land inside the 20 s skew window) —
+    // the state-store insert/range-probe/watermark path is exercised
+    // with the real 1:N key distribution; only the timestamps are
+    // manufactured. Rows/sec over total input rows; joined-row count is
+    // accumulated and a zero-match run reports -1 instead of a rate.
+    val streamJoinRate: Double = try {
+      import org.apache.spark.sql.functions._
+      val nIn = spark.read.parquet(s"$sfDir/lineitem.parquet").count() +
+        spark.read.parquet(s"$sfDir/orders.parquet").count()
+      def streamOf(name: String) = {
+        val schema = spark.read.parquet(s"$sfDir/$name.parquet").schema
+        val d = java.nio.file.Files.createTempDirectory(s"graft-bench-$name")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve(s"$name.parquet"),
+          java.nio.file.Paths.get(s"$sfDir/$name.parquet"))
+        spark.readStream.schema(schema).parquet(d.toString)
+      }
+      def keyTime(key: org.apache.spark.sql.Column) =
+        timestamp_seconds(lit(1700000000L) + key % 86400)
+      import spark.implicits._
+      val oi = streamOf("orders").select(
+        col("o_orderkey").as("id"), col("o_custkey").as("user_id"),
+        lit(0L).as("province_id"), col("o_orderstatus").as("order_status"),
+        col("o_totalprice").as("final_total_amount"),
+        col("o_totalprice").as("original_total_amount"),
+        keyTime(col("o_orderkey")).as("create_time")).as[streaming.OrderInfo]
+      val od = streamOf("lineitem").select(
+        xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_partkey")).as("id"),
+        col("l_orderkey").as("order_id"), col("l_partkey").as("sku_id"),
+        col("l_quantity").cast("long").as("sku_num"),
+        col("l_extendedprice").as("order_price"),
+        keyTime(col("l_orderkey")).as("create_time")).as[streaming.OrderDetail]
+      val acc = spark.sparkContext.longAccumulator("graft-bench-joined")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-jckpt").toString
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      val rate = try {
+        val t0 = System.nanoTime()
+        val q = streaming.Pipelines.orderWideJoin(oi, od)
+          .writeStream
+          .foreachBatch((b: org.apache.spark.sql.Dataset[streaming.OrderWide], _: Long) =>
+            acc.add(b.count()))
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.processAllAvailable(); q.stop()
+        if (acc.value == 0L) -1.0 else nIn / ((System.nanoTime() - t0) / 1e9)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      rate
+    } catch { case _: Throwable => -1.0 }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failed,"stream_dau_rows_per_sec":${streamRate.toLong},"sf":"$sfDir"}""")
+      s""""failed":$failed,"stream_dau_rows_per_sec":${streamRate.toLong},""" +
+      s""""stream_join_rows_per_sec":${streamJoinRate.toLong},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
