@@ -21,15 +21,26 @@ object Bench {
       }
     }
     spark.catalog.clearCache() // drop warm-up persists
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators persist small intermediates internally; clear between
-      // queries so timings are independent of bench order / cache churn
-      spark.catalog.clearCache()
-      // a crashed query must not masquerade as a fast success — report -1
-      name -> (if (ok) dt else -1.0)
+    // two independent timed passes per query, report the per-query MIN:
+    // single-shot timings at this scale carry ±20% of GC/page-cache/JIT
+    // noise, which would otherwise dominate round-over-round comparisons
+    def timedPass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // operators persist small intermediates internally; clear between
+        // queries so timings are independent of bench order / cache churn
+        spark.catalog.clearCache()
+        // a crashed query must not masquerade as a fast success — report -1
+        name -> (if (ok) dt else -1.0)
+      }
+    val passes = Seq(timedPass(), timedPass())
+    val results = passes.head.map(_._1).map { name =>
+      val ts = passes.map(_.toMap.apply(name))
+      // -1 (crash) wins over any timing: a query that failed either pass
+      // is reported failed
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
