@@ -35,9 +35,9 @@ object Bench {
         // a crashed query must not masquerade as a fast success — report -1
         name -> (if (ok) dt else -1.0)
       }
-    val passes = Seq(timedPass(), timedPass())
-    val results = passes.head.map(_._1).map { name =>
-      val ts = passes.map(_.toMap.apply(name))
+    val passes = Seq(timedPass(), timedPass()).map(_.toMap)
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val ts = passes.map(_(name))
       // -1 (crash) wins over any timing: a query that failed either pass
       // is reported failed
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
@@ -50,6 +50,32 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // file-stream sources need a directory; expose a single parquet file
+    // through a temp-dir symlink (shared by both streaming sections)
+    def streamOf(name: String) = {
+      val schema = spark.read.parquet(s"$sfDir/$name.parquet").schema
+      val d = java.nio.file.Files.createTempDirectory(s"graft-bench-$name")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve(s"$name.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/$name.parquet"))
+      spark.readStream.schema(schema).parquet(d.toString)
+    }
+    // run a streaming query with the state shuffle sized to the batch
+    // volume: at these row counts more partitions just multiply
+    // per-partition store-commit overhead (profiled via
+    // tools/ProfileStream). The count is pinned into the checkpoint at
+    // first batch (planned asynchronously after start()), so only
+    // restore the conf once the query has fully stopped.
+    def timedStream(partitions: Int)(start: () => org.apache.spark.sql.streaming.StreamingQuery): Double = {
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+      try {
+        val t0 = System.nanoTime()
+        val q = start()
+        q.processAllAvailable(); q.stop()
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     // streaming throughput: the DAU pipeline through a REAL streaming
     // query — file-stream source → watermark → state-store dedup → noop
     // sink (a batch DataFrame would take Pipelines' non-streaming
@@ -58,36 +84,16 @@ object Bench {
     // rows/sec makes that comparable.
     val streamRate = try {
       val n = Tables.events(spark, sfDir).count()
-      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      // file-stream sources need a directory; expose the single events
-      // file through a temp dir symlink
-      val srcDir = java.nio.file.Files.createTempDirectory("graft-bench-src")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-      val raw = spark.readStream.schema(schema).parquet(srcDir.toString)
-      val ev = Tables.normalizeEventTs(raw)
+      val ev = Tables.normalizeEventTs(streamOf("events"))
         .selectExpr("cast(user_id as string) as mid", "ts")
       val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
-      // size the state shuffle to the single-batch volume: 8 partitions
-      // carry ~12k state rows each here; 32 just multiplies per-partition
-      // store-commit overhead (profiled via tools/ProfileStream). The
-      // partition count is pinned into the checkpoint at first start, so
-      // set it before and restore after.
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      val rate = try {
-        val t0 = System.nanoTime()
-        val q = streaming.Pipelines.dauFirstVisits(ev)
+      val sec = timedStream(partitions = 8) { () =>
+        streaming.Pipelines.dauFirstVisits(ev)
           .writeStream.format("noop")
           .option("checkpointLocation", ckpt)
           .start()
-        // batch-0 planning reads the conf asynchronously after start():
-        // only restore once the query has fully stopped
-        q.processAllAvailable(); q.stop()
-        n / ((System.nanoTime() - t0) / 1e9)
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      rate
+      }
+      n / sec
     } catch { case _: Throwable => -1.0 }
     // stream-stream interval join throughput (the reference's DWS core,
     // J1/W1): lineitem+orders as two file streams through
@@ -102,14 +108,6 @@ object Bench {
       import org.apache.spark.sql.functions._
       val nIn = spark.read.parquet(s"$sfDir/lineitem.parquet").count() +
         spark.read.parquet(s"$sfDir/orders.parquet").count()
-      def streamOf(name: String) = {
-        val schema = spark.read.parquet(s"$sfDir/$name.parquet").schema
-        val d = java.nio.file.Files.createTempDirectory(s"graft-bench-$name")
-        java.nio.file.Files.createSymbolicLink(
-          d.resolve(s"$name.parquet"),
-          java.nio.file.Paths.get(s"$sfDir/$name.parquet"))
-        spark.readStream.schema(schema).parquet(d.toString)
-      }
       def keyTime(key: org.apache.spark.sql.Column) =
         timestamp_seconds(lit(1700000000L) + key % 86400)
       import spark.implicits._
@@ -127,20 +125,15 @@ object Bench {
         keyTime(col("l_orderkey")).as("create_time")).as[streaming.OrderDetail]
       val acc = spark.sparkContext.longAccumulator("graft-bench-joined")
       val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-jckpt").toString
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "16")
-      val rate = try {
-        val t0 = System.nanoTime()
-        val q = streaming.Pipelines.orderWideJoin(oi, od)
+      val sec = timedStream(partitions = 16) { () =>
+        streaming.Pipelines.orderWideJoin(oi, od)
           .writeStream
           .foreachBatch((b: org.apache.spark.sql.Dataset[streaming.OrderWide], _: Long) =>
             acc.add(b.count()))
           .option("checkpointLocation", ckpt)
           .start()
-        q.processAllAvailable(); q.stop()
-        if (acc.value == 0L) -1.0 else nIn / ((System.nanoTime() - t0) / 1e9)
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      rate
+      }
+      if (acc.value == 0L) -1.0 else nIn / sec
     } catch { case _: Throwable => -1.0 }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failed,"stream_dau_rows_per_sec":${streamRate.toLong},""" +

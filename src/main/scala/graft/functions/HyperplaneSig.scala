@@ -52,9 +52,11 @@ case class HyperplaneSig(emb: Expression, planes: Expression, nPlanes: Expressio
     val m = p.asInstanceOf[ArrayData]
     val np = n.asInstanceOf[Int]
     val dim = x.numElements()
-    // plane matrix must cover nPlanes × dim — a short matrix would
-    // silently project against garbage
-    if (np <= 0 || np > 63 || m.numElements() < np * dim) return null
+    // plane matrix must cover nPlanes × dim EXACTLY: a shorter matrix
+    // would project against garbage, a longer one means the caller built
+    // it for a different dimension and every row stride would be wrong
+    // (overlapping, correlated "planes") — null, never silently wrong
+    if (np <= 0 || np > 63 || m.numElements() != np * dim) return null
     var sig = 0L
     var pl = 0
     while (pl < np) {
@@ -81,7 +83,7 @@ case class HyperplaneSig(emb: Expression, planes: Expression, nPlanes: Expressio
       val base = ctx.freshName("base")
       s"""
          |int $dim = $e.numElements();
-         |if ($n <= 0 || $n > 63 || $p.numElements() < $n * $dim) {
+         |if ($n <= 0 || $n > 63 || $p.numElements() != $n * $dim) {
          |  ${ev.isNull} = true;
          |} else {
          |  long $sig = 0L;

@@ -76,10 +76,19 @@ object Similarity {
     * packed into a long — one fused codegen loop
     * ([[graft.functions.HyperplaneSig]]) against the literal plane
     * matrix, replacing nPlanes separate `aggregate(zip_with(...))`
-    * folds (HOF lambdas get no CSE; measured ~4× on the signature pass). */
+    * folds (HOF lambdas get no CSE; measured ~4× on the signature pass).
+    * `dim` must equal the embedding length — the expression nulls out on
+    * any mismatch rather than projecting with a wrong stride; callers
+    * derive it from the data ([[embDim]]). */
   def lshSignature(emb: Column, t: Int, nPlanes: Int, dim: Int = 64): Column =
     graft.functions.HyperplaneSig.hyperplane_sig(
       emb, typedLit(planeMatrix(t, nPlanes, dim)), lit(nPlanes))
+
+  /** Embedding dimensionality, read from the first row (one tiny job —
+    * the plane matrices are literals, so the dimension must be known at
+    * plan-construction time, like the IVF centroid model). */
+  private def embDim(emb: DataFrame): Int =
+    emb.select(size(col("embedding"))).head.getInt(0)
 
   /** Approximate NN: bucket corpus and queries with `tables` independent
     * hyperplane signatures (multi-table probing), equi-join on
@@ -92,10 +101,11 @@ object Similarity {
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
              nPlanes: Int = 8, tables: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    val dim = embDim(emb)
     def bucketed(df: DataFrame, idCol: String, embCol: String): DataFrame =
       df.select(col(idCol), col(embCol),
         posexplode(array((0 until tables).map(t =>
-          lshSignature(col(embCol), t, nPlanes)): _*)))
+          lshSignature(col(embCol), t, nPlanes, dim)): _*)))
         .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val corpus = bucketed(emb, "vec_id", "embedding")
     val queries = bucketed(
@@ -214,18 +224,26 @@ object Similarity {
   def nearDupLsh(spark: SparkSession, dir: String, minCos: Double = 0.4,
                  nPlanes: Int = 6, tables: Int = 8): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val sigs = emb.select(col("vec_id"), col("embedding"),
+    val dim = embDim(emb)
+    // persist ONLY the scalar (vec_id, tbl, bucket) index — persisting
+    // the exploded relation with its embedding arrays would cache
+    // `tables`× the corpus's array data (the array-heavy-persist trap
+    // ProfileDedup measured); embeddings re-attach to the candidate ids
+    // through two small joins after the scalar self-join + dedup
+    val sigs = emb.select(col("vec_id"),
       posexplode(array((0 until tables).map(t =>
-        lshSignature(col("embedding"), t, nPlanes)): _*)))
+        lshSignature(col("embedding"), t, nPlanes, dim)): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
       .persist() // both sides of the bucket self-join
-    val l = sigs.select(col("tbl"), col("bucket"),
-      col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val r = sigs.select(col("tbl"), col("bucket"),
-      col("vec_id").as("id_b"), col("embedding").as("e_b"))
-    l.join(r, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+    val l = sigs.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+    val r = sigs.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
+    val cand = l.join(r, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
       .withColumn("cos", cosine(col("e_a"), col("e_b")))
-      .groupBy(col("id_a"), col("id_b")).agg(max(col("cos")).as("cos"))
       .filter(col("cos") > minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

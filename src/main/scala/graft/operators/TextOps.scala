@@ -82,15 +82,14 @@ object TextOps {
     "zh" -> Seq("zh", "sh", "ng", "xi", "ao"))
 
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val profiles = langProfiles
     val docs = Tables.documents(spark, dir)
-    val scored = profiles.foldLeft(docs) { case (df, (lang, grams)) =>
+    val scored = langProfiles.foldLeft(docs) { case (df, (lang, grams)) =>
       df.withColumn(s"score_$lang",
         grams.map(g => regexp_count(col("text"), lit(java.util.regex.Pattern.quote(g))))
           .reduce(_ + _))
     }
     // argmax by (score desc, lang asc): sort (−score, lang) ascending
-    val scoreCols = profiles.map { case (l, _) => struct((-col(s"score_$l")).as("s"), lit(l).as("l")) }
+    val scoreCols = langProfiles.map { case (l, _) => struct((-col(s"score_$l")).as("s"), lit(l).as("l")) }
     scored.select(
       col("doc_id"),
       col("lang").as("labeled_lang"),
