@@ -132,6 +132,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         SimHash64(exprs.head)
       }))
     e.injectFunction((
+      new FunctionIdentifier("md5_minhash_sigs"),
+      new ExpressionInfo(classOf[Md5MinHashSigs].getName, "md5_minhash_sigs"),
+      (exprs: Seq[Expression]) => {
+        checkArity("md5_minhash_sigs", 2, exprs)
+        Md5MinHashSigs(exprs.head, exprs(1))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (exprs: Seq[Expression]) => {

@@ -200,20 +200,20 @@ object Dedup {
 
   def minhashSigPortable(spark: SparkSession, dir: String,
                          numHashes: Int = portablePerms): DataFrame =
-    // fully narrow: numHashes md5 passes per doc inside one codegen
-    // projection, no shuffle at all. md5 is inherently ~10× xxhash64 —
-    // that is the price of cross-engine-checkable digests; keep
-    // numHashes small and use the xxhash64 signatures (minhashLsh) as
-    // the throughput path. (Both a groupBy-min over exploded shingles
-    // and a distinct-shingle dictionary + broadcast re-join measured
-    // SLOWER here: string min-aggregates fall out of whole-stage
-    // codegen, and the digest dictionary's broadcast cost exceeds the
-    // duplicate-hash saving at 10× shingle duplication.)
+    // fully narrow: ALL permutation digests in one fused pass per doc
+    // (functions.Md5MinHashSigs — reused MessageDigest, byte-wise
+    // minima, bit-identical to the per-permutation
+    // array_min(transform(md5(...))) form), no shuffle at all. md5 is
+    // inherently ~10× xxhash64 — the price of cross-engine-checkable
+    // digests; the xxhash64 signatures (minhashLsh) stay the
+    // throughput path. (Also measured SLOWER here: a groupBy-min over
+    // exploded shingles — string min-aggregates fall out of whole-stage
+    // codegen — and a distinct-shingle dictionary + broadcast re-join,
+    // whose broadcast cost exceeds the duplicate-hash saving.)
     docShingles(spark, dir)
-      .select(col("doc_id"), posexplode(array((0 until numHashes).map { i =>
-        array_min(transform(col("shingles"),
-          s => md5(concat(lit(s"$i|"), s).cast("binary"))))
-      }: _*)))
+      .select(col("doc_id"),
+        posexplode(graft.functions.Md5MinHashSigs.md5_minhash_sigs(
+          col("shingles"), lit(numHashes))))
       .withColumnRenamed("pos", "perm").withColumnRenamed("col", "minhash")
 
   /** SimHash (64-bit): per token-hash bit, majority vote across tokens

@@ -247,6 +247,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(composed.exceptAll(fused).count() === 0L)
   }
 
+  test("md5_minhash_sigs is bit-identical to per-permutation array_min(transform(md5))") {
+    val n = 4
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(split(trim(col("text")), "\\s+")).as("sh"))
+    val fused = toks.select(col("doc_id"),
+      graft.functions.Md5MinHashSigs.md5_minhash_sigs(col("sh"), lit(n)).as("sig"))
+    val composed = toks.select(col("doc_id"),
+      array((0 until n).map(i =>
+        array_min(transform(col("sh"),
+          s => md5(concat(lit(s"$i|"), s).cast("binary"))))): _*).as("sig"))
+    assert(fused.exceptAll(composed).count() === 0L)
+    assert(composed.exceptAll(fused).count() === 0L)
+  }
+
   test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
     val pairs = tokenHashes.select(col("doc_id").as("id_a"), col("hs").as("a"))
       .crossJoin(tokenHashes.select(col("doc_id").as("id_b"), col("hs").as("b")))
