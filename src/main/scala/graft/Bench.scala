@@ -76,6 +76,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
+    // like the batch queries, stream sections run twice and report the
+    // best rate — single runs carry the same environmental noise (each
+    // run gets a FRESH checkpoint so no state is reused)
+    def best2(run: () => Double): Double = math.max(run(), run())
     // streaming throughput: the DAU pipeline through a REAL streaming
     // query — file-stream source → watermark → state-store dedup → noop
     // sink (a batch DataFrame would take Pipelines' non-streaming
@@ -84,16 +88,18 @@ object Bench {
     // rows/sec makes that comparable.
     val streamRate = try {
       val n = Tables.events(spark, sfDir).count()
-      val ev = Tables.normalizeEventTs(streamOf("events"))
-        .selectExpr("cast(user_id as string) as mid", "ts")
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
-      val sec = timedStream(partitions = 8) { () =>
-        streaming.Pipelines.dauFirstVisits(ev)
-          .writeStream.format("noop")
-          .option("checkpointLocation", ckpt)
-          .start()
+      best2 { () =>
+        val ev = Tables.normalizeEventTs(streamOf("events"))
+          .selectExpr("cast(user_id as string) as mid", "ts")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
+        val sec = timedStream(partitions = 8) { () =>
+          streaming.Pipelines.dauFirstVisits(ev)
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .start()
+        }
+        n / sec
       }
-      n / sec
     } catch { case _: Throwable => -1.0 }
     // stream-stream interval join throughput (the reference's DWS core,
     // J1/W1): lineitem+orders as two file streams through
@@ -123,17 +129,19 @@ object Bench {
         col("l_quantity").cast("long").as("sku_num"),
         col("l_extendedprice").as("order_price"),
         keyTime(col("l_orderkey")).as("create_time")).as[streaming.OrderDetail]
-      val acc = spark.sparkContext.longAccumulator("graft-bench-joined")
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-jckpt").toString
-      val sec = timedStream(partitions = 16) { () =>
-        streaming.Pipelines.orderWideJoin(oi, od)
-          .writeStream
-          .foreachBatch((b: org.apache.spark.sql.Dataset[streaming.OrderWide], _: Long) =>
-            acc.add(b.count()))
-          .option("checkpointLocation", ckpt)
-          .start()
+      best2 { () =>
+        val acc = spark.sparkContext.longAccumulator("graft-bench-joined")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-jckpt").toString
+        val sec = timedStream(partitions = 16) { () =>
+          streaming.Pipelines.orderWideJoin(oi, od)
+            .writeStream
+            .foreachBatch((b: org.apache.spark.sql.Dataset[streaming.OrderWide], _: Long) =>
+              acc.add(b.count()))
+            .option("checkpointLocation", ckpt)
+            .start()
+        }
+        if (acc.value == 0L) -1.0 else nIn / sec
       }
-      if (acc.value == 0L) -1.0 else nIn / sec
     } catch { case _: Throwable => -1.0 }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failed,"stream_dau_rows_per_sec":${streamRate.toLong},""" +
