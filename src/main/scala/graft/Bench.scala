@@ -143,9 +143,16 @@ object Bench {
         if (acc.value == 0L) -1.0 else nIn / sec
       }
     } catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$failed,"stream_dau_rows_per_sec":${streamRate.toLong},""" +
-      s""""stream_join_rows_per_sec":${streamJoinRate.toLong},"sf":"$sfDir"}""")
+      s""""stream_join_rows_per_sec":${streamJoinRate.toLong},"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces: sbt prefixes stdout with [info] and appends its
+    // own trailer lines, which can defeat a last-line JSON parse — leave
+    // a clean copy on disk next to the build too
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -209,6 +209,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sessions(2L) === 2L)
   }
 
+  test("every registered function is callable from plain SQL") {
+    import spark.implicits._
+    val row = spark.sql(
+      """SELECT cosine_similarity(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS cos,
+        |       simhash64(array(1L, 2L, 3L)) AS sh,
+        |       minhash_sigs(array(1L, 2L, 3L), 4) AS mh,
+        |       md5_minhash_sigs(array('a', 'b'), 2) AS pmh,
+        |       hyperplane_sig(array(1.0f, 0.0f),
+        |                      array(0.5d, -0.25d, -0.5d, 0.25d), 2) AS hp,
+        |       sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS ic
+        |""".stripMargin).head
+    assert(row.getDouble(0) === 1.0)
+    assert(row.getAs[Seq[Long]]("mh").length === 4)
+    assert(row.getAs[Seq[String]]("pmh").forall(_.length == 32))
+    // planes: [0.5,-0.25] → dot 0.5 > 0 → bit0; [-0.5,0.25] → dot -0.5 → no bit1
+    assert(row.getAs[Long]("hp") === 1L)
+    assert(row.getAs[Int]("ic") === 2)
+  }
+
   test("SQL function builders reject wrong arity with an analysis error") {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT cosine_similarity(array(1.0f))").collect()
