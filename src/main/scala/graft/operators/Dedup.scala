@@ -47,7 +47,11 @@ object Dedup {
     * full shingle arrays. Same output as the naive full-index join
     * (the DuckDB oracle runs the naive form), ~arbitrarily cheaper at
     * scale: frequent shingles never generate candidates. */
-  def ngramJaccard(spark: SparkSession, dir: String, minJ: Double = 0.8): DataFrame = {
+  /** Near-dup threshold shared by [[ngramJaccard]]'s default, the
+    * clustering stages built on it, and their generated DuckDB oracles. */
+  val ngramMinJ: Double = 0.8
+
+  def ngramJaccard(spark: SparkSession, dir: String, minJ: Double = ngramMinJ): DataFrame = {
     // Prefix order = (xxhash64(shingle), shingle): a global total order
     // computable PER ROW — no document-frequency pass, no
     // collect_list shuffle, no persist. (A df-ascending order prunes
@@ -258,7 +262,91 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Near-dup clusters: connected components over the exact-Jaccard pair
+    * graph (J ≥ minJ), every document labeled with the min doc_id
+    * reachable in its component (singletons label themselves). Min-label
+    * propagation to a fixpoint: per round, each node takes the min of
+    * its own and its neighbors' labels — one join + one aggregation per
+    * round, converging in diameter(G) rounds (corpus components are
+    * pairs/triples → 2–3 rounds; web-scale graphs would switch to the
+    * alternating large-star/small-star formulation to cut rounds, same
+    * join shape). The driver loop only checks a converged COUNT per
+    * round — no vertex data ever leaves the cluster. */
+  def nearDupClusters(spark: SparkSession, dir: String, minJ: Double = ngramMinJ,
+                      maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, minJ).select(col("id_a"), col("id_b"))
+    // symmetric edge list, persisted: probed every round
+    val edges = pairs.union(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).persist()
+    // propagate ONLY over the touched subgraph (docs that appear in some
+    // edge) — on a deduplicated corpus that is a small fraction of the
+    // table, so the per-round joins run on component vertices, not the
+    // whole corpus; untouched docs get self-labels in one final union
+    val seed = edges.select(col("id_a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    var cached = seed // the persisted frame backing `labels`, per round
+    var labels = seed
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // neighbor labels: edge (a ← b) carries b's current label to a;
+      // the change flag rides the same projection, so convergence costs
+      // one aggregation on the already-persisted round result — not an
+      // extra join against the previous labels
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .groupBy(col("id_a").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("new_cluster_id"),
+          (least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            =!= col("cluster_id")).as("chg"))
+        .persist()
+      val changed = next.agg(sum(when(col("chg"), 1L).otherwise(0L))).head.getLong(0)
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("doc_id"), col("new_cluster_id").as("cluster_id"))
+      converged = changed == 0
+      i += 1
+    }
+    val touched = labels
+    val untouched = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(touched.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    val all = touched.union(untouched)
+    edges.unpersist()
+    all
+  }
+
+  /** Keep-best representative per near-dup cluster: within each
+    * component, keep the document with the highest quality score
+    * (distinct-token ratio — near-identical docs differ slightly, so
+    * scores discriminate), doc_id as the deterministic tie-break. The
+    * canonical final stage of a dedup pipeline: emit one survivor per
+    * cluster plus the member count. One window over the cluster key. */
+  def keepBest(spark: SparkSession, dir: String, minJ: Double = ngramMinJ): DataFrame = {
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (size(array_distinct(tokens(col("text")))) /
+          size(tokens(col("text"))).cast("double")).as("quality"))
+    val clustered = nearDupClusters(spark, dir, minJ).join(quality, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clustered
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(
+        min(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
+        max(when(col("rn") === 1, col("quality"))).as("keep_quality"),
+        count(lit(1)).as("n_members"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d7_near_dup_clusters" -> ((s, d) => nearDupClusters(s, d)),
+    "d8_keep_best" -> ((s, d) => keepBest(s, d)),
     "d1_dedup_exact" -> exact,
     "d2_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "d3_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
@@ -279,7 +367,57 @@ object Dedup {
     * (J ≈ 0.5–0.8) would need this oracle demoted to rows-only.
     * Thresholds/permutation counts interpolate from the same constants
     * the operators default to, so Spark and oracle cannot drift. */
+  /** Shared SQL prefix: shingle → pair → symmetric edge list →
+    * transitive closure → min-label clusters (recursive CTE — the
+    * oracle-side equivalent of the label-propagation fixpoint). */
+  private def clustersSqlPrefix: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_distinct([array_to_string(t[i+1:i+3], ' ')
+       |                        FOR i IN range(0, GREATEST(LEN(t)-3, 0) + 1)]) AS shingles
+       |  FROM toks),
+       |inv AS (
+       |  SELECT doc_id, LEN(shingles) AS n_sh, UNNEST(shingles) AS s FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+       |         COUNT(*) AS n_common
+       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1,2,3,4
+       |  HAVING COUNT(*) / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) >= $ngramMinJ),
+       |edges AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS src, doc_id AS dst FROM documents
+       |  UNION
+       |  SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a),
+       |clusters AS (
+       |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "d7_near_dup_clusters" ->
+      s"""$clustersSqlPrefix
+         |SELECT doc_id, cluster_id FROM clusters""".stripMargin,
+    "d8_keep_best" ->
+      s"""$clustersSqlPrefix,
+         |quality AS (
+         |  SELECT doc_id,
+         |         LEN(list_distinct(string_split_regex(TRIM(text), '\\s+')))
+         |           / CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS quality
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT c.cluster_id, c.doc_id, q.quality,
+         |         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |                            ORDER BY q.quality DESC, c.doc_id) AS rn
+         |  FROM clusters c JOIN quality q USING (doc_id))
+         |SELECT cluster_id,
+         |       MIN(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+         |       MAX(CASE WHEN rn = 1 THEN quality END) AS keep_quality,
+         |       COUNT(*) AS n_members
+         |FROM ranked GROUP BY cluster_id""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH toks AS (
         |  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t FROM documents),

@@ -291,6 +291,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad === 0L)
   }
 
+  test("near-dup clusters: pairs co-clustered, labels are component minima, keepBest covers all docs") {
+    import spark.implicits._
+    val labels = Dedup.nearDupClusters(spark, sf).cache()
+    val byDoc = labels.as[(Long, Long)].collect().toMap
+    // every near-dup pair's endpoints share a cluster
+    Dedup.ngramJaccard(spark, sf).select($"id_a", $"id_b").as[(Long, Long)]
+      .collect().foreach { case (a, b) =>
+        assert(byDoc(a) === byDoc(b), s"pair ($a,$b) split across clusters")
+      }
+    // labels are minima of their component → label ≤ doc_id, and the
+    // label is itself labeled with itself (canonical representative)
+    byDoc.foreach { case (doc, c) =>
+      assert(c <= doc)
+      assert(byDoc(c) === c, s"representative $c of $doc not canonical")
+    }
+    // keepBest: one survivor per cluster, members sum to corpus size
+    val kb = Dedup.keepBest(spark, sf)
+    assert(kb.count() === byDoc.values.toSet.size)
+    assert(kb.agg(sum("n_members")).head.getLong(0) === byDoc.size)
+    labels.unpersist()
+  }
+
   test("near-dup LSH: subset of the exact sweep with identical cosines") {
     import spark.implicits._
     val exact = Similarity.nearDupPairs(spark, sf)
