@@ -122,8 +122,17 @@ object Multimodal {
         size(col("feature")).as("feature_dim"))
   }
 
+  /** Frame-sample query for the Verify surface: scalar columns only
+    * (the frame bytes themselves are stub output; their sizes are the
+    * checkable part — the stub slices the payload, so frame counts and
+    * lengths are pure arithmetic an oracle can reproduce). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(spark, dir))
+      .select(col("media_id"), col("frame_no"), col("n_bytes"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> mediaFeatures,
+    "m2_frame_sample" -> frameSample,
   )
 
   /** The corpus payloads are ASCII text bytes, so byte entropy equals
@@ -139,5 +148,14 @@ object Multimodal {
         |       64 AS feature_dim
         |FROM (SELECT doc_id, text, UNNEST(string_split(text, '')) AS c FROM documents)
         |GROUP BY doc_id, text""".stripMargin,
+    // stub frame-sample: payload sliced into 80-byte frames
+    // (step = max(1, 200ms/40) * 16), at most 8 — counts and lengths are
+    // arithmetic over the payload size
+    "m2_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_no,
+        |       CAST(LEAST(80, octet_length(CAST(text AS BLOB)) - i*80) AS INTEGER) AS n_bytes
+        |FROM (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2)
+        |CROSS JOIN UNNEST(range(0, 8)) AS u(i)
+        |WHERE i*80 < octet_length(CAST(text AS BLOB))""".stripMargin,
   )
 }
