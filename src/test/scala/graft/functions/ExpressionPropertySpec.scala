@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Literal, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property tests for the fused codegen expressions, driven through
+  * their interpreted `eval` path against independent Scala reference
+  * implementations (the codegen path is pinned to the same values by
+  * the corpus equivalence specs in OperatorsSpec — Catalyst guarantees
+  * eval/codegen agreement per expression contract, and we check eval
+  * here under ScalaCheck's input space: empty arrays, duplicates,
+  * extremes). No SparkSession needed — expressions are pure.
+  */
+object ExpressionPropertySpec extends Properties("expressions") {
+
+  private def longArray(xs: Seq[Long]): Literal =
+    Literal.create(new GenericArrayData(xs.toArray), ArrayType(LongType, false))
+  private def doubleArray(xs: Seq[Double]): Literal =
+    Literal.create(new GenericArrayData(xs.toArray), ArrayType(DoubleType, false))
+  private def floatArray(xs: Seq[Float]): Literal =
+    Literal.create(new GenericArrayData(xs.toArray), ArrayType(FloatType, false))
+  private def stringArray(xs: Seq[String]): Literal =
+    Literal.create(
+      new GenericArrayData(xs.map(UTF8String.fromString).toArray),
+      ArrayType(StringType, false))
+
+  // --- sorted_intersect_count ---------------------------------------
+  private val sortedSets: Gen[(Seq[Long], Seq[Long])] = for {
+    a <- Gen.listOf(Gen.choose(-1000L, 1000L))
+    b <- Gen.listOf(Gen.choose(-1000L, 1000L))
+  } yield (a.distinct.sorted, b.distinct.sorted)
+
+  property("sorted_intersect_count == set intersection size") =
+    Prop.forAll(sortedSets) { case (a, b) =>
+      val got = SortedIntersectCount(longArray(a), longArray(b))
+        .eval(null).asInstanceOf[Int]
+      got == a.toSet.intersect(b.toSet).size
+    }
+
+  // --- minhash_sigs --------------------------------------------------
+  private val hashInputs: Gen[(Seq[Long], Int)] = for {
+    xs <- Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    n <- Gen.choose(1, 16)
+  } yield (xs, n)
+
+  property("minhash_sigs == per-permutation min of XXH64 chain") =
+    Prop.forAll(hashInputs) { case (xs, n) =>
+      val got = MinHashSigs(longArray(xs), Literal(n, IntegerType))
+        .eval(null).asInstanceOf[ArrayData].toLongArray.toSeq
+      val want = (0 until n).map { i =>
+        val seed = XXH64.hashInt(i, 42L)
+        xs.map(h => XXH64.hashLong(h, seed)).min
+      }
+      got == want
+    }
+
+  property("minhash_sigs of empty set is null") =
+    Prop(MinHashSigs(longArray(Nil), Literal(4, IntegerType)).eval(null) == null)
+
+  // --- hyperplane_sig ------------------------------------------------
+  private val sigInputs: Gen[(Seq[Float], Int)] = for {
+    dim <- Gen.choose(1, 16)
+    xs <- Gen.listOfN(dim, Gen.choose(-10.0f, 10.0f))
+    n <- Gen.choose(1, 8)
+  } yield (xs, n)
+
+  property("hyperplane_sig bit p == sign of plane-p dot product") =
+    Prop.forAll(sigInputs) { case (xs, n) =>
+      val planes = Array.tabulate(n * xs.length)(i => ((i * 31 + 7) % 13 - 6) / 7.0)
+      val got = HyperplaneSig(floatArray(xs), doubleArray(planes.toSeq),
+        Literal(n, IntegerType)).eval(null).asInstanceOf[Long]
+      (0 until n).forall { p =>
+        val dot = xs.indices.map(d => xs(d).toDouble * planes(p * xs.length + d)).sum
+        ((got >> p) & 1L) == (if (dot > 0) 1L else 0L)
+      }
+    }
+
+  property("hyperplane_sig nulls on plane-matrix/dimension mismatch") =
+    Prop.forAll(sigInputs) { case (xs, n) =>
+      // one extra matrix element → wrong stride → must be null, never a
+      // silently wrong signature
+      val planes = Seq.fill(n * xs.length + 1)(0.5)
+      HyperplaneSig(floatArray(xs), doubleArray(planes),
+        Literal(n, IntegerType)).eval(null) == null
+    }
+
+  // --- md5_minhash_sigs ----------------------------------------------
+  private val shingleInputs: Gen[(Seq[String], Int)] = for {
+    xs <- Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+    n <- Gen.choose(1, 8)
+  } yield (xs, n)
+
+  property("md5_minhash_sigs == per-permutation min hex digest") =
+    Prop.forAll(shingleInputs) { case (xs, n) =>
+      val got = Md5MinHashSigs(stringArray(xs), Literal(n, IntegerType))
+        .eval(null).asInstanceOf[ArrayData]
+      val gotSeq = (0 until got.numElements()).map(got.getUTF8String(_).toString)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val want = (0 until n).map { i =>
+        xs.map { s =>
+          md.reset()
+          md.digest(s"$i|$s".getBytes("UTF-8"))
+            .map(b => f"${b & 0xff}%02x").mkString
+        }.min
+      }
+      gotSeq == want
+    }
+
+  // --- cosine_similarity ---------------------------------------------
+  private val vecPairs: Gen[(Seq[Float], Seq[Float])] = for {
+    dim <- Gen.choose(1, 32)
+    a <- Gen.listOfN(dim, Gen.choose(-5.0f, 5.0f))
+    b <- Gen.listOfN(dim, Gen.choose(-5.0f, 5.0f))
+  } yield (a, b)
+
+  property("cosine_similarity == sequential double fold") =
+    Prop.forAll(vecPairs) { case (a, b) =>
+      val got = CosineSimilarity(floatArray(a), floatArray(b))
+        .eval(null).asInstanceOf[Double]
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      val want = dot / (math.sqrt(na) * math.sqrt(nb))
+      // bit-identical or both NaN (zero vectors)
+      got == want || (got.isNaN && want.isNaN)
+    }
+
+  property("cosine_similarity nulls on dimension mismatch") =
+    Prop.forAll(vecPairs) { case (a, b) =>
+      CosineSimilarity(floatArray(a), floatArray(b :+ 1.0f)).eval(null) == null
+    }
+}
