@@ -144,7 +144,8 @@ object Bench {
       }
     } catch { case _: Throwable => -1.0 }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failed,"stream_dau_rows_per_sec":${streamRate.toLong},""" +
+      s""""n_queries":${results.size},"failed":$failed,""" +
+      s""""stream_dau_rows_per_sec":${streamRate.toLong},""" +
       s""""stream_join_rows_per_sec":${streamJoinRate.toLong},"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: sbt prefixes stdout with [info] and appends its

@@ -286,29 +286,29 @@ object Dedup {
       .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
     var cached = seed // the persisted frame backing `labels`, per round
     var labels = seed
+    // convergence via label-sum monotonicity: min-label propagation only
+    // ever DECREASES labels, so Σ cluster_id is strictly decreasing
+    // until the fixpoint — sum equality IS "no label changed", with no
+    // prev-vs-next join and no flag column. (Σ ids fits a Long up to
+    // ~1e9 docs × 1e9 max id; sum as Decimal if ids outgrow that.)
+    var prevSum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // neighbor labels: edge (a ← b) carries b's current label to a;
-      // the change flag rides the same projection, so convergence costs
-      // one aggregation on the already-persisted round result — not an
-      // extra join against the previous labels
-      val neighborMin = edges
+      // each node takes the min of its own and its neighbors' labels:
+      // union(self, edge-carried) → groupBy min — one join, one agg
+      val carried = edges
         .join(labels.withColumnRenamed("doc_id", "id_b"), "id_b")
-        .groupBy(col("id_a").as("doc_id"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("new_cluster_id"),
-          (least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            =!= col("cluster_id")).as("chg"))
+        .select(col("id_a").as("doc_id"), col("cluster_id"))
+      val next = labels.union(carried)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
         .persist()
-      val changed = next.agg(sum(when(col("chg"), 1L).otherwise(0L))).head.getLong(0)
+      val s = next.agg(sum(col("cluster_id"))).head.getLong(0)
       cached.unpersist()
       cached = next
-      labels = next.select(col("doc_id"), col("new_cluster_id").as("cluster_id"))
-      converged = changed == 0
+      labels = next
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     val touched = labels
