@@ -68,20 +68,32 @@ object Md5MinHashSigs {
   private val HEX = "0123456789abcdef".toCharArray
 
   /** Shared by eval and generated code (called as a plain static from
-    * the Java side — forwarded below). Returns null for empty input. */
+    * the Java side — forwarded below). Returns null for empty input or
+    * when every element is null; null ELEMENTS are skipped, matching
+    * `array_min`'s null-skipping over the composable `md5(null) → null`
+    * form (the one divergence: an all-null array yields null here
+    * instead of an array of nulls — a signature with no information
+    * either way). */
   def compute(sh: ArrayData, numHashes: Int): ArrayData = {
-    val len = sh.numElements()
-    if (numHashes <= 0 || len == 0) return null
+    val n0 = sh.numElements()
+    if (numHashes <= 0 || n0 == 0) return null
     val md = java.security.MessageDigest.getInstance("MD5")
     // shingle bytes fetched once, reused by every permutation
-    val shingleBytes = new Array[Array[Byte]](len)
-    var j = 0
-    while (j < len) {
-      shingleBytes(j) = sh.getUTF8String(j).getBytes
-      j += 1
+    val buf = new Array[Array[Byte]](n0)
+    var len = 0
+    var j0 = 0
+    while (j0 < n0) {
+      if (!sh.isNullAt(j0)) {
+        buf(len) = sh.getUTF8String(j0).getBytes
+        len += 1
+      }
+      j0 += 1
     }
+    if (len == 0) return null
+    val shingleBytes = buf
     val out = new Array[AnyRef](numHashes)
     var i = 0
+    var j = 0
     while (i < numHashes) {
       val prefix = (i.toString + "|").getBytes(java.nio.charset.StandardCharsets.UTF_8)
       var best: Array[Byte] = null

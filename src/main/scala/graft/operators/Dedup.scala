@@ -52,6 +52,9 @@ object Dedup {
   val ngramMinJ: Double = 0.8
 
   def ngramJaccard(spark: SparkSession, dir: String, minJ: Double = ngramMinJ): DataFrame = {
+    // minJ > 1 would make the prefix length n − ⌈minJ·n⌉ + 1 negative
+    // (slice() rejects it at runtime, far from the cause) — fail fast
+    require(minJ > 0 && minJ <= 1, s"minJ must be in (0, 1], got $minJ")
     // Prefix order = (xxhash64(shingle), shingle): a global total order
     // computable PER ROW — no document-frequency pass, no
     // collect_list shuffle, no persist. (A df-ascending order prunes
@@ -291,8 +294,14 @@ object Dedup {
     // until the fixpoint — sum equality IS "no label changed", with no
     // prev-vs-next join and no flag column. (Σ ids fits a Long up to
     // ~1e9 docs × 1e9 max id; sum as Decimal if ids outgrow that.)
-    var prevSum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
-    var converged = false
+    // sum() over an EMPTY frame returns null: no pairs at all → every
+    // doc is a singleton, the loop has nothing to do
+    def labelSum(df: DataFrame): Option[Long] = {
+      val row = df.agg(sum(col("cluster_id"))).head
+      if (row.isNullAt(0)) None else Some(row.getLong(0))
+    }
+    var prevSum = labelSum(labels)
+    var converged = prevSum.isEmpty
     var i = 0
     while (!converged && i < maxIters) {
       // each node takes the min of its own and its neighbors' labels:
@@ -303,7 +312,7 @@ object Dedup {
       val next = labels.union(carried)
         .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
         .persist()
-      val s = next.agg(sum(col("cluster_id"))).head.getLong(0)
+      val s = labelSum(next)
       cached.unpersist()
       cached = next
       labels = next
@@ -311,6 +320,11 @@ object Dedup {
       prevSum = s
       i += 1
     }
+    // a non-fixpoint result is WRONG (labels are neither canonical nor
+    // component minima) — fail loudly rather than return it
+    if (!converged)
+      sys.error(s"nearDupClusters did not converge in $maxIters rounds — " +
+        "component diameter exceeds maxIters; raise it for this corpus")
     val touched = labels
     val untouched = Tables.documents(spark, dir).select(col("doc_id"))
       .join(touched.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -327,10 +341,11 @@ object Dedup {
     * canonical final stage of a dedup pipeline: emit one survivor per
     * cluster plus the member count. One window over the cluster key. */
   def keepBest(spark: SparkSession, dir: String, minJ: Double = ngramMinJ): DataFrame = {
-    val quality = Tables.documents(spark, dir)
+    // ONE quality definition: derive the distinct-token ratio from
+    // TextOps.quality's columns rather than re-tokenizing here
+    val quality = TextOps.quality(spark, dir)
       .select(col("doc_id"),
-        (size(array_distinct(tokens(col("text")))) /
-          size(tokens(col("text"))).cast("double")).as("quality"))
+        (col("n_distinct_tokens") / col("n_tokens").cast("double")).as("quality"))
     val clustered = nearDupClusters(spark, dir, minJ).join(quality, "doc_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
@@ -367,29 +382,41 @@ object Dedup {
     * (J ≈ 0.5–0.8) would need this oracle demoted to rows-only.
     * Thresholds/permutation counts interpolate from the same constants
     * the operators default to, so Spark and oracle cannot drift. */
-  /** Shared SQL prefix: shingle → pair → symmetric edge list →
-    * transitive closure → min-label clusters (recursive CTE — the
-    * oracle-side equivalent of the label-propagation fixpoint). */
-  private def clustersSqlPrefix: String =
-    s"""WITH RECURSIVE toks AS (
+  /** Shared oracle CTEs — the word-3-shingle construction and the
+    * unthresholded all-pairs intersection live ONCE; every shingle-based
+    * oracle (d2/d3/d6/d7/d8) interpolates these, so a tokenization or
+    * shingle-size change cannot drift between oracles. */
+  private val shingleCte: String =
+    s"""toks AS (
        |  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t FROM documents),
        |sh AS (
        |  SELECT doc_id,
        |         list_distinct([array_to_string(t[i+1:i+3], ' ')
        |                        FOR i IN range(0, GREATEST(LEN(t)-3, 0) + 1)]) AS shingles
-       |  FROM toks),
-       |inv AS (
-       |  SELECT doc_id, LEN(shingles) AS n_sh, UNNEST(shingles) AS s FROM sh),
-       |pairs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
-       |         COUNT(*) AS n_common
-       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1,2,3,4
-       |  HAVING COUNT(*) / CAST(a.n_sh + b.n_sh - COUNT(*) AS DOUBLE) >= $ngramMinJ),
+       |  FROM toks)""".stripMargin
+
+  private val pairsCte: String =
+    """inv AS (
+      |  SELECT doc_id, LEN(shingles) AS n_sh, UNNEST(shingles) AS s FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+      |         COUNT(*) AS n_common
+      |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1,2,3,4)""".stripMargin
+
+  private val jaccardExpr: String =
+    "n_common / CAST(n_a + n_b - n_common AS DOUBLE)"
+
+  /** Shared SQL prefix for d7/d8: shingle → pair → symmetric edge list →
+    * transitive closure → min-label clusters (recursive CTE — the
+    * oracle-side equivalent of the label-propagation fixpoint). */
+  private def clustersSqlPrefix: String =
+    s"""WITH RECURSIVE $shingleCte,
+       |$pairsCte,
        |edges AS (
-       |  SELECT id_a, id_b FROM pairs
+       |  SELECT id_a, id_b FROM pairs WHERE $jaccardExpr >= $ngramMinJ
        |  UNION ALL
-       |  SELECT id_b, id_a FROM pairs),
+       |  SELECT id_b, id_a FROM pairs WHERE $jaccardExpr >= $ngramMinJ),
        |reach AS (
        |  SELECT doc_id AS src, doc_id AS dst FROM documents
        |  UNION
@@ -419,32 +446,14 @@ object Dedup {
          |       COUNT(*) AS n_members
          |FROM ranked GROUP BY cluster_id""".stripMargin,
     "d3_minhash_lsh" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         list_distinct([array_to_string(t[i+1:i+3], ' ')
-        |                        FOR i IN range(0, GREATEST(LEN(t)-3, 0) + 1)]) AS shingles
-        |  FROM toks),
-        |inv AS (
-        |  SELECT doc_id, LEN(shingles) AS n_sh, UNNEST(shingles) AS s FROM sh),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
-        |         COUNT(*) AS n_common
-        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1,2,3,4)
+      s"""WITH $shingleCte,
+        |$pairsCte
         |SELECT id_a, id_b,
-        |       n_common / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+        |       $jaccardExpr AS jaccard
         |FROM pairs
-        |WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= $lshMinJ""".stripMargin,
+        |WHERE $jaccardExpr >= $lshMinJ""".stripMargin,
     "d6_minhash_sig" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         list_distinct([array_to_string(t[i+1:i+3], ' ')
-        |                        FOR i IN range(0, GREATEST(LEN(t)-3, 0) + 1)]) AS shingles
-        |  FROM toks)
+      s"""WITH $shingleCte
         |SELECT doc_id, CAST(perm AS INTEGER) AS perm,
         |       MIN(md5(perm::VARCHAR || '|' || s)) AS minhash
         |FROM (SELECT doc_id, UNNEST(shingles) AS s FROM sh)
@@ -454,23 +463,11 @@ object Dedup {
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "d2_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         list_distinct([array_to_string(t[i+1:i+3], ' ')
-        |                        FOR i IN range(0, GREATEST(LEN(t)-3, 0) + 1)]) AS shingles
-        |  FROM toks),
-        |inv AS (
-        |  SELECT doc_id, LEN(shingles) AS n_sh, UNNEST(shingles) AS s FROM sh),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
-        |         COUNT(*) AS n_common
-        |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1,2,3,4)
+      s"""WITH $shingleCte,
+        |$pairsCte
         |SELECT id_a, id_b, n_common,
-        |       n_common / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+        |       $jaccardExpr AS jaccard
         |FROM pairs
-        |WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.8""".stripMargin,
+        |WHERE $jaccardExpr >= $ngramMinJ""".stripMargin,
   )
 }

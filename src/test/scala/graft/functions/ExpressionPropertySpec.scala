@@ -109,6 +109,21 @@ object ExpressionPropertySpec extends Properties("expressions") {
       gotSeq == want
     }
 
+  property("md5_minhash_sigs skips null elements; all-null input is null") = {
+    val mixed = new GenericArrayData(
+      Array[AnyRef](UTF8String.fromString("a"), null, UTF8String.fromString("b")))
+    val mixedLit = Literal.create(mixed, ArrayType(StringType, true))
+    val got = Md5MinHashSigs(mixedLit, Literal(2, IntegerType))
+      .eval(null).asInstanceOf[ArrayData]
+    val want = Md5MinHashSigs(stringArray(Seq("a", "b")), Literal(2, IntegerType))
+      .eval(null).asInstanceOf[ArrayData]
+    val allNull = Literal.create(
+      new GenericArrayData(Array[AnyRef](null, null)), ArrayType(StringType, true))
+    Prop(
+      (0 until 2).forall(i => got.getUTF8String(i) == want.getUTF8String(i)) &&
+        Md5MinHashSigs(allNull, Literal(2, IntegerType)).eval(null) == null)
+  }
+
   // --- cosine_similarity ---------------------------------------------
   private val vecPairs: Gen[(Seq[Float], Seq[Float])] = for {
     dim <- Gen.choose(1, 32)

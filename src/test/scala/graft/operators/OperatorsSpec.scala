@@ -313,6 +313,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     labels.unpersist()
   }
 
+  test("near-dup clusters with zero pairs: every doc is its own singleton") {
+    // J = 1.0 requires identical shingle sets — none exist in this
+    // corpus → empty edge set; must not NPE on the empty label-sum,
+    // must emit all-self labels
+    val singletons = Dedup.nearDupClusters(spark, sf, minJ = 1.0)
+    assert(singletons.filter(col("doc_id") =!= col("cluster_id")).count() === 0L)
+    assert(singletons.count() === Tables.documents(spark, sf).count())
+  }
+
   test("near-dup LSH: subset of the exact sweep with identical cosines") {
     import spark.implicits._
     val exact = Similarity.nearDupPairs(spark, sf)
