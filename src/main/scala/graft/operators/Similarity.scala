@@ -138,8 +138,16 @@ object Similarity {
     * cluster structure (this corpus), expected recall ≈ nprobe/k — the
     * spec asserts that floor rather than pretending structure exists. */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
-             nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4): DataFrame = {
+             nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4,
+             trainFraction: Double = 1.0): DataFrame = {
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     val emb = Tables.embeddings(spark, dir)
+    // at corpus scale the quantizer trains on a SAMPLE (deterministic
+    // seed) — only assignment touches every vector; trainFraction = 1
+    // keeps the small-corpus default exact
+    val trainSet = if (trainFraction >= 1.0) emb
+                   else emb.sample(withReplacement = false, trainFraction, seed = 42L)
 
     // The MODEL (≤ nClusters × dim floats) lives on the driver and enters
     // plans as literals — the MLlib KMeans pattern. The corpus is never
@@ -159,7 +167,7 @@ object Similarity {
     // seed centroids: the nClusters lowest vec_ids (deterministic)
     var cents: Seq[(Long, Array[Float])] = {
       import spark.implicits._
-      emb.orderBy(col("vec_id")).limit(nClusters)
+      trainSet.orderBy(col("vec_id")).limit(nClusters)
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])].collect().toSeq
     }
@@ -167,7 +175,7 @@ object Similarity {
       import spark.implicits._
       // Lloyd update: narrow assign → per-(cluster, dim) exact double
       // means → collect the nClusters×dim model rows back to the driver
-      val dims = emb.withColumn("cid", assignCol(cents, col("embedding")))
+      val dims = trainSet.withColumn("cid", assignCol(cents, col("embedding")))
         .select(col("cid"), posexplode(col("embedding")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("v"))
         .as[(Long, Int, Double)].collect()

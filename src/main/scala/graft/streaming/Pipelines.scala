@@ -210,6 +210,69 @@ object Pipelines {
         col("n_events"))
   }
 
+  /** Streaming near-dup candidate detection — the incremental form of
+    * batch MinHash-LSH (operators/Dedup.minhashLsh): as documents
+    * arrive, band their minhash signatures (same fused expressions, same
+    * bucket values as the batch path) and surface every (earlier doc,
+    * new doc) collision within a (band, bucket) as a candidate pair for
+    * exact downstream verification. Keyed state per bucket holds the doc
+    * ids seen so far — the streaming analog of the banded index, evicted
+    * by `stateTtlMs` (0 → no timeout, for tests; production uses a TTL
+    * matching the dedup horizon, like the reference's Redis SADD TTLs).
+    * Pairs can surface from several bands — dedupe downstream
+    * (`dropDuplicates("id_a","id_b")`) before verification. */
+  def nearDupCandidates(docs: DataFrame, numHashes: Int = 16, bands: Int = 8,
+                        stateTtlMs: Long = 0L): Dataset[(Long, Long, Int)] = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    import docs.sparkSession.implicits._
+    import graft.operators.TextOps
+    val rowsPerBand = numHashes / bands
+    val shingled = docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("shingles",
+        array_distinct(TextOps.tokenWindows(col("toks"), 3, 1)))
+      .withColumn("sh_hashes",
+        array_distinct(transform(col("shingles"), s => xxhash64(s))))
+      .filter(size(col("sh_hashes")) > 0)
+      .withColumn("sigs", graft.functions.MinHashSigs.minhash_sigs(
+        col("sh_hashes"), lit(numHashes)))
+    val banded = shingled.select(col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i =>
+          element_at(col("sigs"), i + 1)): _*)
+      }: _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+      .as[(Long, Int, Long)]
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded.groupByKey { case (_, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (key: (Int, Long), rows: Iterator[(Long, Int, Long)],
+         state: GroupState[List[Long]]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Int)]
+            // deterministic intra-batch order; pairs emit (older/min id
+            // first) against everything already seen, including
+            // earlier-in-batch arrivals
+            rows.map(_._1).toSeq.distinct.sorted.foreach { id =>
+              if (!seen.contains(id)) {
+                seen.foreach(s =>
+                  out += ((math.min(s, id), math.max(s, id), key._1)))
+                seen = id :: seen
+              }
+            }
+            state.update(seen)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            out.iterator
+          }
+        })
+      .toDF("id_a", "id_b", "band").as[(Long, Long, Int)]
+  }
+
   /** J6/A2 first-order flag (`dwd/OrderInfoApp.scala:92-157`): keyed
     * state holds "has this user ever ordered"; within one batch the
     * earliest order wins — the reference's lookup + intra-batch

@@ -322,6 +322,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(singletons.count() === Tables.documents(spark, sf).count())
   }
 
+  test("IVF trained on a sample still answers: k results per query, deterministic") {
+    import spark.implicits._
+    val a = Similarity.annIvf(spark, sf, trainFraction = 0.5)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val b = Similarity.annIvf(spark, sf, trainFraction = 0.5)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(a.nonEmpty)
+    assert(a.groupBy(_._1).forall(_._2.length == 5))
+    assert(a.toSeq === b.toSeq)
+    intercept[IllegalArgumentException] {
+      Similarity.annIvf(spark, sf, trainFraction = 0.0)
+    }
+  }
+
   test("near-dup LSH: subset of the exact sweep with identical cosines") {
     import spark.implicits._
     val exact = Similarity.nearDupPairs(spark, sf)

@@ -162,6 +162,35 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("nearDupCandidates surfaces a cross-batch duplicate; unrelated docs stay apart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely different words that share nothing with anything else here"
+    val mem = MemoryStream[(Long, String)]
+    val q = Pipelines.nearDupCandidates(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("ndc_out").outputMode("append").start()
+    try {
+      mem.addData((1L, textA), (2L, textB))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("ndc_out")
+        .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+      // an exact duplicate arriving in a LATER batch must collide with
+      // the state left by batch 1, in every band
+      mem.addData((3L, textA))
+      q.processAllAvailable()
+      val pairs = spark.table("ndc_out")
+        .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 3L)))
+      assert(!pairs.contains((1L, 2L)) && !afterBatch1.contains((1L, 2L)),
+        "unrelated docs should not share a bucket on this input")
+      val bandsHit = spark.table("ndc_out")
+        .filter(col("id_a") === 1L && col("id_b") === 3L)
+        .select("band").distinct().count()
+      assert(bandsHit === 8L, "identical docs must collide in all 8 bands")
+    } finally q.stop()
+  }
+
   test("dauFirstVisits runs on the RocksDB state store (production config)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
