@@ -78,8 +78,13 @@ object Bench {
     }
     // like the batch queries, stream sections run twice and report the
     // best rate — single runs carry the same environmental noise (each
-    // run gets a FRESH checkpoint so no state is reused)
-    def best2(run: () => Double): Double = math.max(run(), run())
+    // run gets a FRESH checkpoint so no state is reused). A crash in one
+    // attempt counts as -1 for that attempt only; noise that manifests
+    // as a transient failure must not discard a successful other run.
+    def best2(run: () => Double): Double = {
+      def one(): Double = try run() catch { case _: Throwable => -1.0 }
+      math.max(one(), one())
+    }
     // streaming throughput: the DAU pipeline through a REAL streaming
     // query — file-stream source → watermark → state-store dedup → noop
     // sink (a batch DataFrame would take Pipelines' non-streaming

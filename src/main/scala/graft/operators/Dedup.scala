@@ -30,12 +30,40 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(tokenWindows(col("toks"), k, 1)).as("shingles"))
 
+  /** text column → sorted distinct shingle-hash array, as a DataFrame
+    * stage (tokens materialize first — an inline split would re-tokenize
+    * per window, see TextOps.tokenWindows). ONE definition shared by the
+    * batch (minhashLsh) and streaming (Pipelines.nearDupCandidates)
+    * paths, so their bucket values cannot drift. */
+  private[graft] def withShingleHashes(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("toks", tokens(col(textCol)))
+      .withColumn("shingles", array_distinct(tokenWindows(col("toks"), 3, 1)))
+      .withColumn("sh_hashes",
+        sort_array(array_distinct(transform(col("shingles"), s => xxhash64(s)))))
+      .drop("toks", "shingles")
+
+  /** Banded bucket hashes over a minhash-signature column — shared by
+    * batch and streaming LSH (same values by construction). Callers must
+    * pass a MATERIALIZED sigs column (a named column from a prior
+    * projection), not an inline expression: each band references it. */
+  private[graft] def bandHashCols(sigs: Column, numHashes: Int, bands: Int): Seq[Column] = {
+    val rowsPerBand = numHashes / bands
+    (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i =>
+        element_at(sigs, i + 1)): _*)
+    }
+  }
+
   /** Exact dedup: content-hash groupBy. At scale this is one shuffle on
     * a 128-bit hash — the canonical first pass of any dedup pipeline. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Near-dup threshold shared by [[ngramJaccard]]'s default, the
+    * clustering stages built on it, and their generated DuckDB oracles. */
+  val ngramMinJ: Double = 0.8
 
   /** N-gram Jaccard near-dup pairs (word 3-shingles, J ≥ `minJ`), exact,
     * via **prefix filtering** (the SSJoin/PPJoin family): order shingles
@@ -47,10 +75,6 @@ object Dedup {
     * full shingle arrays. Same output as the naive full-index join
     * (the DuckDB oracle runs the naive form), ~arbitrarily cheaper at
     * scale: frequent shingles never generate candidates. */
-  /** Near-dup threshold shared by [[ngramJaccard]]'s default, the
-    * clustering stages built on it, and their generated DuckDB oracles. */
-  val ngramMinJ: Double = 0.8
-
   def ngramJaccard(spark: SparkSession, dir: String, minJ: Double = ngramMinJ): DataFrame = {
     // minJ > 1 would make the prefix length n − ⌈minJ·n⌉ + 1 negative
     // (slice() rejects it at runtime, far from the cause) — fail fast
@@ -68,14 +92,12 @@ object Dedup {
     // intersecting strings; a 64-bit collision changing a count has
     // probability ~2^-64 per pair — ignorable, and the oracle agreed on
     // every corpus tested).
-    // persist: the hashed-shingle relation feeds the prefix index AND
-    // both verify joins — three evaluations of tokenize+shingle+sort
-    // otherwise. Long arrays (~100 × 8 B/doc) cache columnar-cheap,
-    // unlike the string-shingle arrays that made caching a loss upstream
-    // (ProfileDedup).
-    val docs = docShingles(spark, dir)
-      .select(col("doc_id"),
-        sort_array(transform(col("shingles"), s => xxhash64(s))).as("sh_hashes"))
+    // persist: the hashed-shingle relation (shared withShingleHashes
+    // definition) feeds the prefix index AND both verify joins — three
+    // evaluations of tokenize+shingle+sort otherwise. Long arrays
+    // (~100 × 8 B/doc) cache columnar-cheap, unlike the string-shingle
+    // arrays that made caching a loss upstream (ProfileDedup).
+    val docs = withShingleHashes(Tables.documents(spark, dir), "text")
       .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
       .persist()
     val prefixLen = (col("n_sh") - ceil(lit(minJ) * col("n_sh")) + 1).cast("int")
@@ -122,6 +144,10 @@ object Dedup {
       graft.functions.MinHashSigs.minhash_sigs(
         transform(col("shingles"), s => xxhash64(s)), lit(numHashes)).as("sig"))
 
+  /** Verification threshold shared by [[minhashLsh]]'s default and its
+    * generated DuckDB oracle. */
+  val lshMinJ: Double = 0.5
+
   /** MinHash + LSH near-dup candidates: band the signature (bands ×
     * rowsPerBand = numHashes), bucket-join on (band, band-hash), then
     * verify candidates with their EXACT Jaccard (array_intersect on the
@@ -131,39 +157,21 @@ object Dedup {
     * persist, no signature materialization round-trip. The bucket join
     * is a plain equi-shuffle — the LSH trick that makes near-dup
     * linear-ish at 100 TB. Defaults 16×4 target J≈0.5+. */
-  /** Verification threshold shared by [[minhashLsh]]'s default and its
-    * generated DuckDB oracle. */
-  val lshMinJ: Double = 0.5
-
   def minhashLsh(spark: SparkSession, dir: String,
                  numHashes: Int = 64, bands: Int = 16, minJ: Double = lshMinJ): DataFrame = {
     // integer division would silently drop trailing hashes (64/10 → 6×10
     // used, 4 ignored), changing the effective LSH threshold — fail fast
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
-    val rowsPerBand = numHashes / bands
-    // hash each shingle to a long ONCE; the 64 minhash permutations then
-    // re-hash fixed-width longs instead of strings (~64× fewer string
-    // hashes — measured ~2 s → sub-second at sf0.1). Set semantics are
-    // preserved: shingle→hash is deterministic and collision-free in
-    // practice (64-bit).
-    // sorted so verification can merge-count (sort is once per doc;
-    // minhash minima are order-insensitive)
-    val docs = docShingles(spark, dir)
-      .select(col("doc_id"),
-        sort_array(array_distinct(transform(col("shingles"), s => xxhash64(s))))
-          .as("sh_hashes"))
+    // hash each shingle to a long ONCE (withShingleHashes; sorted so
+    // verification can merge-count — minhash minima are
+    // order-insensitive); the numHashes permutations then re-hash
+    // fixed-width longs instead of strings (~64× fewer string hashes —
+    // measured ~2 s → sub-second at sf0.1), all minima in ONE fused
+    // codegen loop (functions.MinHashSigs).
+    val docs = withShingleHashes(Tables.documents(spark, dir), "text")
       .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
       .persist() // feeds the banded index and both verify joins (see d2)
-    // all numHashes permutation minima in ONE fused codegen loop
-    // (functions.MinHashSigs) — the composable per-permutation
-    // array_min(transform(...)) form walks and allocates the array
-    // numHashes times per doc; values are bit-identical
-    val bandHashes = (0 until bands).map { b =>
-      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map { i =>
-        element_at(col("sigs"), i + 1)
-      }: _*)
-    }
     // persist the banded index (plain (doc, band, bucket) rows): it sits
     // on both sides of the bucket self-join, which would otherwise run
     // the minhash projection twice (~2× at sf0.1).
@@ -171,7 +179,8 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.MinHashSigs.minhash_sigs(
           col("sh_hashes"), lit(numHashes)).as("sigs"))
-      .select(col("doc_id"), posexplode(array(bandHashes: _*)))
+      .select(col("doc_id"),
+        posexplode(array(bandHashCols(col("sigs"), numHashes, bands): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .persist()
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
@@ -347,16 +356,18 @@ object Dedup {
       .select(col("doc_id"),
         (col("n_distinct_tokens") / col("n_tokens").cast("double")).as("quality"))
     val clustered = nearDupClusters(spark, dir, minJ).join(quality, "doc_id")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id"))
-      .orderBy(col("quality").desc, col("doc_id"))
     clustered
-      .withColumn("rn", row_number().over(w))
       .groupBy(col("cluster_id"))
       .agg(
-        min(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
-        max(when(col("rn") === 1, col("quality"))).as("keep_quality"),
+        // one aggregation pass, no per-cluster sort: maximize
+        // (quality, −doc_id) → highest quality, lowest id on ties
+        max_by(struct(col("doc_id"), col("quality")),
+          struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("best"),
         count(lit(1)).as("n_members"))
+      .select(col("cluster_id"),
+        col("best.doc_id").as("keep_id"),
+        col("best.quality").as("keep_quality"),
+        col("n_members"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

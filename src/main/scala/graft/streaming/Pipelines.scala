@@ -226,22 +226,17 @@ object Pipelines {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     import docs.sparkSession.implicits._
-    import graft.operators.TextOps
-    val rowsPerBand = numHashes / bands
-    val shingled = docs
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .withColumn("shingles",
-        array_distinct(TextOps.tokenWindows(col("toks"), 3, 1)))
-      .withColumn("sh_hashes",
-        array_distinct(transform(col("shingles"), s => xxhash64(s))))
+    // the SAME shingle-hash and band-hash constructions as the batch
+    // path (Dedup.withShingleHashes / bandHashCols) — bucket parity with
+    // minhashLsh holds by shared code, and is pinned by a spec
+    val shingled = graft.operators.Dedup
+      .withShingleHashes(docs, "text")
       .filter(size(col("sh_hashes")) > 0)
       .withColumn("sigs", graft.functions.MinHashSigs.minhash_sigs(
         col("sh_hashes"), lit(numHashes)))
     val banded = shingled.select(col("doc_id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i =>
-          element_at(col("sigs"), i + 1)): _*)
-      }: _*)))
+      posexplode(array(
+        graft.operators.Dedup.bandHashCols(col("sigs"), numHashes, bands): _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
       .as[(Long, Int, Long)]
     val timeoutConf =
@@ -249,28 +244,33 @@ object Pipelines {
       else GroupStateTimeout.NoTimeout
     banded.groupByKey { case (_, band, bucket) => (band, bucket) }
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
-        (key: (Int, Long), rows: Iterator[(Long, Int, Long)],
-         state: GroupState[List[Long]]) => {
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            var seen = state.getOption.getOrElse(Nil)
-            val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Int)]
-            // deterministic intra-batch order; pairs emit (older/min id
-            // first) against everything already seen, including
-            // earlier-in-batch arrivals
-            rows.map(_._1).toSeq.distinct.sorted.foreach { id =>
-              if (!seen.contains(id)) {
-                seen.foreach(s =>
-                  out += ((math.min(s, id), math.max(s, id), key._1)))
-                seen = id :: seen
-              }
-            }
-            state.update(seen)
-            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
-            out.iterator
-          }
-        })
+        nearDupGroup(stateTtlMs))
       .toDF("id_a", "id_b", "band").as[(Long, Long, Int)]
+  }
+
+  private[streaming] def nearDupGroup(stateTtlMs: Long)(
+      key: (Int, Long), rows: Iterator[(Long, Int, Long)],
+      state: GroupState[List[Long]]): Iterator[(Long, Long, Int)] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var seen = state.getOption.getOrElse(Nil)
+    // hot buckets (stop-shingle band collisions) can hold many docs —
+    // O(1) membership via a local set; the stored state stays a List
+    // (encoder-friendly)
+    val seenSet = scala.collection.mutable.HashSet.from(seen)
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Int)]
+    // deterministic intra-batch order; pairs emit (older/min id first)
+    // against everything already seen, including earlier-in-batch
+    // arrivals
+    rows.map(_._1).toSeq.distinct.sorted.foreach { id =>
+      if (!seenSet.contains(id)) {
+        seen.foreach(s => out += ((math.min(s, id), math.max(s, id), key._1)))
+        seenSet += id
+        seen = id :: seen
+      }
+    }
+    state.update(seen)
+    if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+    out.iterator
   }
 
   /** J6/A2 first-order flag (`dwd/OrderInfoApp.scala:92-157`): keyed

@@ -336,6 +336,25 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming near-dup candidates cover every verified batch LSH pair (shared buckets)") {
+    import spark.implicits._
+    // batch-mode execution of the streaming operator (state per group,
+    // one batch) with the batch path's parameters: bucket construction
+    // is shared code, so the candidate set must contain every pair the
+    // batch pipeline verifies
+    val candidates = graft.streaming.Pipelines
+      .nearDupCandidates(
+        Tables.documents(spark, sf).select("doc_id", "text"),
+        numHashes = 64, bands = 16)
+      .select($"id_a", $"id_b").distinct().as[(Long, Long)].collect().toSet
+    val verified = Dedup.minhashLsh(spark, sf)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(verified.nonEmpty)
+    verified.foreach { p =>
+      assert(candidates.contains(p), s"verified pair $p missing from stream candidates")
+    }
+  }
+
   test("near-dup LSH: subset of the exact sweep with identical cosines") {
     import spark.implicits._
     val exact = Similarity.nearDupPairs(spark, sf)

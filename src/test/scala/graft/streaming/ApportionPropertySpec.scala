@@ -28,7 +28,7 @@ object ApportionPropertySpec extends Properties("apportion") {
       OrderWide(i + 1, 1L, 100L + i, 1, c / 100.0, finalC / 100.0,
         originalC / 100.0, ts0)
     }
-    val state = new TestGroupState
+    val state = new TestGroupState[ApportionState]
     batches.flatMap { idxs =>
       Pipelines.apportionGroup(0L)(1L, idxs.map(rows(_)).iterator, state).toList
     }
@@ -58,15 +58,21 @@ object ApportionPropertySpec extends Properties("apportion") {
 }
 
 /** Minimal in-memory GroupState for driving apportionGroup directly. */
-class TestGroupState extends org.apache.spark.sql.streaming.GroupState[ApportionState] {
-  private var st: Option[ApportionState] = None
+/** Hand-rolled GroupState for driving stateful functions directly
+  * (scalatestplus is not in the offline cache). `timedOut` and
+  * `lastTimeoutMs` let TTL paths be exercised without the
+  * ProcessingTimeTimeout busy-spin under processAllAvailable. */
+class TestGroupState[T] extends org.apache.spark.sql.streaming.GroupState[T] {
+  private var st: Option[T] = None
+  var timedOut: Boolean = false
+  var lastTimeoutMs: Long = -1L
   override def exists: Boolean = st.isDefined
-  override def get: ApportionState = st.get
-  override def getOption: Option[ApportionState] = st
-  override def update(s: ApportionState): Unit = st = Some(s)
+  override def get: T = st.get
+  override def getOption: Option[T] = st
+  override def update(s: T): Unit = st = Some(s)
   override def remove(): Unit = st = None
-  override def hasTimedOut: Boolean = false
-  override def setTimeoutDuration(d: Long): Unit = ()
+  override def hasTimedOut: Boolean = timedOut
+  override def setTimeoutDuration(d: Long): Unit = lastTimeoutMs = d
   override def setTimeoutDuration(d: String): Unit = ()
   override def setTimeoutTimestamp(t: Long): Unit = ()
   override def setTimeoutTimestamp(t: Long, add: String): Unit = ()

@@ -191,6 +191,24 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("nearDupGroup TTL path: registers the timeout, drops state on expiry") {
+    // drive the state function directly (ProcessingTimeTimeout streams
+    // busy-spin under processAllAvailable — see harness notes), so the
+    // TTL branch gets real coverage
+    val ttl = 60000L
+    val state = new TestGroupState[List[Long]]
+    val out1 = Pipelines.nearDupGroup(ttl)(
+      (0, 42L), Iterator((1L, 0, 42L), (2L, 0, 42L)), state).toList
+    assert(out1 === List((1L, 2L, 0)))
+    assert(state.lastTimeoutMs === ttl, "timeout must be registered each call")
+    assert(state.get.toSet === Set(1L, 2L))
+    // expiry: state removed, nothing emitted
+    state.timedOut = true
+    val out2 = Pipelines.nearDupGroup(ttl)((0, 42L), Iterator.empty, state).toList
+    assert(out2.isEmpty)
+    assert(!state.exists, "timed-out bucket state must be removed")
+  }
+
   test("dauFirstVisits runs on the RocksDB state store (production config)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
