@@ -285,8 +285,46 @@ object Dedup {
     * join shape). The driver loop only checks a converged COUNT per
     * round — no vertex data ever leaves the cluster. */
   def nearDupClusters(spark: SparkSession, dir: String, minJ: Double = ngramMinJ,
-                      maxIters: Int = 20): DataFrame = {
+                      maxIters: Int = 20,
+                      driverMaxEdges: Int = 100000): DataFrame = {
     val pairs = ngramJaccard(spark, dir, minJ).select(col("id_a"), col("id_b"))
+      .persist() // consumed twice on the fast path, per-round on the slow
+    // SMALL-GRAPH FAST PATH: the near-dup PAIR graph of a real corpus is
+    // minuscule relative to the corpus (it is the output of a J ≥ minJ
+    // filter, not the corpus itself). When it fits under an explicit
+    // bound, union-find on the driver and map-join the labels back —
+    // one job instead of diameter-many propagation rounds. The collect
+    // is STRICTLY bounded (limit driverMaxEdges+1); oversized graphs
+    // fall through to the distributed loop below. Set driverMaxEdges=0
+    // to force the distributed path.
+    if (driverMaxEdges > 0) {
+      val sample = pairs.limit(driverMaxEdges + 1).collect()
+      if (sample.length <= driverMaxEdges) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x
+          else { val r = find(p); parent(x) = r; r }
+        }
+        sample.foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // canonical label = min doc_id of the component (find after all
+        // unions; min-root union keeps roots minimal). keys snapshotted
+        // first: find() path-compresses values during the traversal
+        val labels = parent.keys.toSeq.map(x => (x, find(x)))
+        pairs.unpersist()
+        import spark.implicits._
+        val labelDf = labels.toDF("doc_id", "cluster_id")
+        return Tables.documents(spark, dir).select(col("doc_id"))
+          .join(labelDf, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      }
+    }
+    // DISTRIBUTED PATH: min-label propagation to a fixpoint.
     // symmetric edge list, persisted: probed every round
     val edges = pairs.union(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).persist()

@@ -313,6 +313,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     labels.unpersist()
   }
 
+  test("nearDupClusters driver fast path equals the distributed propagation loop") {
+    import spark.implicits._
+    val fast = Dedup.nearDupClusters(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    val slow = Dedup.nearDupClusters(spark, sf, driverMaxEdges = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(fast === slow)
+  }
+
   test("near-dup clusters with zero pairs: every doc is its own singleton") {
     // J = 1.0 requires identical shingle sets — none exist in this
     // corpus → empty edge set; must not NPE on the empty label-sum,
