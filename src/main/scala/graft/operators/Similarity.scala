@@ -171,17 +171,21 @@ object Similarity {
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])].collect().toSeq
     }
+    val dim = cents.head._2.length
     for (_ <- 0 until iters) {
-      import spark.implicits._
-      // Lloyd update: narrow assign → per-(cluster, dim) exact double
-      // means → collect the nClusters×dim model rows back to the driver
-      val dims = trainSet.withColumn("cid", assignCol(cents, col("embedding")))
-        .select(col("cid"), posexplode(col("embedding")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("v"))
-        .as[(Long, Int, Double)].collect()
-      cents = dims.groupBy(_._1).toSeq.map { case (cid, rows) =>
-        cid -> rows.sortBy(_._2).map(_._3.toFloat).toArray
-      }.sortBy(_._1)
+      // Lloyd update: narrow assign → one per-dimension avg aggregate
+      // per dim (partial+final, no explode — a posexplode formulation
+      // shuffled corpus×dim rows where this shuffles nClusters×dim
+      // partial aggregates) → collect the model rows back to the driver
+      val avgs = (0 until dim).map(i =>
+        avg(element_at(col("embedding"), i + 1)).as(s"v_$i"))
+      cents = trainSet.withColumn("cid", assignCol(cents, col("embedding")))
+        .groupBy(col("cid"))
+        .agg(avgs.head, avgs.tail: _*)
+        .collect().toSeq
+        .map(r => r.getLong(0) ->
+          Array.tabulate(dim)(i => r.getDouble(1 + i).toFloat))
+        .sortBy(_._1)
     }
 
     val corpusAssign = emb.withColumn("cid", assignCol(cents, col("embedding")))
