@@ -69,12 +69,18 @@ object Bench {
     def timedStream(partitions: Int)(start: () => org.apache.spark.sql.streaming.StreamingQuery): Double = {
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+      // stop in finally: if processAllAvailable throws, the query must
+      // not keep running (and pinning the conf) into later timed passes
+      var q: org.apache.spark.sql.streaming.StreamingQuery = null
       try {
         val t0 = System.nanoTime()
-        val q = start()
-        q.processAllAvailable(); q.stop()
+        q = start()
+        q.processAllAvailable()
         (System.nanoTime() - t0) / 1e9
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      } finally {
+        if (q != null) { try q.stop() catch { case _: Throwable => () } }
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
     }
     // like the batch queries, stream sections run twice and report the
     // best rate — single runs carry the same environmental noise (each

@@ -30,7 +30,34 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // d3's oracle (exact all-pairs sweep) is only valid when 16×4-band
+    // LSH recall is 1 on THIS corpus — true for the pinned seed-42 data
+    // (every qualifying pair at J ≥ 0.89) but not guaranteed for a
+    // regenerated corpus with pairs in the probabilistic-recall band
+    // (J ≈ 0.5–0.8). Signatures are seeded-deterministic, so recall on a
+    // fixed corpus is a fact, not a probability: check it mechanically
+    // (LSH output count == exact sweep count; LSH ⊆ exact because
+    // verification is exact) and auto-demote d3 to rows-only when it
+    // does not hold, rather than fail the gate for a non-bug.
+    val d3Trusted = try {
+      val exactPairs = operators.Dedup
+        .ngramJaccard(spark, sfDir, operators.Dedup.lshMinJ).count()
+      val lshPairs = operators.Dedup.minhashLsh(spark, sfDir).count()
+      spark.catalog.clearCache()
+      if (lshPairs != exactPairs)
+        System.err.println(s"[verify] d3_minhash_lsh demoted to rows-only: " +
+          s"LSH recall < 1 on this corpus ($lshPairs of $exactPairs exact pairs)")
+      lshPairs == exactPairs
+    } catch { case e: Throwable =>
+      // a broken precondition probe must not silently weaken the gate —
+      // keep the oracle and let the driver's compare surface any issue
+      System.err.println(s"[verify] d3 precondition probe failed: ${e.getMessage}")
+      true
+    }
+    val oracles =
+      if (d3Trusted) SparkEntry.oracleSql
+      else SparkEntry.oracleSql - "d3_minhash_lsh"
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

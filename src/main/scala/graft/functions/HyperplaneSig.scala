@@ -57,6 +57,14 @@ case class HyperplaneSig(emb: Expression, planes: Expression, nPlanes: Expressio
     // it for a different dimension and every row stride would be wrong
     // (overlapping, correlated "planes") — null, never silently wrong
     if (np <= 0 || np > 63 || m.numElements() != np * dim) return null
+    // a null element leaves the dot products undefined — null the whole
+    // signature rather than read the slot as 0 (SQL callers can pass
+    // containsNull arrays)
+    var k = 0
+    while (k < dim) { if (x.isNullAt(k)) return null; k += 1 }
+    k = 0
+    val pm = np * dim
+    while (k < pm) { if (m.isNullAt(k)) return null; k += 1 }
     var sig = 0L
     var pl = 0
     while (pl < np) {
@@ -81,9 +89,20 @@ case class HyperplaneSig(emb: Expression, planes: Expression, nPlanes: Expressio
       val d = ctx.freshName("d")
       val dot = ctx.freshName("dot")
       val base = ctx.freshName("base")
+      val k = ctx.freshName("k")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $dim = $e.numElements();
-         |if ($n <= 0 || $n > 63 || $p.numElements() != $n * $dim) {
+         |boolean $hasNull = false;
+         |if ($n > 0 && $n <= 63 && $p.numElements() == $n * $dim) {
+         |  for (int $k = 0; $k < $dim && !$hasNull; $k++) {
+         |    if ($e.isNullAt($k)) $hasNull = true;
+         |  }
+         |  for (int $k = 0; $k < $n * $dim && !$hasNull; $k++) {
+         |    if ($p.isNullAt($k)) $hasNull = true;
+         |  }
+         |}
+         |if ($n <= 0 || $n > 63 || $p.numElements() != $n * $dim || $hasNull) {
          |  ${ev.isNull} = true;
          |} else {
          |  long $sig = 0L;

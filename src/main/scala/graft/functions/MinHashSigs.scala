@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * numHashes × n loop with a stack `long[numHashes]`, inside whole-stage
   * codegen. The signature pass dominates MinHash-LSH candidate
   * generation at corpus scale (reference capability: near-dup detection;
-  * cf. operators/Dedup.minhashLsh).
+  * cf. operators/Dedup.minhashLsh). Null elements are skipped (treated
+  * as absent from the set, like [[Md5MinHashSigs]]); an all-null or
+  * empty array yields null.
   */
 case class MinHashSigs(hashes: Expression, numHashes: Expression)
     extends BinaryExpression {
@@ -45,6 +47,14 @@ case class MinHashSigs(hashes: Expression, numHashes: Expression)
     val np = n.asInstanceOf[Int]
     val len = arr.numElements()
     if (np <= 0 || len == 0) return null // empty set has no minima
+    // null ELEMENTS are skipped (absent from the set) like
+    // Md5MinHashSigs — SQL callers can pass containsNull arrays, and
+    // reading a null slot as 0 would hash a fabricated member. All-null
+    // input degenerates to the empty set → null.
+    var nonNull = 0
+    var j0 = 0
+    while (j0 < len) { if (!arr.isNullAt(j0)) nonNull += 1; j0 += 1 }
+    if (nonNull == 0) return null
     val sigs = new Array[Long](np)
     var i = 0
     while (i < np) {
@@ -52,8 +62,10 @@ case class MinHashSigs(hashes: Expression, numHashes: Expression)
       var best = Long.MaxValue
       var j = 0
       while (j < len) {
-        val v = XXH64.hashLong(arr.getLong(j), seed)
-        if (v < best) best = v
+        if (!arr.isNullAt(j)) {
+          val v = XXH64.hashLong(arr.getLong(j), seed)
+          if (v < best) best = v
+        }
         j += 1
       }
       sigs(i) = best
@@ -72,9 +84,15 @@ case class MinHashSigs(hashes: Expression, numHashes: Expression)
       val best = ctx.freshName("best")
       val v = ctx.freshName("v")
       val xxh = classOf[XXH64].getName // Java class, static methods
+      val nonNull = ctx.freshName("nonNull")
+      val j0 = ctx.freshName("j0")
       s"""
          |int $len = $h.numElements();
-         |if ($n <= 0 || $len == 0) {
+         |int $nonNull = 0;
+         |for (int $j0 = 0; $j0 < $len; $j0++) {
+         |  if (!$h.isNullAt($j0)) $nonNull++;
+         |}
+         |if ($n <= 0 || $nonNull == 0) {
          |  ${ev.isNull} = true;
          |} else {
          |  long[] $sigs = new long[$n];
@@ -82,6 +100,7 @@ case class MinHashSigs(hashes: Expression, numHashes: Expression)
          |    long $seed = $xxh.hashInt($i, 42L);
          |    long $best = Long.MAX_VALUE;
          |    for (int $j = 0; $j < $len; $j++) {
+         |      if ($h.isNullAt($j)) continue;
          |      long $v = $xxh.hashLong($h.getLong($j), $seed);
          |      if ($v < $best) $best = $v;
          |    }

@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * Semantics on DISTINCT sorted inputs match `size(array_intersect)`
   * exactly (duplicate elements would be counted per matching occurrence
   * pair-position rather than once — upstream relations are
-  * `array_distinct`ed).
+  * `array_distinct`ed). Null ELEMENTS never match (skipped in the
+  * merge) — the type check accepts containsNull arrays, so SQL callers
+  * can pass them; silently reading a null slot as 0 would fabricate
+  * matches.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -46,10 +49,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val n = x.numElements(); val m = y.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < n && j < m) {
-      val xi = x.getLong(i); val yj = y.getLong(j)
-      if (xi < yj) i += 1
-      else if (yj < xi) j += 1
-      else { c += 1; i += 1; j += 1 }
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val xi = x.getLong(i); val yj = y.getLong(j)
+        if (xi < yj) i += 1
+        else if (yj < xi) j += 1
+        else { c += 1; i += 1; j += 1 }
+      }
     }
     c
   }
@@ -64,10 +71,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $n = $a.numElements(); int $m = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $n && $j < $m) {
-         |  long $xi = $a.getLong($i); long $yj = $b.getLong($j);
-         |  if ($xi < $yj) { $i++; }
-         |  else if ($yj < $xi) { $j++; }
-         |  else { $c++; $i++; $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $xi = $a.getLong($i); long $yj = $b.getLong($j);
+         |    if ($xi < $yj) { $i++; }
+         |    else if ($yj < $xi) { $j++; }
+         |    else { $c++; $i++; $j++; }
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

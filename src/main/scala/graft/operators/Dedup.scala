@@ -301,14 +301,23 @@ object Dedup {
       val sample = pairs.limit(driverMaxEdges + 1).collect()
       if (sample.length <= driverMaxEdges) {
         val parent = scala.collection.mutable.Map.empty[Long, Long]
+        // iterative find (walk to root, then compress) — a recursive
+        // find can overflow the stack on a path-shaped component up to
+        // driverMaxEdges deep
         def find(x: Long): Long = {
-          val p = parent.getOrElse(x, x)
-          if (p == x) x
-          else { val r = find(p); parent(x) = r; r }
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (c != r) { val n = parent(c); parent(c) = r; c = n }
+          r
         }
         sample.foreach { row =>
           val (a, b) = (row.getLong(0), row.getLong(1))
           val (ra, rb) = (find(a), find(b))
+          // min-root union: roots stay component minima, so the final
+          // find IS the canonical label (trees stay shallow via path
+          // compression; depth is amortized near-constant even without
+          // union-by-rank since every find compresses its whole path)
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
         // canonical label = min doc_id of the component (find after all
