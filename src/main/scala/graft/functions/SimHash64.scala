@@ -32,11 +32,14 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = hs.getLong(i)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
+      // null elements are absent tokens — skip, never read the slot as 0
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -58,6 +61,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |int[] $counts = new int[64];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) continue;
          |  long $h = $a.getLong($i);
          |  for (int $b = 0; $b < 64; $b++) {
          |    if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;

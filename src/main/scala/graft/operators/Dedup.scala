@@ -250,12 +250,18 @@ object Dedup {
     * pairwise. The chunk count is DERIVED from maxDist so recall is
     * guaranteed for any setting; a fixed chunking would silently miss
     * pairs beyond its design distance. */
-  def simhashPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && maxDist < 32, s"maxDist $maxDist out of range")
+  def simhashPairs(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
+    chunkedHammingPairs(simhash(spark, dir), maxDist, bits = 64)
+
+  /** Pigeonhole-blocked Hamming join over any (doc_id, simhash) relation
+    * — shared by the xxhash64 (64-bit) and md5-portable (60-bit) paths.
+    * Chunks cover the low `bits`; uncovered high bits only REMOVE
+    * differing bits from chunks, so pigeonhole recall is unaffected. */
+  private def chunkedHammingPairs(sh: DataFrame, maxDist: Int, bits: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < bits / 2, s"maxDist $maxDist out of range")
     val nChunks = maxDist + 1
-    val width = 64 / nChunks
+    val width = bits / nChunks
     val mask = (1L << width) - 1
-    val sh = simhash(spark, dir)
     // persist the chunked index (4 scalars/row): it feeds BOTH sides of
     // the bucket self-join, which would otherwise tokenize+simhash the
     // corpus twice (self-joins re-execute unshared subtrees per side)
@@ -273,6 +279,29 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Portable SimHash (60-bit, md5 token hashes) — the cross-engine
+    * checkable variant of [[simhash]]: token hash = first 15 md5 hex
+    * chars parsed as a 60-bit integer (fits signed 64-bit in any
+    * engine), then the same TF-weighted bit vote ([[graft.functions.SimHash64]]
+    * — bits 60–63 see only −1 votes and stay 0). Unlike xxhash64-based
+    * d4, every value is reproducible in DuckDB, so the whole simhash
+    * computation sits under the value-level correctness gate; the
+    * xxhash64 variant stays the throughput path (md5 is ~10× the cost). */
+  def simhashPortable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash64(
+          transform(tokens(col("text")),
+            t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10)
+              .cast("long"))).as("simhash"))
+
+  /** Hamming-≤3 pairs over the portable 60-bit simhash — oracle-checkable
+    * end-to-end (the DuckDB side recomputes signatures and sweeps all
+    * pairs; the Spark side blocks by 4×15-bit chunks, recall-complete by
+    * pigeonhole, so outputs are identical, not merely approximately so). */
+  def simhashPairsPortable(spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame =
+    chunkedHammingPairs(simhashPortable(spark, dir), maxDist, bits = 60)
 
   /** Near-dup clusters: connected components over the exact-Jaccard pair
     * graph (J ≥ minJ), every document labeled with the min doc_id
@@ -426,6 +455,8 @@ object Dedup {
     "d4_simhash" -> simhash,
     "d5_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "d6_minhash_sig" -> ((s, d) => minhashSigPortable(s, d)),
+    "d9_simhash_portable" -> simhashPortable,
+    "d10_simhash_pairs_portable" -> ((s, d) => simhashPairsPortable(s, d)),
   )
 
   /** d4/d5 depend on xxhash64 (no DuckDB equivalent) → rows-only checks;
@@ -527,5 +558,32 @@ object Dedup {
         |       $jaccardExpr AS jaccard
         |FROM pairs
         |WHERE $jaccardExpr >= $ngramMinJ""".stripMargin,
+    "d9_simhash_portable" -> portableSimhashSql,
+    "d10_simhash_pairs_portable" ->
+      s"""WITH s AS ($portableSimhashSql)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
   )
+
+  /** 60-bit md5 simhash in portable SQL — token hash = first 15 md5 hex
+    * chars as an integer, per-bit TF-weighted vote, ties → 0 (exactly
+    * [[graft.functions.SimHash64]] over the same hashes). Shared by the
+    * d9 oracle and d10's all-pairs sweep. */
+  private def portableSimhashSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv
+       |  FROM toks),
+       |votes AS (
+       |  SELECT doc_id, b.b AS b,
+       |         SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h CROSS JOIN (SELECT UNNEST(range(0, 60)) AS b) b
+       |  GROUP BY doc_id, b.b)
+       |SELECT doc_id,
+       |       CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM votes GROUP BY doc_id""".stripMargin
 }

@@ -124,6 +124,43 @@ object ExpressionPropertySpec extends Properties("expressions") {
         Md5MinHashSigs(allNull, Literal(2, IntegerType)).eval(null) == null)
   }
 
+  // --- null-element handling (review-hardened edges) -----------------
+  private def nullableLongs(xs: Seq[java.lang.Long]): Literal =
+    Literal.create(new GenericArrayData(xs.toArray[AnyRef]),
+      ArrayType(LongType, true))
+
+  property("sorted_intersect_count skips null elements") = {
+    // nulls sort first under sort_array; also test one mid-array
+    val a = nullableLongs(Seq(null, 1L, 3L, 5L))
+    val b = nullableLongs(Seq(1L, null, 5L, 7L))
+    Prop(SortedIntersectCount(a, b).eval(null) == 2)
+  }
+
+  property("minhash_sigs skips null elements; all-null input is null") = {
+    val mixed = nullableLongs(Seq(7L, null, 9L))
+    val got = MinHashSigs(mixed, Literal(4, IntegerType))
+      .eval(null).asInstanceOf[ArrayData].toLongArray.toSeq
+    val want = MinHashSigs(longArray(Seq(7L, 9L)), Literal(4, IntegerType))
+      .eval(null).asInstanceOf[ArrayData].toLongArray.toSeq
+    val allNull = nullableLongs(Seq(null, null))
+    Prop(got == want && MinHashSigs(allNull, Literal(4, IntegerType)).eval(null) == null)
+  }
+
+  property("simhash64 skips null elements") = {
+    val mixed = nullableLongs(Seq(0xF0L, null, 0x0FL))
+    val got = SimHash64(mixed).eval(null)
+    val want = SimHash64(longArray(Seq(0xF0L, 0x0FL))).eval(null)
+    Prop(got == want)
+  }
+
+  property("hyperplane_sig nulls on a null embedding element") = {
+    val emb = Literal.create(
+      new GenericArrayData(Array[AnyRef](java.lang.Float.valueOf(1.0f), null)),
+      ArrayType(FloatType, true))
+    val planes = doubleArray(Seq(1.0, 1.0, -1.0, -1.0)) // 2 planes × dim 2
+    Prop(HyperplaneSig(emb, planes, Literal(2, IntegerType)).eval(null) == null)
+  }
+
   // --- cosine_similarity ---------------------------------------------
   private val vecPairs: Gen[(Seq[Float], Seq[Float])] = for {
     dim <- Gen.choose(1, 32)

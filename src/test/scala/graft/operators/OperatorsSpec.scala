@@ -146,6 +146,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d3.subsetOf(d7))
   }
 
+  test("portable simhash: 60-bit range; chunked pairs equal the brute-force sweep") {
+    import spark.implicits._
+    val hashes = Dedup.simhashPortable(spark, sf).as[(Long, Long)].collect()
+    // 60-bit hashes: bits 60–63 must be 0 (only −1 votes reach them)
+    assert(hashes.forall { case (_, h) => h >= 0L && (h >>> 60) == 0L })
+    // pigeonhole blocking is exact, not approximate: the chunked join
+    // must produce EXACTLY the all-pairs hamming-≤3 sweep
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    val chunked = Dedup.simhashPairsPortable(spark, sf)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(chunked === brute)
+  }
+
   test("native cosine expression is bit-identical to the HOF formulation") {
     val emb = graft.Tables.embeddings(spark, sf)
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
