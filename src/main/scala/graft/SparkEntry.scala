@@ -11,7 +11,8 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.AsOf.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +20,6 @@ object SparkEntry {
       operators.TextOps.oracle ++
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
-      operators.Multimodal.oracle
+      operators.Multimodal.oracle ++
+      operators.AsOf.oracle
 }

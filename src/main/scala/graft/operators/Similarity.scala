@@ -260,7 +260,28 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** v6: symmetric int8 quantization per embedding — the standard
+    * vector-store compression (scale = max|x|/127, q_i = round(x_i /
+    * scale) ∈ [−127, 127]). Fully narrow per-row: scale is materialized
+    * in its own projection BEFORE the quantizing transform (HOF lambda
+    * bodies get no common-subexpression elimination — an inline
+    * array_max would re-scan the vector per element). Emits the q
+    * array + scale so callers can reconstruct; at 100 TB this is a
+    * map-only scan that shrinks the vector payload 4×. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+          / 127.0).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        when(col("scale") === 0,
+          transform(col("embedding"), _ => lit(0)))
+          .otherwise(transform(col("embedding"),
+            x => round(x.cast("double") / col("scale")).cast("int")))
+          .as("q"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v6_quantize_int8" -> quantizeInt8,
     "v5_near_dup_lsh" -> ((s, d) => nearDupLsh(s, d)),
     "v1_ann_bruteforce" -> ((s, d) => annBruteForce(s, d)),
     "v2_ann_lsh" -> ((s, d) => annLsh(s, d)),
@@ -271,6 +292,16 @@ object Similarity {
   /** Oracles set in SparkEntry after empirical float-parity validation
     * against DuckDB (see tools/check_oracle.py). */
   val oracle: Map[String, String] = Map(
+    "v6_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |       CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+        |            ELSE list_transform(e, x -> CAST(round(x / scale) AS INTEGER))
+        |       END AS q
+        |FROM s""".stripMargin,
     "v1_ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),

@@ -124,7 +124,62 @@ object TextOps {
         size(split(col("col"), " ")).as("n_tokens"))
   }
 
+  /** PII patterns shared by [[piiMask]] and its generated oracle —
+    * conservative syntax that parses identically under Java regex
+    * (Spark) and RE2 (DuckDB): no backrefs, no lookaround. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** t7: PII scrubbing (email/phone masking + match counts) — a standard
+    * compliance pass over training text. The corpus has no organic PII,
+    * so each doc is first enriched with DETERMINISTIC doc_id-derived
+    * contact strings (same expression on the oracle side) — the regex
+    * path is exercised against real matches, not vacuous no-ops. Fully
+    * narrow per-row; at 100 TB this is a map-only scan. */
+  def piiMask(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("raw", concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("raw"), lit(emailRe), lit("<EMAIL>")),
+          lit(phoneRe), lit("<PHONE>")).as("masked"),
+        size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0))).as("n_phones"))
+
+  /** t8: repetition profile (Gopher-style quality filters): most-frequent
+    * token share and duplicated-bigram share per document. Highly
+    * repetitive docs (boilerplate, generation loops) score high and get
+    * filtered before training. Two keyed aggregations on (doc, gram) —
+    * partial/map-side combine keeps the shuffle proportional to DISTINCT
+    * grams per doc, not tokens, at any corpus size. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens("text").as("toks"))
+    val tokStats = toks
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("n")).as("n_tokens"),
+        max(col("n")).as("max_tok_count"))
+    val bigramStats = toks
+      .select(col("doc_id"), explode(tokenWindows(col("toks"), 2, 1)).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("n")).as("n_bigrams"),
+        sum(when(col("n") >= 2, col("n")).otherwise(lit(0))).as("dup_bigram_occurrences"))
+    tokStats.join(bigramStats, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("max_tok_count"),
+        (col("max_tok_count") / col("n_tokens").cast("double")).as("max_tok_frac"),
+        (col("dup_bigram_occurrences") / col("n_bigrams").cast("double")).as("dup_bigram_frac"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t7_pii_mask" -> piiMask,
+    "t8_repetition" -> repetition,
     "t1_quality" -> quality,
     "t2_token_count" -> tokenCount,
     "t3_fingerprint" -> fingerprint,
@@ -156,6 +211,40 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "t7_pii_mask" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || doc_id || '@example.com or +1-555-'
+         |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |       regexp_replace(regexp_replace(raw, '$emailRe', '<EMAIL>', 'g'),
+         |                      '$phoneRe', '<PHONE>', 'g') AS masked,
+         |       LEN(regexp_extract_all(raw, '$emailRe')) AS n_emails,
+         |       LEN(regexp_extract_all(raw, '$phoneRe')) AS n_phones
+         |FROM raw""".stripMargin,
+    "t8_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),
+        |tok AS (SELECT doc_id, UNNEST(t) AS tok FROM toks),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+        |tstats AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |         CAST(MAX(n) AS BIGINT) AS max_tok_count
+        |  FROM tc GROUP BY 1),
+        |grams AS (
+        |  SELECT doc_id, UNNEST([array_to_string(array_slice(t, i+1, i+2), ' ')
+        |                         FOR i IN range(0, GREATEST(LEN(t)-2, 0) + 1)]) AS gram
+        |  FROM toks),
+        |gc AS (SELECT doc_id, gram, COUNT(*) AS n FROM grams GROUP BY 1, 2),
+        |gstats AS (
+        |  SELECT doc_id, SUM(n) AS n_bigrams,
+        |         SUM(CASE WHEN n >= 2 THEN n ELSE 0 END) AS dup
+        |  FROM gc GROUP BY 1)
+        |SELECT t.doc_id, t.n_tokens, t.max_tok_count,
+        |       t.max_tok_count / CAST(t.n_tokens AS DOUBLE) AS max_tok_frac,
+        |       g.dup / CAST(g.n_bigrams AS DOUBLE) AS dup_bigram_frac
+        |FROM tstats t JOIN gstats g USING (doc_id)""".stripMargin,
     "t4_lang_id" -> langIdOracle,
     "t1_quality" ->
       """SELECT doc_id, LENGTH(text) AS n_chars,

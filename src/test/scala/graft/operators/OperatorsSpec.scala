@@ -146,6 +146,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d3.subsetOf(d7))
   }
 
+  test("asOfJoin: inclusive boundary, latest-preceding pick, left-outer nulls") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, "e5"), (1L, 2L, "e2"), (2L, 9L, "e9"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 3L, "r3"), (1L, 5L, "r5"), (1L, 7L, "r7"))
+      .toDF("k", "rt", "rtag")
+    val got = AsOf.asOfJoin(left, right, "k", "t", "rt")
+      .select("tag", "rtag").as[(String, String)].collect().toMap
+    // t=5 matches the SAME-instant right row (inclusive >=), not r3;
+    // t=2 precedes every right row → null; key 2 has no right rows
+    assert(got === Map("e5" -> "r5", "e2" -> null, "e9" -> null))
+  }
+
   test("portable simhash: 60-bit range; chunked pairs equal the brute-force sweep") {
     import spark.implicits._
     val hashes = Dedup.simhashPortable(spark, sf).as[(Long, Long)].collect()
