@@ -153,6 +153,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         MinHashSigs(exprs.head, exprs(1))
       }))
     e.injectFunction((
+      new FunctionIdentifier("nearest_centroid_idx"),
+      new ExpressionInfo(classOf[NearestCentroidIdx].getName, "nearest_centroid_idx"),
+      (exprs: Seq[Expression]) => {
+        checkArity("nearest_centroid_idx", 3, exprs)
+        NearestCentroidIdx(exprs.head, exprs(1), exprs(2))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
       (exprs: Seq[Expression]) => {

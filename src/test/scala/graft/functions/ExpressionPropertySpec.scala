@@ -124,6 +124,40 @@ object ExpressionPropertySpec extends Properties("expressions") {
         Md5MinHashSigs(allNull, Literal(2, IntegerType)).eval(null) == null)
   }
 
+  // --- nearest_centroid_idx ------------------------------------------
+  private val centroidInputs: Gen[(Seq[Float], Seq[Seq[Double]])] = for {
+    dim <- Gen.choose(1, 16)
+    nc <- Gen.choose(1, 8)
+    emb <- Gen.listOfN(dim, Gen.choose(-5.0f, 5.0f))
+    cents <- Gen.listOfN(nc, Gen.listOfN(dim, Gen.choose(-5.0, 5.0)))
+  } yield (emb, cents)
+
+  property("nearest_centroid_idx == argmax of per-centroid cosines (ties -> later)") =
+    Prop.forAll(centroidInputs) { case (emb, cents) =>
+      val got = NearestCentroidIdx(
+        floatArray(emb), doubleArray(cents.flatten),
+        Literal(cents.size, IntegerType)).eval(null).asInstanceOf[Int]
+      def cos(c: Seq[Double]): Double = {
+        var dot = 0.0; var nx = 0.0; var nb = 0.0
+        emb.indices.foreach { i =>
+          val x = emb(i).toDouble; dot += x * c(i); nx += x * x; nb += c(i) * c(i)
+        }
+        dot / (math.sqrt(nx) * math.sqrt(nb))
+      }
+      // replicate Spark double ordering (NaN greatest) + later-index ties
+      val scores = cents.map(cos)
+      val want = scores.zipWithIndex.maxBy { case (s, i) =>
+        (if (s.isNaN) Double.MaxValue else s, i)
+      }._2
+      got == want
+    }
+
+  property("nearest_centroid_idx nulls on matrix/dimension mismatch") =
+    Prop.forAll(centroidInputs) { case (emb, cents) =>
+      NearestCentroidIdx(floatArray(emb), doubleArray(cents.flatten :+ 1.0),
+        Literal(cents.size, IntegerType)).eval(null) == null
+    }
+
   // --- null-element handling (review-hardened edges) -----------------
   private def nullableLongs(xs: Seq[java.lang.Long]): Literal =
     Literal.create(new GenericArrayData(xs.toArray[AnyRef]),
