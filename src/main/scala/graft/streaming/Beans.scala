@@ -55,3 +55,12 @@ final case class ApportionState(originSumC: Long, splitSumC: Long)
 /** App-start log for the DAU pipeline (FIXTURES.md §1.1). */
 final case class StartLog(mid: String, uid: String, ar: String, ch: String,
     vc: String, ts: Timestamp)
+
+/** Keyed state for streaming last-touch attribution: the user's latest
+  * click so far (one scalar pair per user — O(users) state). */
+final case class ClickState(ts: Timestamp, id: Long)
+
+/** Output of streaming last-touch attribution: a purchase joined to the
+  * user's latest preceding click (None when no click qualifies). */
+final case class Attribution(event_id: Long, user_id: Long, ts: Timestamp,
+    click_id: Option[Long], click_ts: Option[Timestamp])

@@ -273,6 +273,70 @@ object Pipelines {
     out.iterator
   }
 
+  /** Streaming last-touch attribution — the incremental form of the
+    * batch as-of join (operators/AsOf.purchaseLastClick): keyed state
+    * per user holds the latest click; each purchase emits with the
+    * stored click attached. One scalar pair of state per user —
+    * O(users), not O(events) — evicted by `stateTtlMs` (0 → NoTimeout,
+    * for tests/batch parity).
+    *
+    * Ordering semantics match the batch operator for in-order arrivals:
+    * within a batch, rows process in (ts, click-before-purchase,
+    * event_id) order, so a same-instant click is visible to its
+    * purchase (inclusive >=) and same-instant clicks resolve to the max
+    * event_id. Cross-batch, a purchase only attributes to a stored
+    * click with click.ts <= purchase.ts; a LATE purchase arriving after
+    * a newer click gets None (the state keeps one click, not a history
+    * — the documented trade-off vs the batch as-of join, which is the
+    * replayable source of truth). */
+  def lastTouchAttribution(events: DataFrame, stateTtlMs: Long = 0L): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("ts").cast("timestamp"), col("event_type"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    typed.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        attributionGroup(stateTtlMs))
+  }
+
+  private[streaming] def attributionGroup(stateTtlMs: Long)(
+      user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, String)],
+      state: GroupState[ClickState]): Iterator[Attribution] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var last = state.getOption
+    val out = scala.collection.mutable.ListBuffer.empty[Attribution]
+    // clicks sort before purchases at the same instant (inclusive >=,
+    // matching AsOf.asOfJoin's __seq); Timestamp ordering via compareTo
+    // keeps sub-millisecond precision (getTime alone truncates to ms)
+    rows.toSeq
+      .sortWith { (a, b) =>
+        val c = a._3.compareTo(b._3)
+        if (c != 0) c < 0
+        else {
+          val sa = if (a._4 == "click") 0 else 1
+          val sb = if (b._4 == "click") 0 else 1
+          if (sa != sb) sa < sb else a._1 < b._1
+        }
+      }
+      .foreach {
+        case (id, _, ts, "click") =>
+          if (last.forall(c => ts.compareTo(c.ts) > 0 ||
+            (ts.compareTo(c.ts) == 0 && id > c.id)))
+            last = Some(ClickState(ts, id))
+        case (id, uid, ts, _) =>
+          val valid = last.filter(_.ts.compareTo(ts) <= 0)
+          out += Attribution(id, uid, ts, valid.map(_.id), valid.map(_.ts))
+      }
+    last.foreach(state.update)
+    if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+    out.iterator
+  }
+
   /** J6/A2 first-order flag (`dwd/OrderInfoApp.scala:92-157`): keyed
     * state holds "has this user ever ordered"; within one batch the
     * earliest order wins — the reference's lookup + intra-batch

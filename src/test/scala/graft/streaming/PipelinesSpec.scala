@@ -64,6 +64,50 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("lastTouchAttribution: cross-batch state, same-instant click, late purchase") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // rows: (event_id, ts, user_id, event_type)
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val q = Pipelines.lastTouchAttribution(events)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 00:00:10"), 7L, "click"),
+        (2L, ts("2024-01-01 00:00:20"), 7L, "purchase"), // same batch: click 1
+        (3L, ts("2024-01-01 00:00:20"), 8L, "purchase")) // no click → None
+      q.processAllAvailable()
+      mem.addData(
+        (4L, ts("2024-01-01 00:00:30"), 7L, "purchase"), // state from batch 1 → click 1
+        (5L, ts("2024-01-01 00:00:40"), 7L, "click"),
+        (6L, ts("2024-01-01 00:00:40"), 7L, "purchase")) // same-instant click 5 (inclusive)
+      q.processAllAvailable()
+      mem.addData(
+        (7L, ts("2024-01-01 00:00:35"), 7L, "purchase")) // LATE: stored click 5 is newer → None
+      q.processAllAvailable()
+      val out = spark.table("attr_out").as[Attribution]
+        .collect().map(a => a.event_id -> a.click_id).toMap
+      assert(out === Map(2L -> Some(1L), 3L -> None, 4L -> Some(1L),
+        6L -> Some(5L), 7L -> None))
+    } finally q.stop()
+  }
+
+  test("lastTouchAttribution agrees with the batch as-of join on in-order corpus events") {
+    import spark.implicits._
+    // feed the whole sf0.001 events table as ONE batch (in-order case):
+    // streaming operator in batch mode must reproduce AsOf.purchaseLastClick
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val streamed = Pipelines.lastTouchAttribution(ev)
+      .collect().map(a => a.event_id -> a.click_id.getOrElse(-1L)).toMap
+    val batch = graft.operators.AsOf.purchaseLastClick(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), coalesce(col("click_id"), lit(-1L)))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === batch)
+  }
+
   // ---- stream-stream join (J1/W1) ----
 
   test("orderWideJoin matches details to orders across micro-batches within skew window") {
