@@ -42,7 +42,9 @@ object Verify {
     val d3Trusted = try {
       val exactPairs = operators.Dedup
         .ngramJaccard(spark, sfDir, operators.Dedup.lshMinJ).count()
-      val lshPairs = operators.Dedup.minhashLsh(spark, sfDir).count()
+      // the query loop above already computed and wrote d3's output —
+      // read its count back rather than re-running the LSH pipeline
+      val lshPairs = spark.read.parquet(s"$outDir/d3_minhash_lsh").count()
       spark.catalog.clearCache()
       if (lshPairs != exactPairs)
         System.err.println(s"[verify] d3_minhash_lsh demoted to rows-only: " +

@@ -47,6 +47,13 @@ case class HyperplaneSig(emb: Expression, planes: Expression, nPlanes: Expressio
             nPlanes.dataType.catalogString)
     }
 
+  private lazy val embMayBeNull = emb.dataType match {
+    case ArrayType(_, cn) => cn; case _ => true
+  }
+  private lazy val planesMayBeNull = planes.dataType match {
+    case ArrayType(_, cn) => cn; case _ => true
+  }
+
   override def nullSafeEval(e: Any, p: Any, n: Any): Any = {
     val x = e.asInstanceOf[ArrayData]
     val m = p.asInstanceOf[ArrayData]
@@ -59,12 +66,18 @@ case class HyperplaneSig(emb: Expression, planes: Expression, nPlanes: Expressio
     if (np <= 0 || np > 63 || m.numElements() != np * dim) return null
     // a null element leaves the dot products undefined — null the whole
     // signature rather than read the slot as 0 (SQL callers can pass
-    // containsNull arrays)
-    var k = 0
-    while (k < dim) { if (x.isNullAt(k)) return null; k += 1 }
-    k = 0
-    val pm = np * dim
-    while (k < pm) { if (m.isNullAt(k)) return null; k += 1 }
+    // containsNull arrays). Scans are gated on STATIC element
+    // nullability so the hot signature loop pays nothing when types
+    // prove null-freedom (the production plane matrix is a typedLit).
+    if (embMayBeNull) {
+      var k = 0
+      while (k < dim) { if (x.isNullAt(k)) return null; k += 1 }
+    }
+    if (planesMayBeNull) {
+      var k = 0
+      val pm = np * dim
+      while (k < pm) { if (m.isNullAt(k)) return null; k += 1 }
+    }
     var sig = 0L
     var pl = 0
     while (pl < np) {
@@ -91,16 +104,22 @@ case class HyperplaneSig(emb: Expression, planes: Expression, nPlanes: Expressio
       val base = ctx.freshName("base")
       val k = ctx.freshName("k")
       val hasNull = ctx.freshName("hasNull")
+      val embScan = if (embMayBeNull)
+        s"""for (int $k = 0; $k < $dim && !$hasNull; $k++) {
+           |    if ($e.isNullAt($k)) $hasNull = true;
+           |  }""".stripMargin
+      else ""
+      val planeScan = if (planesMayBeNull)
+        s"""for (int $k = 0; $k < $n * $dim && !$hasNull; $k++) {
+           |    if ($p.isNullAt($k)) $hasNull = true;
+           |  }""".stripMargin
+      else ""
       s"""
          |int $dim = $e.numElements();
          |boolean $hasNull = false;
          |if ($n > 0 && $n <= 63 && $p.numElements() == $n * $dim) {
-         |  for (int $k = 0; $k < $dim && !$hasNull; $k++) {
-         |    if ($e.isNullAt($k)) $hasNull = true;
-         |  }
-         |  for (int $k = 0; $k < $n * $dim && !$hasNull; $k++) {
-         |    if ($p.isNullAt($k)) $hasNull = true;
-         |  }
+         |  $embScan
+         |  $planeScan
          |}
          |if ($n <= 0 || $n > 63 || $p.numElements() != $n * $dim || $hasNull) {
          |  ${ev.isNull} = true;

@@ -49,6 +49,16 @@ case class NearestCentroidIdx(emb: Expression, cents: Expression, nCents: Expres
             nCents.dataType.catalogString)
     }
 
+  // gate the per-row null scans on the STATIC element nullability — the
+  // production caller passes typedLit arrays (containsNull=false), so the
+  // hot assignment loop must not pay a nc×dim isNullAt sweep per row
+  private lazy val embMayBeNull = emb.dataType match {
+    case ArrayType(_, n) => n; case _ => true
+  }
+  private lazy val centsMayBeNull = cents.dataType match {
+    case ArrayType(_, n) => n; case _ => true
+  }
+
   override def nullSafeEval(e: Any, c: Any, n: Any): Any = {
     val x = e.asInstanceOf[ArrayData]
     val m = c.asInstanceOf[ArrayData]
@@ -56,10 +66,14 @@ case class NearestCentroidIdx(emb: Expression, cents: Expression, nCents: Expres
     val dim = x.numElements()
     if (nc <= 0 || m.numElements() != nc * dim) return null
     var k = 0
-    while (k < dim) { if (x.isNullAt(k)) return null; k += 1 }
-    k = 0
-    val total = nc * dim
-    while (k < total) { if (m.isNullAt(k)) return null; k += 1 }
+    if (embMayBeNull) {
+      while (k < dim) { if (x.isNullAt(k)) return null; k += 1 }
+    }
+    if (centsMayBeNull) {
+      k = 0
+      val total = nc * dim
+      while (k < total) { if (m.isNullAt(k)) return null; k += 1 }
+    }
     var nx = 0.0
     var d = 0
     while (d < dim) { val v = x.getFloat(d).toDouble; nx += v * v; d += 1 }
@@ -102,16 +116,22 @@ case class NearestCentroidIdx(emb: Expression, cents: Expression, nCents: Expres
       val d = ctx.freshName("d")
       val cv = ctx.freshName("cv")
       val cos = ctx.freshName("cos")
+      val embScan = if (embMayBeNull)
+        s"""for (int $k = 0; $k < $dim && !$hasNull; $k++) {
+           |    if ($e.isNullAt($k)) $hasNull = true;
+           |  }""".stripMargin
+      else ""
+      val centScan = if (centsMayBeNull)
+        s"""for (int $k = 0; $k < $n * $dim && !$hasNull; $k++) {
+           |    if ($c.isNullAt($k)) $hasNull = true;
+           |  }""".stripMargin
+      else ""
       s"""
          |int $dim = $e.numElements();
          |boolean $hasNull = false;
          |if ($n > 0 && $c.numElements() == $n * $dim) {
-         |  for (int $k = 0; $k < $dim && !$hasNull; $k++) {
-         |    if ($e.isNullAt($k)) $hasNull = true;
-         |  }
-         |  for (int $k = 0; $k < $n * $dim && !$hasNull; $k++) {
-         |    if ($c.isNullAt($k)) $hasNull = true;
-         |  }
+         |  $embScan
+         |  $centScan
          |}
          |if ($n <= 0 || $c.numElements() != $n * $dim || $hasNull) {
          |  ${ev.isNull} = true;

@@ -44,7 +44,10 @@ object AsOf {
     val l = left.select(
       col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__seq"),
       struct(lCols.map(col): _*).as("__l"), lit(null).cast(rType).as("__r"))
-    val r = right.filter(col(rightTime).isNotNull).select(
+    // null-key right rows must never match (SQL join semantics — the
+    // window would otherwise group them with null-key LEFT rows, which
+    // still emit, unmatched, like any outer join)
+    val r = right.filter(col(rightTime).isNotNull && col(key).isNotNull).select(
       col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__seq"),
       lit(null).cast(lType).as("__l"), struct(rCols.map(col): _*).as("__r"))
     // __seq orders a right row BEFORE a left row at the same instant,
@@ -54,8 +57,10 @@ object AsOf {
     l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__seq") === 1)
-      .select(lCols.map(c => col(s"__l.$c").as(c)) ++
-        rCols.map(c => col(s"__match.$c").as(c)): _*)
+      // getField resolves literal names — a dotted column name inside a
+      // col("__l.a.b") path string would be parsed as nested access
+      .select(lCols.map(c => col("__l").getField(c).as(c)) ++
+        rCols.map(c => col("__match").getField(c).as(c)): _*)
   }
 
   /** q21: last-touch attribution over the events stream — each purchase

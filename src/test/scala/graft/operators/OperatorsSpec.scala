@@ -148,15 +148,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("asOfJoin: inclusive boundary, latest-preceding pick, left-outer nulls") {
     import spark.implicits._
-    val left = Seq((1L, 5L, "e5"), (1L, 2L, "e2"), (2L, 9L, "e9"))
+    val left = Seq((Some(1L), 5L, "e5"), (Some(1L), 2L, "e2"),
+      (Some(2L), 9L, "e9"), (None, 9L, "enull"))
       .toDF("k", "t", "tag")
-    val right = Seq((1L, 3L, "r3"), (1L, 5L, "r5"), (1L, 7L, "r7"))
+    val right = Seq((Some(1L), 3L, "r3"), (Some(1L), 5L, "r5"),
+      (Some(1L), 7L, "r7"), (None, 1L, "rnull"))
       .toDF("k", "rt", "rtag")
     val got = AsOf.asOfJoin(left, right, "k", "t", "rt")
       .select("tag", "rtag").as[(String, String)].collect().toMap
     // t=5 matches the SAME-instant right row (inclusive >=), not r3;
-    // t=2 precedes every right row → null; key 2 has no right rows
-    assert(got === Map("e5" -> "r5", "e2" -> null, "e9" -> null))
+    // t=2 precedes every right row → null; key 2 has no right rows;
+    // null keys NEVER match (SQL join semantics) but still emit
+    assert(got === Map("e5" -> "r5", "e2" -> null, "e9" -> null,
+      "enull" -> null))
   }
 
   test("portable simhash: 60-bit range; chunked pairs equal the brute-force sweep") {

@@ -10,6 +10,12 @@ object TimeQ {
     val spark = graft.GraftSession.local("graft-timeq")
     val qs = graft.SparkEntry.queries
     val names = if (args.nonEmpty) args.toSeq else qs.keys.toSeq.sorted
+    val unknown = names.filterNot(qs.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}\n" +
+        s"valid: ${qs.keys.toSeq.sorted.mkString(", ")}")
+      spark.stop(); sys.exit(2)
+    }
     // warm-up at sf0.001 like Bench
     names.foreach { n =>
       try qs(n)(spark, "/root/testdata/sf0.001").count()
