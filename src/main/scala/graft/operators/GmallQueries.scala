@@ -262,6 +262,55 @@ object GmallQueries {
       .groupBy(col("dt"))
       .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("dau_approx"))
 
+  /** q22: PORTABLE HyperLogLog — the cross-engine-checkable counterpart
+    * of [[dauApprox]]: an explicit HLL (m = 256 registers, b = 8) over
+    * md5-derived 60-bit hashes, so DuckDB recomputes the identical
+    * sketch and the VALUE sits under the hash-match gate (q16's
+    * engine-internal sketch can only ever be rows-checked).
+    *
+    * Determinism across engines is engineered, not assumed:
+    * register ranks use `LENGTH(bin(w))` (both engines strip leading
+    * zeros identically — no float log2), and the harmonic sum is
+    * accumulated as EXACT integers scaled by 2^53 (`1 << (53 − rank)`)
+    * — a float Σ2^−rank is order-dependent under distributed partial
+    * aggregation and could differ from DuckDB's summation order. The
+    * only float ops are one division and the standard small-range
+    * `m·ln(m/V)` correction, rounded to 4 dp to absorb any last-ulp
+    * libm divergence.
+    *
+    * Scale shape: per-(day, register) max — associative, mergeable at
+    * any fan-in, constant 256-register state per day. */
+  def dauHllPortable(spark: SparkSession, dir: String): DataFrame = {
+    val m = 256 // 2^8 registers
+    val alpha = 0.7213 / (1 + 1.079 / m) // standard HLL alpha_256
+    val regs = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("dt"),
+        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .select(col("dt"), (col("h") % m).cast("int").as("j"),
+        expr("h div 256").as("w")) // remaining 52 bits
+      .select(col("dt"), col("j"),
+        when(col("w") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("w")))).cast("int").as("rank"))
+      .groupBy(col("dt"), col("j")).agg(max(col("rank")).as("r"))
+    regs.groupBy(col("dt"))
+      .agg(sum(expr("shiftleft(1L, 53 - r)")).as("s_present"),
+        count(lit(1)).as("n_regs"))
+      .select(col("dt"),
+        (lit(m) - col("n_regs")).cast("int").as("v_zero"),
+        // Σ 2^(53−rank) for present registers + 2^53 per empty register
+        (col("s_present") + (lit(m) - col("n_regs")) * expr("shiftleft(1L, 53)"))
+          .as("s_scaled"))
+      .select(col("dt"), col("v_zero"), col("s_scaled"),
+        round(
+          when(col("v_zero") > 0 &&
+            lit(alpha * m * m) * lit(9007199254740992.0) / col("s_scaled") <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")))
+            .otherwise(
+              lit(alpha * m * m) * lit(9007199254740992.0) / col("s_scaled")),
+          4).as("dau_hll"))
+  }
+
   /** Sessionization: per-user session windows over the event stream
     * (30 min inactivity gap). Batch uses the same `session_window`
     * grouping Structured Streaming uses (Pipelines.sessionize) — one
@@ -323,7 +372,41 @@ object GmallQueries {
 
   /** DuckDB-equivalent SQL per query (driver correctness oracle). Money
     * math mirrors the cents formulation exactly. */
+  /** q22 oracle: identical HLL recomputed in DuckDB — constants
+    * interpolated from the same Scala values the operator uses (shortest
+    * round-trip double repr parses back bit-identical), integer-scaled
+    * harmonic sum, LENGTH(bin(w)) ranks. */
+  private def dauHllOracle: String = {
+    val m = 256
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val amm = alpha * m * m
+    s"""WITH h AS (
+       |  SELECT CAST(ts AS DATE) AS dt,
+       |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM events),
+       |rk AS (
+       |  SELECT dt, CAST(h % $m AS INTEGER) AS j, h // $m AS w FROM h),
+       |ranks AS (
+       |  SELECT dt, j,
+       |         CAST(CASE WHEN w = 0 THEN 53 ELSE 53 - LENGTH(bin(w)) END AS INTEGER) AS rank
+       |  FROM rk),
+       |regs AS (SELECT dt, j, MAX(rank) AS r FROM ranks GROUP BY dt, j),
+       |agg AS (
+       |  SELECT dt, SUM(1::BIGINT << (53 - r)) AS s_present, COUNT(*) AS n_regs
+       |  FROM regs GROUP BY dt),
+       |fin AS (
+       |  SELECT dt, CAST($m - n_regs AS INTEGER) AS v_zero,
+       |         CAST(s_present + ($m - n_regs) * (1::BIGINT << 53) AS BIGINT) AS s_scaled
+       |  FROM agg)
+       |SELECT dt, v_zero, s_scaled,
+       |       round(CASE WHEN v_zero > 0 AND CAST($amm AS DOUBLE) * 9007199254740992 / s_scaled <= ${2.5 * m}
+       |                  THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / v_zero)
+       |                  ELSE CAST($amm AS DOUBLE) * 9007199254740992 / s_scaled END, 4) AS dau_hll
+       |FROM fin""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q22_dau_hll_portable" -> dauHllOracle,
     "q1_trademark_stat" ->
       """SELECT p_brand AS tm_name,
         |       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS amount
@@ -490,6 +573,7 @@ object GmallQueries {
     "q14_top_orders_per_nation" -> topOrdersPerNation,
     "q15_region_rollup" -> regionRollup,
     "q16_dau_approx" -> dauApprox,
+    "q22_dau_hll_portable" -> dauHllPortable,
     "q17_sessionize" -> sessionize,
     "q18_status_pivot" -> statusPivot,
     "q19_order_percentiles" -> orderPercentiles,

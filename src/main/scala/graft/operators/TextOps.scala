@@ -177,7 +177,25 @@ object TextOps {
         (col("dup_bigram_occurrences") / col("n_bigrams").cast("double")).as("dup_bigram_frac"))
   }
 
+  /** t9: deterministic hash split — the reproducible train/val/test
+    * assignment every training pipeline needs: bucket = first 8 md5 hex
+    * chars of the doc_id (mod 100), split by 80/10/10 bucket ranges.
+    * Content-independent, engine-independent (md5), stable under
+    * re-partitioning and re-runs — unlike rand()/sampleBy, whose output
+    * depends on seed plumbing and partitioning. Narrow map-only scan;
+    * also emits the bucket so callers can re-derive any split ratio. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 100).cast("int"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_hash_split" -> hashSplit,
     "t7_pii_mask" -> piiMask,
     "t8_repetition" -> repetition,
     "t1_quality" -> quality,
@@ -211,6 +229,13 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "t9_hash_split" ->
+      """SELECT doc_id, lang,
+        |       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket,
+        |       CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+        |            WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "t7_pii_mask" ->
       s"""WITH raw AS (
          |  SELECT doc_id,

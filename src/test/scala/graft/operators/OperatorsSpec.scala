@@ -215,6 +215,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("portable HLL within error bound of exact distinct counts") {
+    import spark.implicits._
+    val exact = GmallQueries.dauDedup(spark, sf)
+      .groupBy("dt").agg(countDistinct("user_id").as("d"))
+      .select(col("dt").cast("string"), col("d")).as[(String, Long)].collect().toMap
+    val hll = GmallQueries.dauHllPortable(spark, sf)
+      .select(col("dt").cast("string"), col("dau_hll")).as[(String, Double)].collect().toMap
+    assert(hll.keySet === exact.keySet)
+    // m=256 → rsd ≈ 1.04/√256 = 6.5%; assert a 3-sigma-ish envelope
+    hll.foreach { case (dt, a) =>
+      val e = exact(dt)
+      assert(math.abs(a - e) / e <= 0.20, s"$dt: hll $a vs exact $e")
+    }
+  }
+
   test("lang_id: deterministic and total (one prediction per doc)") {
     val l1 = TextOps.langId(spark, sf)
     assert(l1.count() === Tables.documents(spark, sf).count())
