@@ -280,9 +280,35 @@ object GmallQueries {
     *
     * Scale shape: per-(day, register) max — associative, mergeable at
     * any fan-in, constant 256-register state per day. */
+  /** Shared HLL constants + driver/state-side estimator — the SAME
+    * arithmetic as the column-expression form below and the generated
+    * DuckDB oracle (exact integer-scaled harmonic sum, one double
+    * division, small-range ln correction, round 4dp half-up). Used by
+    * the streaming sketch (Pipelines.dauHllStream), whose estimates are
+    * pinned equal to q22's by a spec. */
+  object Hll {
+    val m: Int = 256 // 2^8 registers
+    val alpha: Double = 0.7213 / (1 + 1.079 / m)
+    val scale: Double = 9007199254740992.0 // 2^53
+
+    /** registers: rank per register index (0 = empty). */
+    def estimate(registers: Array[Int]): Double = {
+      var sScaled = 0L
+      var vZero = 0
+      registers.foreach { r =>
+        if (r == 0) { vZero += 1; sScaled += (1L << 53) }
+        else sScaled += (1L << (53 - r))
+      }
+      val raw = alpha * m * m * scale / sScaled
+      val e = if (vZero > 0 && raw <= 2.5 * m) m.toDouble * math.log(m.toDouble / vZero)
+              else raw
+      BigDecimal(e).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
   def dauHllPortable(spark: SparkSession, dir: String): DataFrame = {
-    val m = 256 // 2^8 registers
-    val alpha = 0.7213 / (1 + 1.079 / m) // standard HLL alpha_256
+    val m = Hll.m
+    val alpha = Hll.alpha
     val regs = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("dt"),
         conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)

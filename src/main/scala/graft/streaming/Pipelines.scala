@@ -337,6 +337,52 @@ object Pipelines {
     out.iterator
   }
 
+  /** Streaming HyperLogLog DAU — the incremental form of the portable
+    * batch sketch (GmallQueries.dauHllPortable): keyed state per day
+    * holds the 256 register maxima (constant-size state regardless of
+    * traffic — the whole point of a sketch vs dropDuplicates' O(users)
+    * state), each batch merges its rank observations and re-emits the
+    * day's refreshed estimate. The estimator is the SHARED
+    * GmallQueries.Hll.estimate — streaming estimates equal the batch
+    * query's on the same data (pinned by spec). Register merging is a
+    * per-register max — associative and commutative, so arrival order
+    * and batching cannot change the final state. Late rows within the
+    * state's lifetime fold in exactly; output is append-mode with one
+    * refreshed row per (day, batch) — downstream keeps the latest. */
+  def dauHllStream(events: DataFrame, stateTtlMs: Long = 0L): Dataset[(java.sql.Date, Double)] = {
+    import events.sparkSession.implicits._
+    val m = graft.operators.GmallQueries.Hll.m
+    // identical hash→register→rank derivation as the batch query
+    val ranks = events
+      .select(to_date(col("ts")).as("dt"),
+        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .select(col("dt"), (col("h") % m).cast("int").as("j"),
+        expr("h div 256").as("w"))
+      .select(col("dt"), col("j"),
+        when(col("w") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("w")))).cast("int").as("rank"))
+      .as[(java.sql.Date, Int, Int)]
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ranks.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        hllGroup(stateTtlMs))
+  }
+
+  private[streaming] def hllGroup(stateTtlMs: Long)(
+      dt: java.sql.Date, rows: Iterator[(java.sql.Date, Int, Int)],
+      state: GroupState[Seq[Int]]): Iterator[(java.sql.Date, Double)] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val regs = state.getOption.map(_.toArray)
+      .getOrElse(new Array[Int](graft.operators.GmallQueries.Hll.m))
+    rows.foreach { case (_, j, r) => if (r > regs(j)) regs(j) = r }
+    state.update(regs.toSeq)
+    if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+    Iterator.single((dt, graft.operators.GmallQueries.Hll.estimate(regs)))
+  }
+
   /** J6/A2 first-order flag (`dwd/OrderInfoApp.scala:92-157`): keyed
     * state holds "has this user ever ordered"; within one batch the
     * earliest order wins — the reference's lookup + intra-batch

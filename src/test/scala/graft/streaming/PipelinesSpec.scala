@@ -108,6 +108,36 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("dauHllStream: constant-register state across batches == batch q22 estimates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[(Long, Timestamp, Long)].collect()
+    val (b1, b2) = all.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    val q = Pipelines.dauHllStream(
+      mem.toDF().toDF("event_id", "ts", "user_id"))
+      .toDF("dt", "dau_hll")
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+      // register merging is monotone → the estimate only grows as data
+      // arrives, so each day's FINAL estimate is its max emission (no
+      // reliance on memory-sink row order)
+      val streamed = spark.table("hll_out").collect()
+        .map(r => r.getDate(0).toString -> r.getDouble(1))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      val batch = graft.operators.GmallQueries.dauHllPortable(spark, sf)
+        .select(col("dt").cast("string"), col("dau_hll"))
+        .as[(String, Double)].collect().toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   // ---- stream-stream join (J1/W1) ----
 
   test("orderWideJoin matches details to orders across micro-batches within skew window") {
