@@ -194,7 +194,25 @@ object TextOps {
           .when(col("bucket") < 90, "val")
           .otherwise("test").as("split"))
 
+  /** t10: the filter DECISION stage (C4/Gopher-style) — composes the
+    * quality (t1) and repetition (t8) metrics into a keep/drop verdict
+    * with the first failing rule as the reason. This is the step that
+    * actually shrinks a 100 TB crawl: everything upstream computes
+    * features, this emits the survivors. Rules ordered, thresholds
+    * chosen so the corpus exercises every branch. */
+  def filterDecision(spark: SparkSession, dir: String): DataFrame =
+    quality(spark, dir)
+      .join(repetition(spark, dir).select(col("doc_id"), col("max_tok_frac")), "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("max_tok_frac"),
+        col("stopword_ratio"),
+        when(col("n_tokens") < 15, "too_short")
+          .when(col("max_tok_frac") > 0.15, "repetitive")
+          .when(col("stopword_ratio") > 0.15, "stopword_heavy")
+          .as("drop_reason"))
+      .withColumn("keep", col("drop_reason").isNull)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_filter_decision" -> filterDecision,
     "t9_hash_split" -> hashSplit,
     "t7_pii_mask" -> piiMask,
     "t8_repetition" -> repetition,
@@ -229,6 +247,28 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "t10_filter_decision" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),
+        |tok AS (SELECT doc_id, UNNEST(t) AS tok FROM toks),
+        |tc AS (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+        |rep AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |         MAX(n) / CAST(SUM(n) AS DOUBLE) AS max_tok_frac
+        |  FROM tc GROUP BY 1),
+        |sw AS (
+        |  SELECT doc_id,
+        |         LEN(list_filter(t, x -> x IN ('a','the')))
+        |           / CAST(LEN(t) AS DOUBLE) AS stopword_ratio
+        |  FROM toks),
+        |d AS (
+        |  SELECT r.doc_id, r.n_tokens, r.max_tok_frac, s.stopword_ratio,
+        |         CASE WHEN r.n_tokens < 15 THEN 'too_short'
+        |              WHEN r.max_tok_frac > 0.15 THEN 'repetitive'
+        |              WHEN s.stopword_ratio > 0.15 THEN 'stopword_heavy'
+        |         END AS drop_reason
+        |  FROM rep r JOIN sw s USING (doc_id))
+        |SELECT *, drop_reason IS NULL AS keep FROM d""".stripMargin,
     "t9_hash_split" ->
       """SELECT doc_id, lang,
         |       CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket,
