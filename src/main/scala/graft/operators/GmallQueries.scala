@@ -287,17 +287,39 @@ object GmallQueries {
     * the streaming sketch (Pipelines.dauHllStream), whose estimates are
     * pinned equal to q22's by a spec. */
   object Hll {
-    val m: Int = 256 // 2^8 registers
+    val m: Int = 256 // 2^bBits registers
+    val bBits: Int = 8 // log2(m) — register-index bits of the 60-bit hash
+    val wBits: Int = 60 - bBits // rank-observation bits
+    val rankOfZero: Int = wBits + 1 // rank when the w bits are all zero
+    val scaleBits: Int = wBits + 1 // harmonic terms scaled by 2^scaleBits
     val alpha: Double = 0.7213 / (1 + 1.079 / m)
-    val scale: Double = 9007199254740992.0 // 2^53
+    val scale: Double = (1L << scaleBits).toDouble
+    require(m == (1 << bBits), "m must equal 2^bBits")
 
-    /** registers: rank per register index (0 = empty). */
+    /** The ONE md5→(day, register, rank) derivation — shared by the
+      * batch query (dauHllPortable) and the streaming sketch
+      * (Pipelines.dauHllStream), so the two cannot drift; the generated
+      * DuckDB oracle interpolates the same constants. Expects `ts` and
+      * `user_id` columns. */
+    def registerRanks(events: DataFrame): DataFrame =
+      events
+        .select(to_date(col("ts")).as("dt"),
+          conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .select(col("dt"), (col("h") % m).cast("int").as("j"),
+          expr(s"h div $m").as("w"))
+        .select(col("dt"), col("j"),
+          when(col("w") === 0, lit(rankOfZero))
+            .otherwise(lit(rankOfZero) - length(bin(col("w")))).cast("int").as("rank"))
+
+    /** registers: rank per register index (0 = empty). Same arithmetic
+      * as the column-expression form in [[dauHllPortable]]. */
     def estimate(registers: Array[Int]): Double = {
       var sScaled = 0L
       var vZero = 0
       registers.foreach { r =>
-        if (r == 0) { vZero += 1; sScaled += (1L << 53) }
-        else sScaled += (1L << (53 - r))
+        if (r == 0) { vZero += 1; sScaled += (1L << scaleBits) }
+        else sScaled += (1L << (scaleBits - r))
       }
       val raw = alpha * m * m * scale / sScaled
       val e = if (vZero > 0 && raw <= 2.5 * m) m.toDouble * math.log(m.toDouble / vZero)
@@ -309,31 +331,24 @@ object GmallQueries {
   def dauHllPortable(spark: SparkSession, dir: String): DataFrame = {
     val m = Hll.m
     val alpha = Hll.alpha
-    val regs = Tables.events(spark, dir)
-      .select(to_date(col("ts")).as("dt"),
-        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("h"))
-      .select(col("dt"), (col("h") % m).cast("int").as("j"),
-        expr("h div 256").as("w")) // remaining 52 bits
-      .select(col("dt"), col("j"),
-        when(col("w") === 0, lit(53))
-          .otherwise(lit(53) - length(bin(col("w")))).cast("int").as("rank"))
+    val sb = Hll.scaleBits
+    val regs = Hll.registerRanks(Tables.events(spark, dir))
       .groupBy(col("dt"), col("j")).agg(max(col("rank")).as("r"))
     regs.groupBy(col("dt"))
-      .agg(sum(expr("shiftleft(1L, 53 - r)")).as("s_present"),
+      .agg(sum(expr(s"shiftleft(1L, $sb - r)")).as("s_present"),
         count(lit(1)).as("n_regs"))
       .select(col("dt"),
         (lit(m) - col("n_regs")).cast("int").as("v_zero"),
-        // Σ 2^(53−rank) for present registers + 2^53 per empty register
-        (col("s_present") + (lit(m) - col("n_regs")) * expr("shiftleft(1L, 53)"))
+        // Σ 2^(sb−rank) for present registers + 2^sb per empty register
+        (col("s_present") + (lit(m) - col("n_regs")) * expr(s"shiftleft(1L, $sb)"))
           .as("s_scaled"))
       .select(col("dt"), col("v_zero"), col("s_scaled"),
         round(
           when(col("v_zero") > 0 &&
-            lit(alpha * m * m) * lit(9007199254740992.0) / col("s_scaled") <= lit(2.5 * m),
+            lit(alpha * m * m) * lit(Hll.scale) / col("s_scaled") <= lit(2.5 * m),
             lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")))
             .otherwise(
-              lit(alpha * m * m) * lit(9007199254740992.0) / col("s_scaled")),
+              lit(alpha * m * m) * lit(Hll.scale) / col("s_scaled")),
           4).as("dau_hll"))
   }
 
@@ -403,9 +418,13 @@ object GmallQueries {
     * round-trip double repr parses back bit-identical), integer-scaled
     * harmonic sum, LENGTH(bin(w)) ranks. */
   private def dauHllOracle: String = {
-    val m = 256
-    val alpha = 0.7213 / (1 + 1.079 / m)
-    val amm = alpha * m * m
+    // every constant interpolated from the SAME Hll object the Spark
+    // paths use — changing m/bBits there changes this oracle in lockstep
+    val m = Hll.m
+    val amm = Hll.alpha * m * m
+    val rz = Hll.rankOfZero
+    val sb = Hll.scaleBits
+    val scaleLong = 1L << sb
     s"""WITH h AS (
        |  SELECT CAST(ts AS DATE) AS dt,
        |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
@@ -414,20 +433,20 @@ object GmallQueries {
        |  SELECT dt, CAST(h % $m AS INTEGER) AS j, h // $m AS w FROM h),
        |ranks AS (
        |  SELECT dt, j,
-       |         CAST(CASE WHEN w = 0 THEN 53 ELSE 53 - LENGTH(bin(w)) END AS INTEGER) AS rank
+       |         CAST(CASE WHEN w = 0 THEN $rz ELSE $rz - LENGTH(bin(w)) END AS INTEGER) AS rank
        |  FROM rk),
        |regs AS (SELECT dt, j, MAX(rank) AS r FROM ranks GROUP BY dt, j),
        |agg AS (
-       |  SELECT dt, SUM(1::BIGINT << (53 - r)) AS s_present, COUNT(*) AS n_regs
+       |  SELECT dt, SUM(1::BIGINT << ($sb - r)) AS s_present, COUNT(*) AS n_regs
        |  FROM regs GROUP BY dt),
        |fin AS (
        |  SELECT dt, CAST($m - n_regs AS INTEGER) AS v_zero,
-       |         CAST(s_present + ($m - n_regs) * (1::BIGINT << 53) AS BIGINT) AS s_scaled
+       |         CAST(s_present + ($m - n_regs) * (1::BIGINT << $sb) AS BIGINT) AS s_scaled
        |  FROM agg)
        |SELECT dt, v_zero, s_scaled,
-       |       round(CASE WHEN v_zero > 0 AND CAST($amm AS DOUBLE) * 9007199254740992 / s_scaled <= ${2.5 * m}
+       |       round(CASE WHEN v_zero > 0 AND CAST($amm AS DOUBLE) * $scaleLong / s_scaled <= ${2.5 * m}
        |                  THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / v_zero)
-       |                  ELSE CAST($amm AS DOUBLE) * 9007199254740992 / s_scaled END, 4) AS dau_hll
+       |                  ELSE CAST($amm AS DOUBLE) * $scaleLong / s_scaled END, 4) AS dau_hll
        |FROM fin""".stripMargin
   }
 

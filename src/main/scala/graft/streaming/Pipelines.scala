@@ -351,17 +351,9 @@ object Pipelines {
     * refreshed row per (day, batch) — downstream keeps the latest. */
   def dauHllStream(events: DataFrame, stateTtlMs: Long = 0L): Dataset[(java.sql.Date, Double)] = {
     import events.sparkSession.implicits._
-    val m = graft.operators.GmallQueries.Hll.m
-    // identical hash→register→rank derivation as the batch query
-    val ranks = events
-      .select(to_date(col("ts")).as("dt"),
-        conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("h"))
-      .select(col("dt"), (col("h") % m).cast("int").as("j"),
-        expr("h div 256").as("w"))
-      .select(col("dt"), col("j"),
-        when(col("w") === 0, lit(53))
-          .otherwise(lit(53) - length(bin(col("w")))).cast("int").as("rank"))
+    // the SHARED hash→register→rank derivation (Hll.registerRanks) —
+    // stream and batch cannot drift
+    val ranks = graft.operators.GmallQueries.Hll.registerRanks(events)
       .as[(java.sql.Date, Int, Int)]
     val timeoutConf =
       if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout

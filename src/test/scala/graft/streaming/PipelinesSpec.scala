@@ -124,13 +124,21 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .outputMode("append").start()
     try {
       mem.addData(b1.toSeq); q.processAllAvailable()
+      // snapshot batch-1 emissions (≤ 1 row per day) — the estimate is
+      // NOT monotone across the linear-counting→raw-estimator switch,
+      // so "max emission per day" would be wrong; identify each day's
+      // FINAL value as the batch-2 emission when one exists
+      val snap1 = spark.table("hll_out").collect()
+        .map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
       mem.addData(b2.toSeq); q.processAllAvailable()
-      // register merging is monotone → the estimate only grows as data
-      // arrives, so each day's FINAL estimate is its max emission (no
-      // reliance on memory-sink row order)
       val streamed = spark.table("hll_out").collect()
         .map(r => r.getDate(0).toString -> r.getDouble(1))
-        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+        .groupBy(_._1).map { case (dt, vs) =>
+          val values = vs.map(_._2)
+          dt -> (if (values.size == 1) values.head
+                 else values.find(v => snap1.get(dt).forall(_ != v))
+                   .getOrElse(values.head)) // both batches emitted the same value
+        }
       val batch = graft.operators.GmallQueries.dauHllPortable(spark, sf)
         .select(col("dt").cast("string"), col("dau_hll"))
         .as[(String, Double)].collect().toMap
