@@ -271,15 +271,15 @@ object GmallQueries {
     * Determinism across engines is engineered, not assumed:
     * register ranks use `LENGTH(bin(w))` (both engines strip leading
     * zeros identically — no float log2), and the harmonic sum is
-    * accumulated as EXACT integers scaled by 2^53 (`1 << (53 − rank)`)
-    * — a float Σ2^−rank is order-dependent under distributed partial
-    * aggregation and could differ from DuckDB's summation order. The
-    * only float ops are one division and the standard small-range
-    * `m·ln(m/V)` correction, rounded to 4 dp to absorb any last-ulp
-    * libm divergence.
+    * accumulated as EXACT integers scaled by 2^scaleBits
+    * (`1 << (scaleBits − rank)`) — a float Σ2^−rank is order-dependent
+    * under distributed partial aggregation and could differ from
+    * DuckDB's summation order. The only float ops are one division and
+    * the standard small-range `m·ln(m/V)` correction, rounded to 4 dp
+    * to absorb any last-ulp libm divergence.
     *
     * Scale shape: per-(day, register) max — associative, mergeable at
-    * any fan-in, constant 256-register state per day. */
+    * any fan-in, constant m-register state per day. */
   /** Shared HLL constants + driver/state-side estimator — the SAME
     * arithmetic as the column-expression form below and the generated
     * DuckDB oracle (exact integer-scaled harmonic sum, one double
@@ -288,13 +288,16 @@ object GmallQueries {
     * pinned equal to q22's by a spec. */
   object Hll {
     val m: Int = 256 // 2^bBits registers
-    val bBits: Int = 8 // log2(m) — register-index bits of the 60-bit hash
-    val wBits: Int = 60 - bBits // rank-observation bits
+    val bBits: Int = 8 // log2(m) — register-index bits of the hash
+    val hexChars: Int = 15 // md5 hex chars used → hashBits = 4 × this
+    val hashBits: Int = 4 * hexChars // 60: fits signed 64-bit anywhere
+    val wBits: Int = hashBits - bBits // rank-observation bits
     val rankOfZero: Int = wBits + 1 // rank when the w bits are all zero
     val scaleBits: Int = wBits + 1 // harmonic terms scaled by 2^scaleBits
     val alpha: Double = 0.7213 / (1 + 1.079 / m)
     val scale: Double = (1L << scaleBits).toDouble
     require(m == (1 << bBits), "m must equal 2^bBits")
+    require(scaleBits < 62, "scaled harmonic terms must fit a signed long")
 
     /** The ONE md5→(day, register, rank) derivation — shared by the
       * batch query (dauHllPortable) and the streaming sketch
@@ -304,7 +307,7 @@ object GmallQueries {
     def registerRanks(events: DataFrame): DataFrame =
       events
         .select(to_date(col("ts")).as("dt"),
-          conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          conv(substring(md5(col("user_id").cast("string").cast("binary")), 1, hexChars), 16, 10)
             .cast("long").as("h"))
         .select(col("dt"), (col("h") % m).cast("int").as("j"),
           expr(s"h div $m").as("w"))
@@ -342,14 +345,14 @@ object GmallQueries {
         // Σ 2^(sb−rank) for present registers + 2^sb per empty register
         (col("s_present") + (lit(m) - col("n_regs")) * expr(s"shiftleft(1L, $sb)"))
           .as("s_scaled"))
-      .select(col("dt"), col("v_zero"), col("s_scaled"),
+      .select(col("dt"), col("v_zero"), col("s_scaled"), {
+        val raw = lit(alpha * m * m) * lit(Hll.scale) / col("s_scaled")
         round(
-          when(col("v_zero") > 0 &&
-            lit(alpha * m * m) * lit(Hll.scale) / col("s_scaled") <= lit(2.5 * m),
+          when(col("v_zero") > 0 && raw <= lit(2.5 * m),
             lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")))
-            .otherwise(
-              lit(alpha * m * m) * lit(Hll.scale) / col("s_scaled")),
-          4).as("dau_hll"))
+            .otherwise(raw),
+          4).as("dau_hll")
+      })
   }
 
   /** Sessionization: per-user session windows over the event stream
@@ -427,7 +430,7 @@ object GmallQueries {
     val scaleLong = 1L << sb
     s"""WITH h AS (
        |  SELECT CAST(ts AS DATE) AS dt,
-       |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, ${Hll.hexChars}) AS BIGINT) AS h
        |  FROM events),
        |rk AS (
        |  SELECT dt, CAST(h % $m AS INTEGER) AS j, h // $m AS w FROM h),
