@@ -160,6 +160,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         NearestCentroidIdx(exprs.head, exprs(1), exprs(2))
       }))
     e.injectFunction((
+      new FunctionIdentifier("top_centroid_idxs"),
+      new ExpressionInfo(classOf[TopCentroidIdxs].getName, "top_centroid_idxs"),
+      (exprs: Seq[Expression]) => {
+        checkArity("top_centroid_idxs", 4, exprs)
+        TopCentroidIdxs(exprs.head, exprs(1), exprs(2), exprs(3))
+      }))
+    e.injectFunction((
       new FunctionIdentifier("hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
       (exprs: Seq[Expression]) => {

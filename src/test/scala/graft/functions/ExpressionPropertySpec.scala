@@ -152,6 +152,48 @@ object ExpressionPropertySpec extends Properties("expressions") {
       got == want
     }
 
+  property("top_centroid_idxs == sort by (cos desc, idx asc) take k") =
+    Prop.forAll(centroidInputs, Gen.choose(1, 10)) { case ((emb, cents), k) =>
+      val got = TopCentroidIdxs(
+        floatArray(emb), doubleArray(cents.flatten),
+        Literal(cents.size, IntegerType), Literal(k, IntegerType))
+        .eval(null).asInstanceOf[ArrayData].toIntArray.toSeq
+      def cos(c: Seq[Double]): Double = {
+        var dot = 0.0; var nx = 0.0; var nb = 0.0
+        emb.indices.foreach { i =>
+          val x = emb(i).toDouble; dot += x * c(i); nx += x * x; nb += c(i) * c(i)
+        }
+        dot / (math.sqrt(nx) * math.sqrt(nb))
+      }
+      val want = cents.map(cos).zipWithIndex
+        .sortBy { case (s, i) => (s.isNaN, -s, i) } // NaN last, cos desc, idx asc
+        .take(math.min(k, cents.size)).map(_._2)
+      got == want
+    }
+
+  property("top_centroid_idxs head agrees with nearest_centroid_idx on non-NaN scores") =
+    Prop.forAll(centroidInputs) { case (emb, cents) =>
+      val top = TopCentroidIdxs(
+        floatArray(emb), doubleArray(cents.flatten),
+        Literal(cents.size, IntegerType), Literal(1, IntegerType))
+        .eval(null).asInstanceOf[ArrayData].toIntArray.head
+      val nearest = NearestCentroidIdx(
+        floatArray(emb), doubleArray(cents.flatten),
+        Literal(cents.size, IntegerType)).eval(null).asInstanceOf[Int]
+      // the two differ only in tie/NaN preference (later vs earlier);
+      // restrict the claim to inputs without exact ties or NaN
+      def cos(c: Seq[Double]): Double = {
+        var dot = 0.0; var nx = 0.0; var nb = 0.0
+        emb.indices.foreach { i =>
+          val x = emb(i).toDouble; dot += x * c(i); nx += x * x; nb += c(i) * c(i)
+        }
+        dot / (math.sqrt(nx) * math.sqrt(nb))
+      }
+      val scores = cents.map(cos)
+      val clean = !scores.exists(_.isNaN) && scores.distinct.size == scores.size
+      !clean || top == nearest
+    }
+
   property("nearest_centroid_idx nulls on matrix/dimension mismatch") =
     Prop.forAll(centroidInputs) { case (emb, cents) =>
       NearestCentroidIdx(floatArray(emb), doubleArray(cents.flatten :+ 1.0),
