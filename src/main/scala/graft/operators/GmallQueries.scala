@@ -355,6 +355,23 @@ object GmallQueries {
       })
   }
 
+  /** q23: running lifetime spend per customer — a cumulative window
+    * frame (`rowsBetween(unboundedPreceding, currentRow)`) over the
+    * order history, the canonical "customer LTV so far" feature. Sum in
+    * integer cents so partial-order-independent and exact; one keyed
+    * shuffle + sort like any window. Deterministic frame order via
+    * (o_orderdate, o_orderkey) — date alone has ties. */
+  def runningSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey").as("customer_id"), col("o_orderkey").as("order_id"),
+        col("o_orderdate").as("order_date"), col("o_totalprice").as("amount"),
+        Tables.dollars(sum(Tables.cents(col("o_totalprice"))).over(w))
+          .as("lifetime_spend"))
+  }
+
   /** Sessionization: per-user session windows over the event stream
     * (30 min inactivity gap). Batch uses the same `session_window`
     * grouping Structured Streaming uses (Pipelines.sessionize) — one
@@ -455,6 +472,15 @@ object GmallQueries {
 
   val oracle: Map[String, String] = Map(
     "q22_dau_hll_portable" -> dauHllOracle,
+    "q23_running_spend" ->
+      """SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+        |       o_orderdate AS order_date, o_totalprice AS amount,
+        |       SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |         OVER (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         / 100.0 AS lifetime_spend
+        |FROM orders""".stripMargin,
     "q1_trademark_stat" ->
       """SELECT p_brand AS tm_name,
         |       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS amount
@@ -622,6 +648,7 @@ object GmallQueries {
     "q15_region_rollup" -> regionRollup,
     "q16_dau_approx" -> dauApprox,
     "q22_dau_hll_portable" -> dauHllPortable,
+    "q23_running_spend" -> runningSpend,
     "q17_sessionize" -> sessionize,
     "q18_status_pivot" -> statusPivot,
     "q19_order_percentiles" -> orderPercentiles,

@@ -211,7 +211,34 @@ object TextOps {
           .as("drop_reason"))
       .withColumn("keep", col("drop_reason").isNull)
 
+  /** t11: TF-IDF top terms per document — the classic corpus-statistic
+    * join: per-(doc, token) term frequency ⋈ per-token document
+    * frequency, score = tf · ln(N/df), top `topK` terms per doc.
+    * Keyword extraction / quality weighting for training corpora. Two
+    * keyed aggs (map-side combined) + one broadcast-size dimension
+    * (distinct tokens) + a per-doc WindowGroupLimit — every stage
+    * shuffle-bounded by distinct keys, not corpus size. N is the one
+    * driver-side scalar (a count, not data — the "model" pattern).
+    * Scores rounded to 6 dp so a last-ulp `ln` divergence between
+    * engines cannot flip the oracle compare. */
+  def tfidf(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val tf = docs.select(col("doc_id"), explode(tokens("text")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .withColumn("score",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("tok"), col("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_tfidf" -> ((s, d) => tfidf(s, d)),
     "t10_filter_decision" -> filterDecision,
     "t9_hash_split" -> hashSplit,
     "t7_pii_mask" -> piiMask,
@@ -247,6 +274,24 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "t11_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.tok,
+        |         round(t.tf * ln((SELECT n FROM nd) / d.df), 6) AS score
+        |  FROM tf t JOIN dfreq d USING (tok)),
+        |ranked AS (
+        |  SELECT doc_id, tok, score,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, tok) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok, score
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     "t10_filter_decision" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),
