@@ -224,8 +224,13 @@ object TextOps {
   def tfidf(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val nDocs = docs.count()
+    // persist: the tf relation feeds BOTH the document-frequency
+    // aggregate and the scoring join — without it the 900k-token
+    // explode+groupBy runs twice (plain scalar rows, cache-cheap;
+    // Verify/Bench clearCache between queries)
     val tf = docs.select(col("doc_id"), explode(tokens("text")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist()
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
