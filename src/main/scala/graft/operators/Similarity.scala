@@ -291,8 +291,19 @@ object Similarity {
             x => round(x.cast("double") / col("scale")).cast("int")))
           .as("q"))
 
+  /** v6 gate shape: [[quantizeInt8]] exploded to one row per vector
+    * component (vec_id, idx, scale, q_i) — scalar columns only, so the
+    * DuckDB comparator can sort+hash it (array columns crash its
+    * pandas sort; same reshape d6 uses for minhash signatures).
+    * Callers wanting the packed array use [[quantizeInt8]] directly. */
+  def quantizeInt8Rows(spark: SparkSession, dir: String): DataFrame =
+    quantizeInt8(spark, dir)
+      .select(col("vec_id"), col("scale"), posexplode(col("q")))
+      .select(col("vec_id"), col("pos").as("idx"), col("scale"),
+        col("col").as("q_i"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "v6_quantize_int8" -> quantizeInt8,
+    "v6_quantize_int8" -> quantizeInt8Rows,
     "v5_near_dup_lsh" -> ((s, d) => nearDupLsh(s, d)),
     "v1_ann_bruteforce" -> ((s, d) => annBruteForce(s, d)),
     "v2_ann_lsh" -> ((s, d) => annLsh(s, d)),
@@ -307,12 +318,14 @@ object Similarity {
       """WITH s AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
         |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
-        |  FROM embeddings)
-        |SELECT vec_id, scale,
-        |       CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
-        |            ELSE list_transform(e, x -> CAST(round(x / scale) AS INTEGER))
-        |       END AS q
-        |FROM s""".stripMargin,
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, scale, e, UNNEST(range(0, len(e))) AS i FROM s)
+        |SELECT vec_id, CAST(i AS INTEGER) AS idx, scale,
+        |       CASE WHEN scale = 0 THEN 0
+        |            ELSE CAST(round(e[CAST(i AS INTEGER) + 1] / scale) AS INTEGER)
+        |       END AS q_i
+        |FROM x""".stripMargin,
     "v1_ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
