@@ -53,6 +53,24 @@ object Pipelines {
         concat(lit("ods_"), col("table")).as("topic"),
         col("data").as("value"))
 
+  /** F1/R1 Canal-envelope router (`ods/BaseDBCanalApp.scala:57-82`):
+    * Canal wraps each commit as `{type: "INSERT", table, data: [row,
+    * row, …]}` — op names UPPERCASE and `data` an ARRAY (one element
+    * per affected row), where Maxwell emits lowercase ops and one
+    * object per message. The reference forwards every table on INSERT
+    * only (no dim whitelist in its Canal app) and sends each array
+    * element as its own message; `explode` reproduces the per-row
+    * fan-out. Expects `data` already parsed as `array<string>` of raw
+    * JSON row payloads ([[Runner.canalCdcSchema]]). Narrow
+    * (filter+explode, no shuffle) — scales with input partitions. */
+  def routeCanal(envelopes: DataFrame): DataFrame =
+    envelopes
+      .filter(col("type") === "INSERT" && col("data").isNotNull)
+      .select(
+        concat(lit("ods_"), col("table")).as("topic"),
+        explode(col("data")).as("value"))
+      .filter(col("value").isNotNull && col("value") =!= "")
+
   /** J1/W1 stream-stream join (`dws/OrderWideApp.scala:91-111`): the
     * reference's 20 s sliding processing-time windows + Redis dedup
     * become an event-time interval join with watermarks — exact

@@ -24,6 +24,36 @@ object Runner {
     StructField("table", StringType),
     StructField("data", StringType)))
 
+  /** Canal CDC envelope schema (`ods/BaseDBCanalApp.scala:57-82`):
+    * `data` is an ARRAY of row objects. Declaring the element type as
+    * StringType makes Spark's JSON parser capture each row object as
+    * its raw JSON text (same raw-capture trick the Maxwell schema uses
+    * at top level) — exactly the per-row payload the reference
+    * forwards. */
+  val canalCdcSchema: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("table", StringType),
+    StructField("data", ArrayType(StringType))))
+
+  /** Router over a MIXED Maxwell/Canal feed of raw JSON lines (a
+    * `value` column, the Kafka wire shape). Each line is parsed under
+    * both envelope schemas; the `data` SHAPE is the disambiguator —
+    * Canal's array nulls out under the Maxwell schema's raw-capture
+    * only for typed fields, so the Maxwell branch additionally requires
+    * an OBJECT payload (`data` starting `{`), while the Canal branch's
+    * array type rejects Maxwell objects on its own. (Op case alone is
+    * not enough: Maxwell routes dims on ANY op, which would also match
+    * an uppercase Canal `INSERT`.) Both branches are narrow; union of
+    * narrow branches stays narrow. */
+  def routeMixed(lines: DataFrame): DataFrame = {
+    val maxwell = Pipelines.routeCdc(
+      lines.select(from_json(col("value"), cdcSchema).as("e")).select("e.*")
+        .filter(col("data").startsWith("{")))
+    val canal = Pipelines.routeCanal(
+      lines.select(from_json(col("value"), canalCdcSchema).as("e")).select("e.*"))
+    maxwell.union(canal)
+  }
+
   val startLogSchema: StructType = StructType(Seq(
     StructField("ts", LongType),
     StructField("common", StructType(Seq(
@@ -141,6 +171,20 @@ object Runner {
                   checkpoint: String): StreamingQuery =
     Pipelines.routeCdc(
       spark.readStream.schema(cdcSchema).json(inDir))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .partitionBy("topic")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .start()
+
+  /** ODS router on file edges for a MIXED Maxwell/Canal feed: raw
+    * JSON lines → [[routeMixed]] → parquet partitioned by topic. */
+  def mixedRouterQuery(spark: SparkSession, inDir: String, outDir: String,
+                       checkpoint: String): StreamingQuery =
+    routeMixed(spark.readStream.text(inDir))
       .writeStream
       .outputMode("append")
       .format("parquet")

@@ -351,6 +351,44 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("ods_user_info", """{"id":2}""")))
   }
 
+  test("routeCanal explodes the data array: 2-row INSERT → 2 messages, UPDATE dropped") {
+    import spark.implicits._
+    // FIXTURES.md §4.4: Canal array of 2 rows → 2 messages.
+    val env = Seq(
+      ("INSERT", "order_info", Seq("""{"id":1}""", """{"id":2}""")),
+      ("UPDATE", "order_info", Seq("""{"id":3}""")), // non-INSERT → dropped
+      ("INSERT", "user_info", null),                 // null data → dropped
+      ("INSERT", "sku_info", Seq("")))               // empty element → dropped
+      .toDF("type", "table", "data")
+    val out = Pipelines.routeCanal(env).as[(String, String)].collect().toSet
+    assert(out === Set(
+      ("ods_order_info", """{"id":1}"""),
+      ("ods_order_info", """{"id":2}""")))
+  }
+
+  test("routeMixed splits a raw Maxwell/Canal feed disjointly by envelope shape") {
+    import spark.implicits._
+    val lines = Seq(
+      // Maxwell: lowercase op, data OBJECT
+      """{"type":"insert","table":"order_info","data":{"id":1}}""",
+      // Canal: UPPERCASE op, data ARRAY of 2 rows → 2 messages
+      """{"type":"INSERT","table":"order_info","data":[{"id":2},{"id":3}]}""",
+      // Canal UPDATE → dropped; Maxwell update on a fact → dropped too
+      """{"type":"UPDATE","table":"order_info","data":[{"id":4}]}""",
+      """{"type":"update","table":"order_info","data":{"id":5}}""",
+      // Canal INSERT on a Maxwell-whitelisted dim: must route exactly
+      // ONCE (shape check keeps it out of the dim-on-any-op branch)
+      """{"type":"INSERT","table":"user_info","data":[{"id":6}]}""")
+      .toDF("value")
+    val out = Runner.routeMixed(lines).as[(String, String)].collect()
+    assert(out.toSet === Set(
+      ("ods_order_info", """{"id":1}"""),
+      ("ods_order_info", """{"id":2}"""),
+      ("ods_order_info", """{"id":3}"""),
+      ("ods_user_info", """{"id":6}""")))
+    assert(out.length === 4) // no double-routing across branches
+  }
+
   test("sessionize merges events within gap across micro-batches, closes on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
