@@ -56,9 +56,32 @@ object Verify {
       System.err.println(s"[verify] d3 precondition probe failed: ${e.getMessage}")
       true
     }
-    val oracles =
-      if (d3Trusted) SparkEntry.oracleSql
-      else SparkEntry.oracleSql - "d3_minhash_lsh"
+    // v2/v5 (hyperplane-LSH ANN / near-dup) carry their exact
+    // counterpart's oracle (v1 / v3) under the same kind of
+    // precondition: the gate profile (nPlanes=3 × 24 tables) is
+    // recall-complete on the pinned corpus. Both relations were just
+    // written by the query loop; value-level set equality (not only
+    // counts — a missed true neighbor with a lower-cos substitute
+    // keeps counts equal) is the mechanical probe. Demote to
+    // rows-only when it fails; keep the oracle when the PROBE itself
+    // breaks (a broken probe must not silently weaken the gate).
+    def lshTrusted(name: String, exactName: String): Boolean = try {
+      val a = spark.read.parquet(s"$outDir/$name")
+      val b = spark.read.parquet(s"$outDir/$exactName")
+      val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+      if (diff != 0)
+        System.err.println(s"[verify] $name demoted to rows-only: LSH " +
+          s"output differs from exact $exactName by $diff rows on this corpus")
+      diff == 0
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] $name precondition probe failed: ${e.getMessage}")
+      true
+    }
+    val demoted =
+      (if (d3Trusted) Nil else Seq("d3_minhash_lsh")) ++
+      (if (lshTrusted("v2_ann_lsh", "v1_ann_bruteforce")) Nil else Seq("v2_ann_lsh")) ++
+      (if (lshTrusted("v5_near_dup_lsh", "v3_near_dup_pairs")) Nil else Seq("v5_near_dup_lsh"))
+    val oracles = SparkEntry.oracleSql -- demoted
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
