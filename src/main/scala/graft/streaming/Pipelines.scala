@@ -238,9 +238,20 @@ object Pipelines {
     * by `stateTtlMs` (0 → no timeout, for tests; production uses a TTL
     * matching the dedup horizon, like the reference's Redis SADD TTLs).
     * Pairs can surface from several bands — dedupe downstream
-    * (`dropDuplicates("id_a","id_b")`) before verification. */
+    * (`dropDuplicates("id_a","id_b")`) before verification.
+    *
+    * Hot-bucket guard: a stop-shingle band bucket would otherwise grow
+    * its member list (and its per-arrival pair fan-out) without bound.
+    * Each bucket keeps at most `maxBucketSize` members; a doc arriving
+    * at a saturated bucket emits ONE overflow-signal row
+    * (`id_b == BucketOverflow`) instead of candidate pairs — state and
+    * output both stay bounded, and the suppression is observable in
+    * the stream rather than silent. Members of a bucket that hot are
+    * stop-shingle collisions, not near-dups; route signal rows to a
+    * dense-bucket side channel if those docs need a second pass. */
   def nearDupCandidates(docs: DataFrame, numHashes: Int = 16, bands: Int = 8,
-                        stateTtlMs: Long = 0L): Dataset[(Long, Long, Int)] = {
+                        stateTtlMs: Long = 0L,
+                        maxBucketSize: Int = 1024): Dataset[(Long, Long, Int)] = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     import docs.sparkSession.implicits._
@@ -262,11 +273,15 @@ object Pipelines {
       else GroupStateTimeout.NoTimeout
     banded.groupByKey { case (_, band, bucket) => (band, bucket) }
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
-        nearDupGroup(stateTtlMs))
+        nearDupGroup(stateTtlMs, maxBucketSize))
       .toDF("id_a", "id_b", "band").as[(Long, Long, Int)]
   }
 
-  private[streaming] def nearDupGroup(stateTtlMs: Long)(
+  /** `id_b` sentinel marking a suppressed arrival at a saturated
+    * bucket (see [[nearDupCandidates]]); real doc ids are ≥ 0. */
+  val BucketOverflow: Long = -1L
+
+  private[streaming] def nearDupGroup(stateTtlMs: Long, maxBucketSize: Int = 1024)(
       key: (Int, Long), rows: Iterator[(Long, Int, Long)],
       state: GroupState[List[Long]]): Iterator[(Long, Long, Int)] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
@@ -281,9 +296,15 @@ object Pipelines {
     // arrivals
     rows.map(_._1).toSeq.distinct.sorted.foreach { id =>
       if (!seenSet.contains(id)) {
-        seen.foreach(s => out += ((math.min(s, id), math.max(s, id), key._1)))
-        seenSet += id
-        seen = id :: seen
+        if (seenSet.size >= maxBucketSize) {
+          // saturated: no state growth, no O(|bucket|) pair fan-out —
+          // one signal row makes the suppression observable downstream
+          out += ((id, BucketOverflow, key._1))
+        } else {
+          seen.foreach(s => out += ((math.min(s, id), math.max(s, id), key._1)))
+          seenSet += id
+          seen = id :: seen
+        }
       }
     }
     state.update(seen)

@@ -273,6 +273,38 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("nearDupCandidates hot bucket: state and pair fan-out stay capped, overflow surfaced") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 10k identical docs → ONE bucket per band gets every doc. With a
+    // cap of 64, state must stop at 64 members per bucket, pairs at
+    // C(64,2) per band, and every suppressed arrival must surface as
+    // an id_b == BucketOverflow signal row.
+    val cap = 64
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val mem = MemoryStream[(Long, String)]
+    val q = Pipelines.nearDupCandidates(mem.toDF().toDF("doc_id", "text"),
+        maxBucketSize = cap)
+      .writeStream.format("memory").queryName("ndc_hot").outputMode("append").start()
+    try {
+      mem.addData((0L until 5000L).map(i => (i, text)): _*)
+      q.processAllAvailable()
+      mem.addData((5000L until 10000L).map(i => (i, text)): _*) // all post-saturation
+      q.processAllAvailable()
+      val out = spark.table("ndc_hot")
+      val pairs = out.filter(col("id_b") =!= Pipelines.BucketOverflow)
+      val overflow = out.filter(col("id_b") === Pipelines.BucketOverflow)
+      assert(pairs.count() === 8L * cap * (cap - 1) / 2,
+        "pair fan-out must stop at C(cap,2) per band")
+      assert(pairs.select(col("id_a")).union(pairs.select(col("id_b")))
+        .distinct().count() === cap.toLong,
+        "only the first cap doc ids may enter the bucket state")
+      assert(overflow.count() === 8L * (10000 - cap),
+        "every suppressed arrival must emit one signal row per band")
+      assert(overflow.select("id_a").distinct().count() === (10000L - cap))
+    } finally q.stop()
+  }
+
   test("nearDupGroup TTL path: registers the timeout, drops state on expiry") {
     // drive the state function directly (ProcessingTimeTimeout streams
     // busy-spin under processAllAvailable — see harness notes), so the
