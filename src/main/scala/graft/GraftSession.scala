@@ -36,4 +36,19 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** [[local]] with the production streaming config ([[streamingTune]]:
+    * RocksDB state store) — the default for the streaming drive mains,
+    * so every stateful pipeline (dedup, join, apportion, near-dup,
+    * attribution) is exercised on the store it would run on at scale. */
+  def localStreaming(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = streamingTune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 }

@@ -279,7 +279,10 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 10k identical docs → ONE bucket per band gets every doc. With a
     // cap of 64, state must stop at 64 members per bucket, pairs at
     // C(64,2) per band, and every suppressed arrival must surface as
-    // an id_b == BucketOverflow signal row.
+    // an id_b == BucketOverflow signal row. Runs on RocksDB — the
+    // production store for exactly the hot-state scenario this guards.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val cap = 64
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val mem = MemoryStream[(Long, String)]
@@ -302,7 +305,10 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(overflow.count() === 8L * (10000 - cap),
         "every suppressed arrival must emit one signal row per band")
       assert(overflow.select("id_a").distinct().count() === (10000L - cap))
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("nearDupGroup TTL path: registers the timeout, drops state on expiry") {

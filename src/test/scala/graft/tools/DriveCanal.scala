@@ -32,7 +32,7 @@ object DriveCanal {
       lines.mkString("", "\n", "\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
 
-    val spark = GraftSession.local("drive-canal")
+    val spark = GraftSession.localStreaming("drive-canal")
     val q = Runner.mixedRouterQuery(spark, inDir, s"$workDir/routed", s"$workDir/ckpt")
     q.processAllAvailable(); q.stop()
 

@@ -7,7 +7,7 @@ import graft.streaming.Runner
 object DriveMultiSink {
   def main(args: Array[String]): Unit = {
     val Array(cdcDir, outRoot) = args
-    val spark = GraftSession.local("drive-multisink")
+    val spark = GraftSession.localStreaming("drive-multisink")
     val q = Runner.orderWideMultiSinkQuery(spark, cdcDir,
       s"$outRoot/detail", s"$outRoot/agg", s"$outRoot/ckpt")
     val deadline = System.nanoTime() + 45L * 1000 * 1000 * 1000

@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
 object DriveRefreshDim {
   def main(args: Array[String]): Unit = {
     val Array(root) = args
-    val spark = GraftSession.local("drive-refresh-dim")
+    val spark = GraftSession.localStreaming("drive-refresh-dim")
     import spark.implicits._
     val inDir = s"$root/in"; Files.createDirectories(Paths.get(inDir))
     val dimDir = s"$root/dim"

@@ -20,7 +20,7 @@ object DriveRestart {
     val Array(phase, root) = args
     val cdcDir = s"$root/cdc"
     Files.createDirectories(Paths.get(cdcDir))
-    val spark = GraftSession.local("drive-restart")
+    val spark = GraftSession.localStreaming("drive-restart")
     def feed(name: String, lines: String*): Unit =
       Files.writeString(Paths.get(s"$cdcDir/$name"), lines.mkString("\n"))
     if (phase == "1") {

@@ -11,7 +11,7 @@ import graft.streaming.Runner
 object DriveStreams {
   def main(args: Array[String]): Unit = {
     val Array(startDir, cdcDir, outRoot) = args
-    val spark = GraftSession.local("drive-streams")
+    val spark = GraftSession.localStreaming("drive-streams")
 
     println("=== SQL cosine_similarity ===")
     spark.sql(
