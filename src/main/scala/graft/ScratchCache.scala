@@ -1,0 +1,80 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.storage.StorageLevel
+
+/** Auto-unpersist for operator-internal scratch relations.
+  *
+  * Operators persist small index relations (shingle hashes, banded
+  * buckets, LSH signatures, tf counts) that several branches of the
+  * RETURNED lazy plan consume — the persist must outlive the method,
+  * so the operator itself can never unpersist it. [[arm]] registers
+  * the relation instead: a per-session [[QueryExecutionListener]]
+  * unpersists it right after the first completed action whose analyzed
+  * plan read it — which is by construction the caller's
+  * materialization of the operator's result. A long-lived session
+  * running many queries therefore does not accumulate cached scratch,
+  * with no `clearCache()` contract on callers.
+  *
+  * Semantics notes: unpersisting is a cache hint — a caller running a
+  * SECOND action over the same result recomputes the scratch relation
+  * (correct, merely colder). The listener bus is asynchronous, so the
+  * sweep lands shortly after the action returns, not inside it.
+  * Already-unpersisted entries (operators on a fast path may unpersist
+  * explicitly) are dropped on the next sweep. */
+object ScratchCache {
+  private case class Armed(df: DataFrame,
+                           plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  private val armed = new ConcurrentLinkedQueue[Armed]()
+  private val sessions = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Persist `df` (MEMORY_AND_DISK) as operator-internal scratch and
+    * arm it for auto-unpersist after the next caller action that reads
+    * it. Returns `df` for chaining. */
+  def arm(df: DataFrame): DataFrame = {
+    if (df.storageLevel == StorageLevel.NONE) df.persist(StorageLevel.MEMORY_AND_DISK)
+    armed.add(Armed(df, df.queryExecution.analyzed))
+    val spark = df.sparkSession
+    if (sessions.add(spark))
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+                               durationNs: Long): Unit = sweep(qe)
+        override def onFailure(funcName: String, qe: QueryExecution,
+                               exception: Exception): Unit = sweep(qe)
+      })
+    df
+  }
+
+  private def sweep(qe: QueryExecution): Unit = {
+    val it = armed.iterator()
+    while (it.hasNext) {
+      val entry = it.next()
+      val dead = entry.df.storageLevel == StorageLevel.NONE
+      val referenced = dead || {
+        try qe.analyzed.collectFirst {
+          case p if p.sameResult(entry.plan) => ()
+        }.isDefined
+        catch { case _: Throwable => false }
+      }
+      if (referenced) {
+        it.remove()
+        if (!dead) {
+          // non-blocking: the sweep must not stall the listener bus
+          try entry.df.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+        }
+      }
+    }
+  }
+
+  /** Test/diagnostic hook: number of armed, still-cached relations. */
+  def pending: Int = {
+    var n = 0
+    armed.forEach(e => if (e.df.storageLevel != StorageLevel.NONE) n += 1)
+    n
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{ScratchCache, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,11 +11,12 @@ import org.apache.spark.sql.functions._
   * key-equality shuffle join, which is the only formulation that
   * survives 100 TB (a naive pairwise compare is O(n²) and does not).
   *
-  * Caching contract: operators `persist()` small scalar index relations
-  * that feed both sides of a self-join and do NOT unpersist them (the
-  * returned DataFrame still depends on them). Callers running many
-  * queries in one session should `spark.catalog.clearCache()` between
-  * queries — Verify and Bench both do.
+  * Caching contract: operators persist small scalar index relations
+  * that feed both sides of a self-join (the returned DataFrame still
+  * depends on them, so the method cannot unpersist). Each is armed via
+  * [[graft.ScratchCache]], which unpersists it automatically after the
+  * caller's first materializing action — long-lived sessions need no
+  * `clearCache()` between queries (ScratchCacheSpec pins this).
   */
 object Dedup {
 
@@ -97,19 +98,18 @@ object Dedup {
     // evaluations of tokenize+shingle+sort otherwise. Long arrays
     // (~100 × 8 B/doc) cache columnar-cheap, unlike the string-shingle
     // arrays that made caching a loss upstream (ProfileDedup).
-    val docs = withShingleHashes(Tables.documents(spark, dir), "text")
-      .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
-      .persist()
+    val docs = ScratchCache.arm(
+      withShingleHashes(Tables.documents(spark, dir), "text")
+        .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh")))
     val prefixLen = (col("n_sh") - ceil(lit(minJ) * col("n_sh")) + 1).cast("int")
     // persist the exploded PREFIX index (plain rows, ~prefixLen per
     // doc): it sits on both sides of the candidate self-join, which
     // would otherwise run the shingle+sort projection twice. Array-free
     // rows cache cheaply — unlike the per-doc shingle arrays, whose
     // columnar-cache cost exceeded their recompute cost (ProfileDedup).
-    val pinv = docs
+    val pinv = ScratchCache.arm(docs
       .select(col("doc_id"), col("n_sh"),
-        explode(slice(col("sh_hashes"), lit(1), prefixLen)).as("sh"))
-      .persist()
+        explode(slice(col("sh_hashes"), lit(1), prefixLen)).as("sh")))
     val a = pinv.select(col("sh"), col("doc_id").as("id_a"), col("n_sh").as("n_a"))
     val b = pinv.select(col("sh"), col("doc_id").as("id_b"), col("n_sh").as("n_b"))
     // length filter: J ≥ minJ forces min(n)/max(n) ≥ minJ — prune
@@ -169,20 +169,19 @@ object Dedup {
     // fixed-width longs instead of strings (~64× fewer string hashes —
     // measured ~2 s → sub-second at sf0.1), all minima in ONE fused
     // codegen loop (functions.MinHashSigs).
-    val docs = withShingleHashes(Tables.documents(spark, dir), "text")
-      .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
-      .persist() // feeds the banded index and both verify joins (see d2)
+    val docs = ScratchCache.arm( // feeds the banded index and both verify joins (see d2)
+      withShingleHashes(Tables.documents(spark, dir), "text")
+        .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh")))
     // persist the banded index (plain (doc, band, bucket) rows): it sits
     // on both sides of the bucket self-join, which would otherwise run
     // the minhash projection twice (~2× at sf0.1).
-    val banded = docs
+    val banded = ScratchCache.arm(docs
       .select(col("doc_id"),
         graft.functions.MinHashSigs.minhash_sigs(
           col("sh_hashes"), lit(numHashes)).as("sigs"))
       .select(col("doc_id"),
         posexplode(array(bandHashCols(col("sigs"), numHashes, bands): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .persist()
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
     val cand = l.join(r, Seq("band", "bucket"))
@@ -265,11 +264,11 @@ object Dedup {
     // persist the chunked index (4 scalars/row): it feeds BOTH sides of
     // the bucket self-join, which would otherwise tokenize+simhash the
     // corpus twice (self-joins re-execute unshared subtrees per side)
-    val chunked = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until nChunks).map(c =>
-        shiftright(col("simhash"), c * width).bitwiseAND(mask)): _*)))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
-      .persist()
+    val chunked = ScratchCache.arm(
+      sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until nChunks).map(c =>
+          shiftright(col("simhash"), c * width).bitwiseAND(mask)): _*)))
+        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key"))
     val l = chunked.select(col("chunk"), col("key"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val r = chunked.select(col("chunk"), col("key"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
     l.join(r, Seq("chunk", "key"))
@@ -410,6 +409,11 @@ object Dedup {
     if (!converged)
       sys.error(s"nearDupClusters did not converge in $maxIters rounds — " +
         "component diameter exceeds maxIters; raise it for this corpus")
+    // scratch that outlives the method (pair graph + final label frame;
+    // the per-round frames were unpersisted in the loop): arm AFTER the
+    // loop so no internal action sweeps them mid-propagation
+    ScratchCache.arm(pairs)
+    ScratchCache.arm(cached)
     val touched = labels
     val untouched = Tables.documents(spark, dir).select(col("doc_id"))
       .join(touched.select(col("doc_id")), Seq("doc_id"), "left_anti")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{ScratchCache, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -253,11 +253,11 @@ object Similarity {
     // `tables`× the corpus's array data (the array-heavy-persist trap
     // ProfileDedup measured); embeddings re-attach to the candidate ids
     // through two small joins after the scalar self-join + dedup
-    val sigs = emb.select(col("vec_id"),
-      posexplode(array((0 until tables).map(t =>
-        lshSignature(col("embedding"), t, nPlanes, dim)): _*)))
-      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-      .persist() // both sides of the bucket self-join
+    val sigs = ScratchCache.arm( // both sides of the bucket self-join
+      emb.select(col("vec_id"),
+        posexplode(array((0 until tables).map(t =>
+          lshSignature(col("embedding"), t, nPlanes, dim)): _*)))
+        .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket"))
     val l = sigs.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
     val r = sigs.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
     val cand = l.join(r, Seq("tbl", "bucket"))

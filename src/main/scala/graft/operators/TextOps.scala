@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Tables
+import graft.{ScratchCache, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -227,10 +227,10 @@ object TextOps {
     // persist: the tf relation feeds BOTH the document-frequency
     // aggregate and the scoring join — without it the 900k-token
     // explode+groupBy runs twice (plain scalar rows, cache-cheap;
-    // Verify/Bench clearCache between queries)
-    val tf = docs.select(col("doc_id"), explode(tokens("text")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .persist()
+    // armed on ScratchCache, so it unpersists after the caller's action)
+    val tf = ScratchCache.arm(
+      docs.select(col("doc_id"), explode(tokens("text")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
