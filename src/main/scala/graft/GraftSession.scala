@@ -26,24 +26,19 @@ object GraftSession {
 
   /** Local session sized by SPARK_GRAFT_CPUS (driver contract; default
     * 32 — the harness runs local[32]). */
-  def local(appName: String): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = tune(SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark
-  }
+  def local(appName: String): SparkSession = localWith(appName, tune)
 
   /** [[local]] with the production streaming config ([[streamingTune]]:
     * RocksDB state store) — the default for the streaming drive mains,
     * so every stateful pipeline (dedup, join, apportion, near-dup,
     * attribution) is exercised on the store it would run on at scale. */
-  def localStreaming(appName: String): SparkSession = {
+  def localStreaming(appName: String): SparkSession =
+    localWith(appName, streamingTune)
+
+  private def localWith(appName: String,
+      tuneFn: SparkSession.Builder => SparkSession.Builder): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = streamingTune(SparkSession.builder()
+    val spark = tuneFn(SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus))

@@ -19,27 +19,52 @@ import org.apache.spark.storage.StorageLevel
   * running many queries therefore does not accumulate cached scratch,
   * with no `clearCache()` contract on callers.
   *
-  * Semantics notes: unpersisting is a cache hint — a caller running a
-  * SECOND action over the same result recomputes the scratch relation
-  * (correct, merely colder). The listener bus is asynchronous, so the
-  * sweep lands shortly after the action returns, not inside it.
-  * Already-unpersisted entries (operators on a fast path may unpersist
-  * explicitly) are dropped on the next sweep. */
+  * Semantics notes:
+  *   - Unpersisting is a cache hint — a caller running a SECOND action
+  *     over the same result recomputes the scratch (correct, colder).
+  *   - The listener bus is asynchronous: the sweep lands shortly after
+  *     the action returns, not inside it.
+  *   - Already-unpersisted entries (fast paths may unpersist
+  *     explicitly) are dropped on the next sweep.
+  *   - Spark's cache is PLAN-keyed: if two not-yet-materialized
+  *     operator results share a scratch plan (e.g. the same
+  *     shingle-hash relation), materializing the first sweeps the
+  *     shared entry and the second recomputes it. Cost is a recompute,
+  *     never wrong results.
+  *   - Actions driven through the RDD API (`df.rdd.foreachPartition`)
+  *     bypass QueryExecutionListener and sweep nothing; [[maxArmed]]
+  *     bounds the damage — arming beyond the bound force-unpersists
+  *     the oldest entries (oldest ≈ most likely abandoned).
+  */
 object ScratchCache {
   private case class Armed(df: DataFrame,
                            plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
   private val armed = new ConcurrentLinkedQueue[Armed]()
-  private val sessions = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  // weak keys: a stopped-and-dropped SparkSession must not be retained
+  // just because an operator once armed scratch on it
+  private val sessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  /** Persist `df` (MEMORY_AND_DISK) as operator-internal scratch and
-    * arm it for auto-unpersist after the next caller action that reads
-    * it. Returns `df` for chaining. */
+  /** Leak bound for never-swept entries (abandoned results, RDD-API
+    * materialization): arming past this force-unpersists the oldest. */
+  val maxArmed: Int = 64
+
+  /** Persist `df` (MEMORY_AND_DISK, no-op if already persisted) as
+    * operator-internal scratch and arm it for auto-unpersist after the
+    * next caller action that reads it. Returns `df` for chaining. */
   def arm(df: DataFrame): DataFrame = {
     if (df.storageLevel == StorageLevel.NONE) df.persist(StorageLevel.MEMORY_AND_DISK)
     armed.add(Armed(df, df.queryExecution.analyzed))
+    while (armed.size > maxArmed) {
+      val oldest = armed.poll()
+      if (oldest != null && oldest.df.storageLevel != StorageLevel.NONE) {
+        try oldest.df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
+    }
     val spark = df.sparkSession
-    if (sessions.add(spark))
+    if (sessions.put(spark, java.lang.Boolean.TRUE) == null)
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
                                durationNs: Long): Unit = sweep(qe)

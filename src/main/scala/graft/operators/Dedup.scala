@@ -98,18 +98,32 @@ object Dedup {
     // evaluations of tokenize+shingle+sort otherwise. Long arrays
     // (~100 × 8 B/doc) cache columnar-cheap, unlike the string-shingle
     // arrays that made caching a loss upstream (ProfileDedup).
-    val docs = ScratchCache.arm(
+    val (out, scratch) = ngramJaccardScratch(spark, dir, minJ)
+    scratch.foreach(ScratchCache.arm)
+    out
+  }
+
+  /** [[ngramJaccard]] body with the scratch persists UNARMED and
+    * returned to the caller — for operators (nearDupClusters) whose own
+    * internal probe actions reference the scratch and would sweep it
+    * mid-build if it were armed here; they arm (or unpersist) once
+    * their internal actions are done. */
+  private[operators] def ngramJaccardScratch(spark: SparkSession, dir: String,
+      minJ: Double): (DataFrame, Seq[DataFrame]) = {
+    val docs =
       withShingleHashes(Tables.documents(spark, dir), "text")
-        .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh")))
+        .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
+        .persist()
     val prefixLen = (col("n_sh") - ceil(lit(minJ) * col("n_sh")) + 1).cast("int")
     // persist the exploded PREFIX index (plain rows, ~prefixLen per
     // doc): it sits on both sides of the candidate self-join, which
     // would otherwise run the shingle+sort projection twice. Array-free
     // rows cache cheaply — unlike the per-doc shingle arrays, whose
     // columnar-cache cost exceeded their recompute cost (ProfileDedup).
-    val pinv = ScratchCache.arm(docs
+    val pinv = docs
       .select(col("doc_id"), col("n_sh"),
-        explode(slice(col("sh_hashes"), lit(1), prefixLen)).as("sh")))
+        explode(slice(col("sh_hashes"), lit(1), prefixLen)).as("sh"))
+      .persist()
     val a = pinv.select(col("sh"), col("doc_id").as("id_a"), col("n_sh").as("n_a"))
     val b = pinv.select(col("sh"), col("doc_id").as("id_b"), col("n_sh").as("n_b"))
     // length filter: J ≥ minJ forces min(n)/max(n) ≥ minJ — prune
@@ -118,7 +132,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b") &&
         least(col("n_a"), col("n_b")) >= ceil(lit(minJ) * greatest(col("n_a"), col("n_b"))))
       .select(col("id_a"), col("id_b")).distinct()
-    cand
+    val verified = cand
       .join(docs.select(col("doc_id").as("id_a"), col("sh_hashes").as("sh_a"),
         col("n_sh").as("n_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("sh_hashes").as("sh_b"),
@@ -131,6 +145,7 @@ object Dedup {
         col("n_common") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= minJ)
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+    (verified, Seq(docs, pinv))
   }
 
   /** MinHash signatures: `numHashes` permutations approximated by
@@ -315,7 +330,11 @@ object Dedup {
   def nearDupClusters(spark: SparkSession, dir: String, minJ: Double = ngramMinJ,
                       maxIters: Int = 20,
                       driverMaxEdges: Int = 100000): DataFrame = {
-    val pairs = ngramJaccard(spark, dir, minJ).select(col("id_a"), col("id_b"))
+    // unarmed variant: the fast-path probe collect below is an ACTION
+    // referencing this scratch — armed, the sweep would unpersist it
+    // before the distributed fall-through materializes pairs fully
+    val (pairsRaw, scratch) = ngramJaccardScratch(spark, dir, minJ)
+    val pairs = pairsRaw.select(col("id_a"), col("id_b"))
       .persist() // consumed twice on the fast path, per-round on the slow
     // SMALL-GRAPH FAST PATH: the near-dup PAIR graph of a real corpus is
     // minuscule relative to the corpus (it is the output of a J ≥ minJ
@@ -353,6 +372,7 @@ object Dedup {
         // first: find() path-compresses values during the traversal
         val labels = parent.keys.toSeq.map(x => (x, find(x)))
         pairs.unpersist()
+        scratch.foreach(_.unpersist()) // fast-path result doesn't read them
         import spark.implicits._
         val labelDf = labels.toDF("doc_id", "cluster_id")
         return Tables.documents(spark, dir).select(col("doc_id"))
@@ -409,9 +429,11 @@ object Dedup {
     if (!converged)
       sys.error(s"nearDupClusters did not converge in $maxIters rounds — " +
         "component diameter exceeds maxIters; raise it for this corpus")
-    // scratch that outlives the method (pair graph + final label frame;
-    // the per-round frames were unpersisted in the loop): arm AFTER the
-    // loop so no internal action sweeps them mid-propagation
+    // scratch that outlives the method (shingle/prefix indexes, pair
+    // graph, final label frame; the per-round frames were unpersisted in
+    // the loop): arm AFTER the loop so no internal action sweeps it
+    // mid-propagation
+    scratch.foreach(ScratchCache.arm)
     ScratchCache.arm(pairs)
     ScratchCache.arm(cached)
     val touched = labels

@@ -246,7 +246,11 @@ object Pipelines {
     * at a saturated bucket emits ONE overflow-signal row
     * (`id_b == BucketOverflow`) instead of candidate pairs — state and
     * output both stay bounded, and the suppression is observable in
-    * the stream rather than silent. Members of a bucket that hot are
+    * the stream rather than silent. Signal rows are per-DELIVERY
+    * (at-least-once: recording suppressed ids would unbound the state
+    * the cap exists to bound, so a replayed doc re-signals —
+    * `dropDuplicates("id_a","band")` downstream if exactly-once
+    * overflow counting matters). Members of a bucket that hot are
     * stop-shingle collisions, not near-dups; route signal rows to a
     * dense-bucket side channel if those docs need a second pass. */
   def nearDupCandidates(docs: DataFrame, numHashes: Int = 16, bands: Int = 8,
