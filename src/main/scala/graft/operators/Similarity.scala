@@ -302,7 +302,44 @@ object Similarity {
       .select(col("vec_id"), col("pos").as("idx"), col("scale"),
         col("col").as("q_i"))
 
+  /** v7: per-label embedding outliers — the standard data-quality pass
+    * over a labeled corpus: compute each label's centroid, score every
+    * vector by L2 distance to its own label's centroid, surface the
+    * `topK` farthest per label (mislabeled/degenerate candidates).
+    *
+    * Scale shape: the per-dimension centroid aggregate shuffles only
+    * labels × dims partial aggregates (map-side combined); centroids
+    * come back as per-label arrays and join broadcast; the distance is
+    * one sequential per-row fold (codegen, no shuffle); top-k per label
+    * is a WindowGroupLimit. Float parity: centroid components are
+    * rounded to 9 dp (a distributed mean's last ulp is
+    * summation-order-dependent), distances to 6 dp — both sides of the
+    * oracle fold the same (v - c)² sequence in the same order. */
+  def centroidOutliers(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // (label, dim, mean) — one narrow posexplode + one keyed agg
+    val byDim = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("c"))
+    // reassemble ordered centroid arrays (labels × dims rows — tiny)
+    val cents = byDim.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => round(s.getField("c"), 9)).as("centroid"))
+    val dist = emb.join(broadcast(cents), "label")
+      .withColumn("d2", aggregate(
+        zip_with(col("embedding"), col("centroid"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("dist", round(sqrt(col("d2")), 6))
+    val w = Window.partitionBy(col("label")).orderBy(col("dist").desc, col("vec_id"))
+    dist.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("label"), col("rank"), col("vec_id"), col("dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v7_centroid_outliers" -> ((s, d) => centroidOutliers(s, d)),
     "v6_quantize_int8" -> quantizeInt8Rows,
     // v2/v5 gate profile (nPlanes=3, tables=24): recall-complete on the
     // pinned corpora (probed mechanically by Verify before attaching
@@ -333,6 +370,26 @@ object Similarity {
         |            ELSE CAST(round(e[CAST(i AS INTEGER) + 1] / scale) AS INTEGER)
         |       END AS q_i
         |FROM x""".stripMargin,
+    "v7_centroid_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |byd AS (
+        |  SELECT label, i, avg(v[CAST(i AS INTEGER) + 1]) AS c
+        |  FROM e, (SELECT UNNEST(range(0, 64)) AS i) t
+        |  GROUP BY label, i),
+        |cents AS (
+        |  SELECT label, list_transform(list(c ORDER BY i), x -> round(x, 9)) AS centroid
+        |  FROM byd GROUP BY label),
+        |d AS (
+        |  SELECT e.vec_id, e.label,
+        |         round(sqrt(list_dot_product(
+        |           [v[i+1] - centroid[i+1] FOR i IN range(0, len(v))],
+        |           [v[i+1] - centroid[i+1] FOR i IN range(0, len(v))])), 6) AS dist
+        |  FROM e JOIN cents USING (label)),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+        |    ORDER BY dist DESC, vec_id) AS rank FROM d)
+        |SELECT label, rank, vec_id, dist FROM ranked WHERE rank <= 3""".stripMargin,
     "v1_ann_bruteforce" -> exactAnnSql,
     // v2/v5's oracle is the EXACT counterpart's SQL: when the Verify
     // recall probe confirms the LSH output equals the exact sweep on

@@ -242,7 +242,83 @@ object TextOps {
       .select(col("doc_id"), col("rank"), col("tok"), col("score"))
   }
 
+  /** Distinct k-token shingles per document, as STRINGS — the
+    * cross-engine-checkable gram unit for the corpus-statistic
+    * operators below (decontaminate/boilerplate). A production run at
+    * 100 TB would hash each gram to a long first (xxhash64, as the
+    * dedup family does) to shrink the shuffled keys 10×; strings keep
+    * these two under the DuckDB value gate. */
+  private def docGrams(spark: SparkSession, dir: String, k: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens("text").as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(tokenWindows(col("toks"), k, 1))).as("gram"))
+
+  /** t12: benchmark decontamination — the standard pre-training pass
+    * that flags training documents sharing any k-gram with a held-out
+    * evaluation set (here: doc_id < `evalN` stands in for the benchmark
+    * suite). Per surviving doc: how many of its distinct k-grams appear
+    * anywhere in the eval set, and the keep/flag verdict. Scale shape:
+    * the eval-gram dictionary is tiny relative to the corpus —
+    * broadcast semi/inner join against it, so the 100 TB train side is
+    * one narrow explode + one map-side join + one per-doc count; no
+    * all-pairs, no corpus shuffle on gram. */
+  def decontaminate(spark: SparkSession, dir: String, evalN: Long = 50,
+                    k: Int = 5): DataFrame = {
+    val grams = docGrams(spark, dir, k)
+    val evalGrams = grams.filter(col("doc_id") < evalN)
+      .select(col("gram")).distinct()
+    val matched = grams.filter(col("doc_id") >= evalN)
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    Tables.documents(spark, dir).filter(col("doc_id") >= evalN)
+      .select(col("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("contaminated", col("n_matched") > 0)
+  }
+
+  /** t13: inter-document boilerplate profile (CCNet-style) — grams that
+    * recur across many DISTINCT documents are template/boilerplate, not
+    * content; per doc, the fraction of its distinct grams that are
+    * corpus-boilerplate is the drop signal. Same two-keyed-agg shape as
+    * tfidf: gram document-frequency (shuffle bounded by distinct
+    * grams), join back, per-doc ratio. */
+  def boilerplate(spark: SparkSession, dir: String, k: Int = 3,
+                  minDf: Int = 25): DataFrame = {
+    val grams = ScratchCache.arm(docGrams(spark, dir, k))
+    val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler") / col("n_grams").cast("double"), 6))
+  }
+
+  /** t14: deterministic stratified sampling — `quota` documents per
+    * language, selected by md5-rank (reproducible across engines, runs
+    * and partitionings; the split-family trick of t9 applied to quota
+    * sampling). Per-stratum top-k runs as a WindowGroupLimit (rank
+    * pushed into the shuffle); at extreme stratum cardinality you'd
+    * pre-filter on an md5 threshold first and rank the survivors. */
+  def stratifiedSample(spark: SparkSession, dir: String, quota: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("rk_key"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string").cast("binary")).as("rk_key"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "t13_boilerplate" -> ((s, d) => boilerplate(s, d)),
+    "t14_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "t11_tfidf" -> ((s, d) => tfidf(s, d)),
     "t10_filter_decision" -> filterDecision,
     "t9_hash_split" -> hashSplit,
@@ -278,7 +354,44 @@ object TextOps {
        |FROM ranked WHERE r = 1""".stripMargin
   }
 
+  /** Distinct-k-gram CTE shared by the t12/t13 oracles — same window
+    * arithmetic as Dedup's shingle CTE, parameterized by k. */
+  private def gramCte(k: Int): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         UNNEST(list_distinct([array_to_string(t[i+1:i+$k], ' ')
+       |                               FOR i IN range(0, GREATEST(LEN(t)-$k, 0) + 1)])) AS gram
+       |  FROM toks)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "t12_decontaminate" ->
+      s"""WITH ${gramCte(5)},
+        |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+        |m AS (
+        |  SELECT g.doc_id, COUNT(*) AS n FROM g JOIN eg USING (gram)
+        |  WHERE g.doc_id >= 50 GROUP BY g.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_matched,
+        |       COALESCE(m.n, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+        |LEFT JOIN m USING (doc_id)""".stripMargin,
+    "t13_boilerplate" ->
+      s"""WITH ${gramCte(3)},
+        |dfreq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1)
+        |SELECT g.doc_id, COUNT(*) AS n_grams,
+        |       CAST(SUM(CASE WHEN dfreq.df >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |       ROUND(CAST(SUM(CASE WHEN dfreq.df >= 25 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / COUNT(*), 6) AS boiler_ratio
+        |FROM g JOIN dfreq USING (gram)
+        |GROUP BY g.doc_id""".stripMargin,
+    "t14_stratified_sample" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 20""".stripMargin,
     "t11_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS tok

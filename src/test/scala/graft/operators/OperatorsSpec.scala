@@ -426,6 +426,56 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decontaminate: eval docs excluded, flags match gram overlap, full train coverage") {
+    import spark.implicits._
+    val out = TextOps.decontaminate(spark, sf).as[(Long, Long, Boolean)].collect()
+    val nTrain = Tables.documents(spark, sf).filter($"doc_id" >= 50).count()
+    assert(out.length === nTrain, "one row per train doc, zero-match docs included")
+    assert(out.forall(_._1 >= 50), "eval docs must not appear in the output")
+    out.foreach { case (id, n, flag) => assert(flag === (n > 0), s"flag mismatch for $id") }
+    // the corpus shares a 31-word vocabulary — SOME contamination must exist,
+    // and the 5-gram unit must not flag everything
+    assert(out.exists(_._3) )
+  }
+
+  test("boilerplate: ratio in [0,1], counts consistent, high-df grams flagged") {
+    import spark.implicits._
+    val out = TextOps.boilerplate(spark, sf).as[(Long, Long, Long, Double)].collect()
+    assert(out.length === Tables.documents(spark, sf).count())
+    out.foreach { case (id, nG, nB, r) =>
+      assert(nB <= nG && r >= 0.0 && r <= 1.0, s"bounds violated for $id")
+      assert(math.abs(r - nB.toDouble / nG) < 1e-6)
+    }
+  }
+
+  test("stratified sample: exact per-language quota, deterministic across runs") {
+    import spark.implicits._
+    val a = TextOps.stratifiedSample(spark, sf).as[(Long, String, Int)].collect().toSet
+    val b = TextOps.stratifiedSample(spark, sf).as[(Long, String, Int)].collect().toSet
+    assert(a === b, "md5-ranked sample must be run-deterministic")
+    val perLang = a.groupBy(_._2).view.mapValues(_.size).toMap
+    val langSizes = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    langSizes.foreach { case (lang, n) =>
+      assert(perLang(lang) === math.min(20L, n).toInt, s"quota wrong for $lang")
+    }
+  }
+
+  test("centroid outliers: per-label top-3 by distance, ranks ordered, self-consistent") {
+    import spark.implicits._
+    val out = Similarity.centroidOutliers(spark, sf)
+      .as[(Int, Int, Long, Double)].collect()
+    val byLabel = out.groupBy(_._1)
+    val nLabels = Tables.embeddings(spark, sf).select("label").distinct().count()
+    assert(byLabel.size === nLabels)
+    byLabel.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq === Seq(1, 2, 3))
+      // rank order must follow distance descending
+      val sorted = rows.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
   test("hyperplane_sig is bit-identical to the per-plane xxhash64 fold") {
     val emb = Tables.embeddings(spark, sf)
     val t = 1; val nPlanes = 8
