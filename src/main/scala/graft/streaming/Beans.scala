@@ -61,6 +61,12 @@ final case class StartLog(mid: String, uid: String, ar: String, ch: String,
 final case class ClickState(ts: Timestamp, id: Long)
 
 /** Output of streaming last-touch attribution: a purchase joined to the
-  * user's latest preceding click (None when no click qualifies). */
+  * user's latest preceding click (None when no click qualifies).
+  * `stale_state` marks the one divergence from the batch as-of source
+  * of truth: the stored click was NEWER than this (late) purchase, so a
+  * qualifying older click may have been overwritten — the batch join
+  * might attribute where the stream emits None. Monitor its rate to
+  * observe drift. */
 final case class Attribution(event_id: Long, user_id: Long, ts: Timestamp,
-    click_id: Option[Long], click_ts: Option[Timestamp])
+    click_id: Option[Long], click_ts: Option[Timestamp],
+    stale_state: Boolean = false)

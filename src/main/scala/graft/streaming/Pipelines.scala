@@ -373,7 +373,11 @@ object Pipelines {
             last = Some(ClickState(ts, id))
         case (id, uid, ts, _) =>
           val valid = last.filter(_.ts.compareTo(ts) <= 0)
-          out += Attribution(id, uid, ts, valid.map(_.id), valid.map(_.ts))
+          // flag the batch-divergence case: a stored click NEWER than
+          // this purchase means an older qualifying click may have been
+          // overwritten (state keeps one click, not a history)
+          out += Attribution(id, uid, ts, valid.map(_.id), valid.map(_.ts),
+            stale_state = valid.isEmpty && last.nonEmpty)
       }
     last.foreach(state.update)
     if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)

@@ -88,10 +88,15 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
       mem.addData(
         (7L, ts("2024-01-01 00:00:35"), 7L, "purchase")) // LATE: stored click 5 is newer → None
       q.processAllAvailable()
-      val out = spark.table("attr_out").as[Attribution]
-        .collect().map(a => a.event_id -> a.click_id).toMap
+      val rows = spark.table("attr_out").as[Attribution].collect()
+      val out = rows.map(a => a.event_id -> a.click_id).toMap
       assert(out === Map(2L -> Some(1L), 3L -> None, 4L -> Some(1L),
         6L -> Some(5L), 7L -> None))
+      // observability: the late purchase whose None came from a NEWER
+      // stored click is flagged; the never-clicked user's None is not
+      val stale = rows.map(a => a.event_id -> a.stale_state).toMap
+      assert(stale === Map(2L -> false, 3L -> false, 4L -> false,
+        6L -> false, 7L -> true))
     } finally q.stop()
   }
 
