@@ -252,7 +252,12 @@ object Similarity {
     // the exploded relation with its embedding arrays would cache
     // `tables`× the corpus's array data (the array-heavy-persist trap
     // ProfileDedup measured); embeddings re-attach to the candidate ids
-    // through two small joins after the scalar self-join + dedup
+    // through two small joins after the scalar self-join + dedup.
+    // (A/B'd: replacing the distinct() with a first-colliding-table
+    // filter against broadcast signature arrays was ~3× SLOWER — the
+    // distinct is map-side combined, so the candidate fan-out collapses
+    // before it shuffles, while the filter variant dragged four
+    // broadcast joins across the full fan-out.)
     val sigs = ScratchCache.arm( // both sides of the bucket self-join
       emb.select(col("vec_id"),
         posexplode(array((0 until tables).map(t =>
