@@ -286,9 +286,12 @@ object GmallQueries {
     * division, small-range ln correction, round 4dp half-up). Used by
     * the streaming sketch (Pipelines.dauHllStream), whose estimates are
     * pinned equal to q22's by a spec. */
-  object Hll {
-    val m: Int = 256 // 2^bBits registers
-    val bBits: Int = 8 // log2(m) — register-index bits of the hash
+  /** Portable-HLL parameter block + shared derivations, parametric in
+    * the register count (m = 2^bBits). [[Hll]] is the m=256 instance
+    * every gate query/stream uses; HllSpec exercises other widths
+    * (estimate error shrinks ~1.04/√m by construction). */
+  class HllParams(val bBits: Int) {
+    val m: Int = 1 << bBits // register count
     val hexChars: Int = 15 // md5 hex chars used → hashBits = 4 × this
     val hashBits: Int = 4 * hexChars // 60: fits signed 64-bit anywhere
     val wBits: Int = hashBits - bBits // rank-observation bits
@@ -296,7 +299,7 @@ object GmallQueries {
     val scaleBits: Int = wBits + 1 // harmonic terms scaled by 2^scaleBits
     val alpha: Double = 0.7213 / (1 + 1.079 / m)
     val scale: Double = (1L << scaleBits).toDouble
-    require(m == (1 << bBits), "m must equal 2^bBits")
+    require(bBits > 0 && bBits < hashBits, s"bBits out of range: $bBits")
     require(scaleBits < 62, "scaled harmonic terms must fit a signed long")
 
     /** The ONE md5→(day, register, rank) derivation — shared by the
@@ -330,6 +333,10 @@ object GmallQueries {
       BigDecimal(e).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
   }
+
+  /** The m=256 instance — the one the q22 oracle, dauHllPortable and
+    * the streaming sketch all share. */
+  object Hll extends HllParams(8)
 
   def dauHllPortable(spark: SparkSession, dir: String): DataFrame = {
     val m = Hll.m

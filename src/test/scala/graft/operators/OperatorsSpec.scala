@@ -230,6 +230,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("parametric HLL: wider registers stay within their tighter error envelope") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf)
+    val exact = GmallQueries.dauDedup(spark, sf)
+      .groupBy("dt").agg(countDistinct("user_id").as("d"))
+      .select(col("dt").cast("string"), col("d")).as[(String, Long)].collect().toMap
+    // the same sketch machinery at m=1024 and m=64: the per-m error
+    // envelope (3 × 1.04/√m) must hold at each width — the constants
+    // and register/rank arithmetic all derive from bBits
+    Seq(10 -> 0.10, 6 -> 0.40).foreach { case (bBits, bound) =>
+      val p = new GmallQueries.HllParams(bBits)
+      val est = p.registerRanks(events)
+        .groupBy(col("dt"), col("j")).agg(max(col("rank")).as("r"))
+        .groupBy(col("dt"))
+        .agg(collect_list(struct(col("j"), col("r"))).as("regs"))
+        .select(col("dt").cast("string"), col("regs"))
+        .as[(String, Seq[(Int, Int)])].collect()
+        .map { case (dt, regs) =>
+          val arr = new Array[Int](p.m)
+          regs.foreach { case (j, r) => arr(j) = r }
+          dt -> p.estimate(arr)
+        }.toMap
+      assert(est.keySet === exact.keySet)
+      est.foreach { case (dt, a) =>
+        val e = exact(dt)
+        assert(math.abs(a - e) / e <= bound,
+          s"m=${p.m} $dt: hll $a vs exact $e exceeds $bound")
+      }
+    }
+  }
+
   test("lang_id: deterministic and total (one prediction per doc)") {
     val l1 = TextOps.langId(spark, sf)
     assert(l1.count() === Tables.documents(spark, sf).count())
