@@ -472,7 +472,44 @@ object Dedup {
         col("n_members"))
   }
 
+  /** d11: duplicated-span coverage — the exact-substring dedup signal:
+    * per document, how many of its k-token windows (stride 1, every
+    * occurrence counted) appear verbatim in at least one OTHER
+    * document. Any cross-document duplicated token span of length ≥ k
+    * contains a duplicated k-window and vice versa, so window-level
+    * coverage is an exact detector for ≥k-token copied spans — the
+    * within-Spark analogue of suffix-array substring dedup (the
+    * "train-data dedup" pass), with within-doc repetition excluded
+    * (that is t8's signal). Scale shape: one explode, a distinct
+    * (doc,gram) pre-aggregation, and a gram-keyed join — all shuffles
+    * bounded by distinct grams, never all-pairs; at 100 TB you would
+    * xxhash64 the gram strings to shrink shuffle keys (as d3 does) —
+    * strings keep this under the DuckDB value gate. */
+  def exactSubstring(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    exactSubstringOn(Tables.documents(spark, dir), k)
+
+  /** [[exactSubstring]] over any (doc_id, text) frame. */
+  def exactSubstringOn(docs: DataFrame, k: Int): DataFrame = {
+    // every window occurrence (NOT distinct — coverage counts repeats)
+    val wins = ScratchCache.arm(
+      docs
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(tokenWindows(col("toks"), k, 1)).as("gram")))
+    val dupGrams = wins.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("gram"), lit(1L).as("is_dup"))
+    wins.join(dupGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup") / col("n_windows").cast("double"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_exact_substring" -> ((s, d) => exactSubstring(s, d)),
     "d7_near_dup_clusters" -> ((s, d) => nearDupClusters(s, d)),
     "d8_keep_best" -> ((s, d) => keepBest(s, d)),
     "d1_dedup_exact" -> exact,
@@ -540,6 +577,22 @@ object Dedup {
        |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d11_exact_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, UNNEST([array_to_string(t[i+1:i+8], ' ')
+        |                         FOR i IN range(0, GREATEST(LEN(t)-8, 0) + 1)]) AS gram
+        |  FROM toks),
+        |dg AS (
+        |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM w)
+        |  GROUP BY gram HAVING COUNT(*) >= 2)
+        |SELECT w.doc_id, COUNT(*) AS n_windows,
+        |       CAST(SUM(CASE WHEN dg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |       ROUND(SUM(CASE WHEN dg.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+        |FROM w LEFT JOIN dg ON w.gram = dg.gram
+        |GROUP BY w.doc_id""".stripMargin,
     "d7_near_dup_clusters" ->
       s"""$clustersSqlPrefix
          |SELECT doc_id, cluster_id FROM clusters""".stripMargin,

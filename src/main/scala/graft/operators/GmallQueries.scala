@@ -438,6 +438,56 @@ object GmallQueries {
   }
 
 
+  /** q24: ordered funnel (view → click → purchase) per user — the
+    * classic product-analytics operator the reference's ADS layer
+    * gestures at but never builds. Step semantics: step 1 is the
+    * user's earliest view; step n is the earliest matching event
+    * STRICTLY AFTER step n−1 (order matters — a purchase before any
+    * view does not convert). Three keyed min-aggregations and two
+    * equi-joins, all on user_id: Catalyst reuses one hash partitioning
+    * across the chain (ReusedExchange), so at 100 TB this is
+    * effectively one shuffle of the filtered event columns — no
+    * per-user event collection, no window over global order. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def step(evType: String) = ev.filter(col("event_type") === evType)
+    val views = step("view").groupBy(col("user_id"))
+      .agg(min(col("ts")).as("view_ts"))
+    val clicks = step("click").join(views, "user_id")
+      .filter(col("ts") > col("view_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+    val purchases = step("purchase").join(clicks, "user_id")
+      .filter(col("ts") > col("click_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+    views
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_ts"), col("click_ts"),
+        col("purchase_ts"),
+        (lit(1) + when(col("click_ts").isNotNull, 1).otherwise(0)
+          + when(col("purchase_ts").isNotNull, 1).otherwise(0)).as("max_step"))
+  }
+
+  /** q25: cohort retention triangle — users grouped by first-activity
+    * date, counted distinct on each later active day, reported as
+    * (cohort_date, day_offset, n_users). Two keyed aggregations
+    * (first-seen per user, distinct user-days) and one user-keyed
+    * join; the final rollup is bounded by cohorts × horizon, tiny at
+    * any scale. The distinct user-day pre-aggregation is what keeps
+    * the big shuffle bounded by |users|·|active days| instead of raw
+    * event count. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("d")).as("cohort_date"))
+    ev.distinct()
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort_date"),
+        datediff(col("d"), col("cohort_date")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** DuckDB-equivalent SQL per query (driver correctness oracle). Money
     * math mirrors the cents formulation exactly. */
   /** q22 oracle: identical HLL recomputed in DuckDB — constants
@@ -478,6 +528,33 @@ object GmallQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q24_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS click_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1)
+        |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+        |       1 + CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS max_step
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "q25_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |fs AS (
+        |  SELECT user_id, MIN(d) AS cohort_date FROM ud GROUP BY 1)
+        |SELECT fs.cohort_date,
+        |       CAST(DATEDIFF('day', fs.cohort_date, ud.d) AS INTEGER) AS day_offset,
+        |       COUNT(*) AS n_users
+        |FROM ud JOIN fs ON ud.user_id = fs.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q22_dau_hll_portable" -> dauHllOracle,
     "q23_running_spend" ->
       """SELECT o_custkey AS customer_id, o_orderkey AS order_id,
@@ -660,5 +737,7 @@ object GmallQueries {
     "q18_status_pivot" -> statusPivot,
     "q19_order_percentiles" -> orderPercentiles,
     "q20_set_ops" -> setOps,
+    "q24_funnel" -> funnel,
+    "q25_retention" -> retention,
   )
 }

@@ -315,7 +315,67 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("rk"))
   }
 
+  /** t15: quantile-based quality filter — keep the top `keepFrac` of
+    * each language by type-token ratio, the standard "drop the worst
+    * half per stratum" corpus-pruning pass (percentile thresholds
+    * adapt per language, unlike a global cutoff which would drop whole
+    * low-TTR languages). percent_rank = (rank−1)/(n−1) on the EXACT
+    * ttr double (IEEE division of the same int operands is
+    * bit-identical across engines), doc_id tie-break so ranks are
+    * total. One keyed window shuffle, bounded by stratum size; at
+    * extreme stratum cardinality the approx-percentile threshold
+    * (computed once, broadcast, then a narrow filter) is the scale
+    * path — this is the exact variant. */
+  def quantileFilter(spark: SparkSession, dir: String,
+                     keepFrac: Double = 0.5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("ttr"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens("text"))
+      .select(col("doc_id"), col("lang"),
+        (size(array_distinct(col("toks")))
+          / size(col("toks")).cast("double")).as("ttr"))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 1.0 - keepFrac)
+      .select(col("doc_id"), col("lang"),
+        round(col("ttr"), 6).as("ttr"), round(col("pr"), 6).as("pr"))
+  }
+
+  /** t16: sequence packing (concat-and-chunk) — assign documents to
+    * fixed-token-budget training sequences: concatenate in a
+    * deterministic md5 order and cut every `budget` tokens; a document
+    * belongs to the bin its first token lands in (GPT-style packing,
+    * where a doc may straddle the cut). Packing is inherently
+    * sequential, so the scale unit is the GROUP: docs are md5-bucketed
+    * into `nGroups` independent packing streams and the running-offset
+    * window runs per group — no global sort, no single-partition
+    * window; at 100 TB you raise nGroups to O(cluster cores) and each
+    * group's prefix-sum is one partition-local scan after the keyed
+    * shuffle. */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 512,
+                    nGroups: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("rk_key"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens("text")).as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("rk_key"))
+      .withColumn("grp",
+        (conv(substring(col("rk_key"), 1, 8), 16, 10).cast("long")
+          % nGroups).cast("int"))
+      .withColumn("start_off",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("grp"), col("n_tokens"),
+        col("start_off"),
+        floor(col("start_off") / lit(budget)).cast("int").as("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_quantile_filter" -> ((s, d) => quantileFilter(s, d)),
+    "t16_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "t12_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "t13_boilerplate" -> ((s, d) => boilerplate(s, d)),
     "t14_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
@@ -366,6 +426,38 @@ object TextOps {
        |  FROM toks)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t15_quantile_filter" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |         LEN(list_distinct(string_split_regex(TRIM(text), '\s+')))
+        |           / CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS DOUBLE) AS ttr
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, lang, ttr,
+        |         PERCENT_RANK() OVER (PARTITION BY lang
+        |                              ORDER BY ttr, doc_id) AS pr
+        |  FROM scored)
+        |SELECT doc_id, lang, ROUND(ttr, 6) AS ttr, ROUND(pr, 6) AS pr
+        |FROM ranked WHERE pr >= 0.5""".stripMargin,
+    "t16_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS rk_key
+        |  FROM documents),
+        |g AS (
+        |  SELECT *, CAST(CAST('0x' || substr(rk_key, 1, 8) AS BIGINT) % 8
+        |                 AS INTEGER) AS grp
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, grp, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY grp ORDER BY rk_key, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) - n_tokens
+        |           AS start_off
+        |  FROM g)
+        |SELECT doc_id, grp, n_tokens, start_off,
+        |       CAST(start_off // 512 AS INTEGER) AS bin
+        |FROM c""".stripMargin,
     "t12_decontaminate" ->
       s"""WITH ${gramCte(5)},
         |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),

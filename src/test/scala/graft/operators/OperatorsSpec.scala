@@ -507,6 +507,117 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("funnel: step timestamps strictly increase and max_step matches nulls") {
+    val f = GmallQueries.funnel(spark, sf).cache()
+    // later steps require earlier ones
+    assert(f.filter(col("purchase_ts").isNotNull && col("click_ts").isNull)
+      .count() === 0L)
+    // strict ordering whenever a step is present
+    assert(f.filter(col("click_ts").isNotNull &&
+      col("click_ts") <= col("view_ts")).count() === 0L)
+    assert(f.filter(col("purchase_ts").isNotNull &&
+      col("purchase_ts") <= col("click_ts")).count() === 0L)
+    // max_step is derived, not stored — re-derive and compare
+    val expected = lit(1) +
+      when(col("click_ts").isNotNull, 1).otherwise(0) +
+      when(col("purchase_ts").isNotNull, 1).otherwise(0)
+    assert(f.filter(col("max_step") =!= expected).count() === 0L)
+    // one row per user with a view event
+    val nViewUsers = Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(f.count() === nViewUsers)
+    f.unpersist()
+  }
+
+  test("retention: offset 0 holds the full cohort; later days never exceed it") {
+    val r = GmallQueries.retention(spark, sf).cache()
+    assert(r.filter(col("day_offset") < 0).count() === 0L)
+    // every user is active on their own cohort day, so offset-0 count
+    // == cohort size, and any later offset is a subset of the cohort
+    val day0 = r.filter(col("day_offset") === 0)
+      .select(col("cohort_date"), col("n_users").as("cohort_size"))
+    val cohortSizes = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id").agg(min(col("d")).as("cohort_date"))
+      .groupBy("cohort_date").agg(count(lit(1)).as("expected"))
+    assert(day0.join(cohortSizes, "cohort_date")
+      .filter(col("cohort_size") =!= col("expected")).count() === 0L)
+    assert(r.join(day0, "cohort_date")
+      .filter(col("n_users") > col("cohort_size")).count() === 0L)
+    r.unpersist()
+  }
+
+  test("quantile_filter: keeps the top half per language, threshold clean") {
+    val kept = TextOps.quantileFilter(spark, sf).cache()
+    val all = TextOps.quality(spark, sf)
+      .select(col("doc_id"), (col("n_distinct_tokens") /
+        col("n_tokens").cast("double")).as("ttr"))
+      .join(Tables.documents(spark, sf).select("doc_id", "lang"), "doc_id")
+      .cache()
+    val counts = all.groupBy("lang").count()
+      .join(kept.groupBy("lang").agg(count(lit(1)).as("kept")), "lang")
+      .collect()
+    counts.foreach { row =>
+      val n = row.getAs[Long]("count"); val k = row.getAs[Long]("kept")
+      // pr >= 0.5 keeps n − ceil((n−1)/2) rows exactly
+      assert(k === n - Math.ceil((n - 1) / 2.0).toLong,
+        s"lang ${row.getAs[String]("lang")}: kept $k of $n")
+    }
+    // no dropped doc outranks a kept one within its language
+    val dropped = all.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val minKept = kept.groupBy("lang").agg(min("ttr").as("min_kept"))
+    assert(dropped.join(minKept, "lang")
+      .filter(col("ttr") > col("min_kept")).count() === 0L)
+    kept.unpersist(); all.unpersist()
+  }
+
+  test("pack_sequences: per-group offsets tile with no gap and bins derive") {
+    import spark.implicits._
+    val p = TextOps.packSequences(spark, sf).cache()
+    // offsets within a group form a contiguous tiling: sorted by
+    // start_off, each doc starts where the previous one ended
+    val bad = p.select("grp", "start_off", "n_tokens").as[(Int, Long, Int)]
+      .collect().groupBy(_._1).values.map { docs =>
+        val s = docs.sortBy(_._2)
+        s.head._2 == 0L &&
+          s.zip(s.tail).forall { case ((_, off, n), (_, off2, _)) => off + n == off2 }
+      }
+    assert(bad.forall(identity))
+    assert(p.filter(col("bin") =!= floor(col("start_off") / 512).cast("int"))
+      .count() === 0L)
+    p.unpersist()
+  }
+
+  test("exact_substring: counts duplicated k-windows, cross-doc only") {
+    import spark.implicits._
+    // 12 tokens each; docs 1 and 2 share tokens 4..11 (one copied
+    // 8-token span = exactly one shared window); doc 3 is disjoint;
+    // doc 4 repeats its own window twice but shares nothing cross-doc
+    val span = (4 to 11).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $span a4"),
+      (2L, s"b1 b2 b3 $span b4"),
+      (3L, (1 to 12).map(i => s"c$i").mkString(" ")),
+      (4L, "d1 d2 d3 d4 d5 d6 d7 d8 d1 d2 d3 d4 d5 d6 d7 d8"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstringOn(docs, k = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup"))).toMap
+    // 12 tokens, k=8 → 5 windows; the shared span is windows[3] only
+    assert(out(1L) === ((5L, 1L)))
+    assert(out(2L) === ((5L, 1L)))
+    assert(out(3L) === ((5L, 0L)))
+    // 16 tokens → 9 windows, all repeats are WITHIN doc 4 → no dups
+    assert(out(4L) === ((9L, 0L)))
+    // corpus run: coverage bounded, near-dup docs show partial overlap
+    val d = Dedup.exactSubstring(spark, sf).cache()
+    assert(d.filter(col("n_dup") > col("n_windows")).count() === 0L)
+    assert(d.filter(col("n_dup") > 0).count() > 0L,
+      "near-dup corpus should share some 8-token spans")
+    d.unpersist()
+  }
+
   test("hyperplane_sig is bit-identical to the per-plane xxhash64 fold") {
     val emb = Tables.embeddings(spark, sf)
     val t = 1; val nPlanes = 8
