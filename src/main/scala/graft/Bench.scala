@@ -9,8 +9,22 @@ import org.apache.spark.sql.SparkSession
   * Hadoop filesystem init otherwise land entirely in whichever query
   * runs first and distort per-query numbers. The timed pass then runs
   * each query once, forcing full materialization via count().
+  *
+  * Contention guard: queries whose two passes disagree by >3× get a
+  * third pass; if no two passes then agree within 3×, the JSON carries
+  * `load_suspect: true` + `suspect_queries` so a loaded machine can be
+  * told apart from a code regression (the BENCH_r04 failure mode).
   */
 object Bench {
+  /** Pass-to-pass disagreement: ratio of the second-smallest successful
+    * time to the smallest — 1.0 when fewer than two passes succeeded.
+    * "No two passes agree within `x`" ⇔ spread > x: the min is only
+    * trustworthy when some other pass lands near it. */
+  private[graft] def passSpread(ts: Seq[Double]): Double = {
+    val ok = ts.filter(_ >= 0).sorted
+    if (ok.size < 2 || ok.head <= 0) 1.0 else ok(1) / ok.head
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -24,8 +38,14 @@ object Bench {
     // two independent timed passes per query, report the per-query MIN:
     // single-shot timings at this scale carry ±20% of GC/page-cache/JIT
     // noise, which would otherwise dominate round-over-round comparisons
-    def timedPass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timedPass(names: Seq[String]): Seq[(String, Double)] = {
+      // each pass starts from a cold shared-relation state so d7 is
+      // timed as the full pipeline and d8 as its incremental cost —
+      // within a pass the cluster-label memo is the cross-query reuse
+      // a real dedup pipeline gets
+      operators.Dedup.invalidateClusterMemo()
+      names.sorted.map { name =>
+        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -35,10 +55,35 @@ object Bench {
         // a crashed query must not masquerade as a fast success — report -1
         name -> (if (ok) dt else -1.0)
       }
-    val passes = Seq(timedPass(), timedPass()).map(_.toMap)
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val ts = passes.map(_(name))
-      // -1 (crash) wins over any timing: a query that failed either pass
+    }
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    var passes = Seq(timedPass(allNames), timedPass(allNames)).map(_.toMap)
+    // CONTENTION GUARD: a shared/loaded machine shows up as wild
+    // pass-to-pass spread on multi-stage queries (BENCH_r04 post-mortem:
+    // 5-50× blowups that idle re-timing could not reproduce). When the
+    // two passes disagree by >3×, re-time those queries in a third pass;
+    // if even then no two passes agree within 3×, flag the run as
+    // load-suspect instead of letting the number masquerade as a code
+    // regression.
+    val disagree = allNames.filter { n =>
+      val ts = passes.map(_(n)); ts.forall(_ >= 0) && passSpread(ts) > 3.0
+    }
+    if (disagree.nonEmpty) {
+      // d8 reuses d7's memoized cluster labels: when d8 is re-timed
+      // without d7 in the pass, prewarm the memo untimed so the third
+      // pass reproduces d8's normal (shared-relation) environment
+      val third =
+        if (disagree.contains("d8_keep_best") && !disagree.contains("d7_near_dup_clusters"))
+          "d7_near_dup_clusters" +: disagree
+        else disagree
+      val p3 = timedPass(third).toMap
+      passes = passes :+ disagree.map(n => n -> p3(n)).toMap
+    }
+    def timesOf(name: String): Seq[Double] = passes.flatMap(_.get(name))
+    val suspectQueries = disagree.filter(n => passSpread(timesOf(n)) > 3.0)
+    val results = allNames.map { name =>
+      val ts = timesOf(name)
+      // -1 (crash) wins over any timing: a query that failed any pass
       // is reported failed
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
@@ -99,7 +144,7 @@ object Bench {
     // branch and skip the state store entirely). The reference's
     // envelope is "fits a 5 s trigger on 4 cores" (BASELINE.md);
     // rows/sec makes that comparable.
-    val streamRate = try {
+    def dauRate(): Double = {
       val n = Tables.events(spark, sfDir).count()
       best2 { () =>
         val ev = Tables.normalizeEventTs(streamOf("events"))
@@ -112,6 +157,24 @@ object Bench {
             .start()
         }
         n / sec
+      }
+    }
+    val streamRate = try dauRate() catch { case _: Throwable => -1.0 }
+    // the same pipeline on the RocksDB state store — the provider the
+    // engine would run on at 1e9-key scale (GraftSession.streamingTune
+    // default for the drive mains); benchmark both so a store-side
+    // regression is visible. providerClass is a runtime SQL conf pinned
+    // into each query's checkpoint at first batch, so flipping it
+    // between fully-stopped queries is safe.
+    val streamRateRocks = try {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try dauRate()
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
       }
     } catch { case _: Throwable => -1.0 }
     // stream-stream interval join throughput (the reference's DWS core,
@@ -156,9 +219,13 @@ object Bench {
         if (acc.value == 0L) -1.0 else nIn / sec
       }
     } catch { case _: Throwable => -1.0 }
+    val suspectJson = suspectQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"failed":$failed,""" +
+      s""""load_suspect":${suspectQueries.nonEmpty},""" +
+      s""""suspect_queries":$suspectJson,""" +
       s""""stream_dau_rows_per_sec":${streamRate.toLong},""" +
+      s""""stream_dau_rocksdb_rows_per_sec":${streamRateRocks.toLong},""" +
       s""""stream_join_rows_per_sec":${streamJoinRate.toLong},"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: sbt prefixes stdout with [info] and appends its

@@ -33,13 +33,16 @@ import org.apache.spark.storage.StorageLevel
   *     never wrong results.
   *   - Actions driven through the RDD API (`df.rdd.foreachPartition`)
   *     bypass QueryExecutionListener and sweep nothing; [[maxArmed]]
-  *     bounds the damage — arming beyond the bound force-unpersists
-  *     the oldest entries (oldest ≈ most likely abandoned).
+  *     (entry count) and [[maxArmedBytes]] (estimated bytes) bound the
+  *     damage — arming beyond either force-unpersists the oldest
+  *     entries (oldest ≈ most likely abandoned).
   */
 object ScratchCache {
   private case class Armed(df: DataFrame,
-                           plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+                           plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                           bytes: Long)
   private val armed = new ConcurrentLinkedQueue[Armed]()
+  private val armedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
   // weak keys: a stopped-and-dropped SparkSession must not be retained
   // just because an operator once armed scratch on it
   private val sessions =
@@ -50,17 +53,38 @@ object ScratchCache {
     * materialization): arming past this force-unpersists the oldest. */
   val maxArmed: Int = 64
 
+  /** Byte budget for the same leak: [[maxArmed]] bounds entry COUNT,
+    * but 64 armed multi-GB relations under an RDD-API caller would
+    * still hoard executor memory/disk. Sizes are the optimizer's
+    * pre-materialization `stats.sizeInBytes` ESTIMATE (the relation is
+    * armed before it is computed, so actual block sizes don't exist
+    * yet) — a bound heuristic, not an accounting invariant. The
+    * newest entry is always kept: the caller's action is about to read
+    * it, and unpersisting scratch early costs a recompute, never
+    * correctness. Override with -Dgraft.scratch.maxBytes=N. */
+  val maxArmedBytes: Long =
+    java.lang.Long.getLong("graft.scratch.maxBytes", 8L << 30)
+
   /** Persist `df` (MEMORY_AND_DISK, no-op if already persisted) as
     * operator-internal scratch and arm it for auto-unpersist after the
     * next caller action that reads it. Returns `df` for chaining. */
   def arm(df: DataFrame): DataFrame = {
     if (df.storageLevel == StorageLevel.NONE) df.persist(StorageLevel.MEMORY_AND_DISK)
-    armed.add(Armed(df, df.queryExecution.analyzed))
-    while (armed.size > maxArmed) {
+    val bytes =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).max(BigInt(0)).toLong
+      catch { case _: Throwable => 0L }
+    armed.add(Armed(df, df.queryExecution.analyzed, bytes))
+    armedBytes.addAndGet(bytes)
+    while (armed.size > maxArmed ||
+           (armedBytes.get > maxArmedBytes && armed.size > 1)) {
       val oldest = armed.poll()
-      if (oldest != null && oldest.df.storageLevel != StorageLevel.NONE) {
-        try oldest.df.unpersist(blocking = false)
-        catch { case _: Throwable => () }
+      if (oldest != null) {
+        armedBytes.addAndGet(-oldest.bytes)
+        if (oldest.df.storageLevel != StorageLevel.NONE) {
+          try oldest.df.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+        }
       }
     }
     val spark = df.sparkSession
@@ -87,6 +111,7 @@ object ScratchCache {
       }
       if (referenced) {
         it.remove()
+        armedBytes.addAndGet(-entry.bytes)
         if (!dead) {
           // non-blocking: the sweep must not stall the listener bus
           try entry.df.unpersist(blocking = false)
@@ -102,4 +127,7 @@ object ScratchCache {
     armed.forEach(e => if (e.df.storageLevel != StorageLevel.NONE) n += 1)
     n
   }
+
+  /** Test/diagnostic hook: estimated bytes across armed entries. */
+  def pendingBytes: Long = armedBytes.get
 }

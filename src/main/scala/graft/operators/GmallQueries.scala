@@ -211,13 +211,25 @@ object GmallQueries {
   /** §2.11 ES-style bool query (`util/MyESUtil.scala:118-191`): must-
     * match + filter-term + sort + from/size pagination, as filter +
     * orderBy + offset/limit. Deterministic total order (tie-break on
-    * key) makes pagination stable — and oracle-comparable. */
-  def searchPage(spark: SparkSession, dir: String): DataFrame =
+    * key) makes pagination stable — and oracle-comparable.
+    *
+    * `highlight` is the ES match-snippet analog (the reference's query
+    * carries `"highlight": {"fields": {"name": {}}}`,
+    * `util/MyESUtil.scala:145-149`): every occurrence of the matched
+    * term wrapped in `<em>…</em>`, ES's default tags. Deviation: ES
+    * highlights analyzer tokens and trims to fragment windows; this
+    * wraps the literal match over the full (short) field — the right
+    * analog for a non-analyzed engine, and exactly portable SQL. The
+    * DuckDB oracle hard-codes the default `term = "a"`. */
+  def searchPage(spark: SparkSession, dir: String, term: String = "a"): DataFrame =
     Tables.part(spark, dir)
-      .filter(col("p_name").contains("a") && col("p_size") === 10)
+      .filter(col("p_name").contains(term) && col("p_size") === 10)
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
       .offset(5).limit(10)
-      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"),
+        regexp_replace(col("p_name"), lit(java.util.regex.Pattern.quote(term)),
+          lit(s"<em>${java.util.regex.Matcher.quoteReplacement(term)}</em>"))
+          .as("highlight"))
 
   /** Top-N per group (ADS-layer ranking, generalizes A1): top-3 orders
     * by value per nation — rank in a window, filter. One shuffle on the
@@ -650,7 +662,8 @@ object GmallQueries {
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q13_search_page" ->
-      """SELECT p_partkey, p_name, p_brand, p_retailprice
+      """SELECT p_partkey, p_name, p_brand, p_retailprice,
+        |       REPLACE(p_name, 'a', '<em>a</em>') AS highlight
         |FROM part
         |WHERE p_name LIKE '%a%' AND p_size = 10
         |ORDER BY p_retailprice DESC, p_partkey
@@ -727,7 +740,7 @@ object GmallQueries {
     "q10_province_stat" -> provinceStat,
     "q11_status_filter" -> statusFilter,
     "q12_never_ordered" -> neverOrdered,
-    "q13_search_page" -> searchPage,
+    "q13_search_page" -> ((s, d) => searchPage(s, d)),
     "q14_top_orders_per_nation" -> topOrdersPerNation,
     "q15_region_rollup" -> regionRollup,
     "q16_dau_approx" -> dauApprox,

@@ -346,16 +346,21 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v7_centroid_outliers" -> ((s, d) => centroidOutliers(s, d)),
     "v6_quantize_int8" -> quantizeInt8Rows,
-    // v2/v5 gate profile (nPlanes=3, tables=24): recall-complete on the
-    // pinned corpora (probed mechanically by Verify before attaching
-    // the exact oracle — the d3 pattern). Near-dups here sit at
-    // cos ≈ 0.4-0.5 (near-random embeddings), where completeness needs
-    // few planes × many tables; at real near-dup thresholds
-    // (cos ≥ 0.9) the throughput defaults (8×4 / 6×8) already recall
-    // near-complete with far fewer candidates.
-    "v5_near_dup_lsh" -> ((s, d) => nearDupLsh(s, d, nPlanes = 3, tables = 24)),
+    // v2/v5 gate profiles: the CHEAPEST recall-complete settings on the
+    // pinned corpora, found by sweeping (planes × tables) with
+    // tools/ProbeLsh (completeness is deterministic — signatures are
+    // seeded) and re-verified per run by Verify's recall probe before
+    // attaching the exact oracle (the d3 pattern; auto-demotes to
+    // rows-only if a regenerated corpus breaks it). v5: (3,12) — (3,10)
+    // loses pairs; 2× cheaper than the old (3,24). v2: (2,20) — (2,12)
+    // misses neighbors. Near-dups here sit at cos ≈ 0.4-0.5
+    // (near-random embeddings), where completeness needs few planes ×
+    // many tables; at real near-dup thresholds (cos ≥ 0.9) the
+    // throughput defaults (8×4 / 6×8) already recall near-complete
+    // with far fewer candidates.
+    "v5_near_dup_lsh" -> ((s, d) => nearDupLsh(s, d, nPlanes = 3, tables = 12)),
     "v1_ann_bruteforce" -> ((s, d) => annBruteForce(s, d)),
-    "v2_ann_lsh" -> ((s, d) => annLsh(s, d, nPlanes = 3, tables = 24)),
+    "v2_ann_lsh" -> ((s, d) => annLsh(s, d, nPlanes = 2, tables = 20)),
     "v3_near_dup_pairs" -> ((s, d) => nearDupPairs(s, d)),
     "v4_ann_ivf" -> ((s, d) => annIvf(s, d)),
   )

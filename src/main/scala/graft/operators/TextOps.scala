@@ -325,19 +325,28 @@ object TextOps {
     * total. One keyed window shuffle, bounded by stratum size; at
     * extreme stratum cardinality the approx-percentile threshold
     * (computed once, broadcast, then a narrow filter) is the scale
-    * path — this is the exact variant. */
+    * path — this is the exact variant.
+    *
+    * The DuckDB oracle hard-codes the default `keepFrac = 0.5`; a
+    * non-default invocation is NOT gate-checked (same caveat as
+    * [[packSequences]]'s budget/nGroups and Dedup.exactSubstring's k). */
   def quantileFilter(spark: SparkSession, dir: String,
                      keepFrac: Double = 0.5): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("ttr"), col("doc_id"))
+    // Threshold in decimal space: 1.0 - 0.7 in IEEE doubles is
+    // 0.30000000000000004, which would wrongly exclude a row whose
+    // percent_rank is exactly 0.3.
+    val threshold =
+      (BigDecimal(1) - BigDecimal(keepFrac.toString)).toDouble
     Tables.documents(spark, dir)
       .withColumn("toks", tokens("text"))
       .select(col("doc_id"), col("lang"),
         (size(array_distinct(col("toks")))
           / size(col("toks")).cast("double")).as("ttr"))
       .withColumn("pr", percent_rank().over(w))
-      .filter(col("pr") >= 1.0 - keepFrac)
+      .filter(col("pr") >= threshold)
       .select(col("doc_id"), col("lang"),
         round(col("ttr"), 6).as("ttr"), round(col("pr"), 6).as("pr"))
   }
@@ -352,7 +361,10 @@ object TextOps {
     * window runs per group — no global sort, no single-partition
     * window; at 100 TB you raise nGroups to O(cluster cores) and each
     * group's prefix-sum is one partition-local scan after the keyed
-    * shuffle. */
+    * shuffle.
+    *
+    * The DuckDB oracle hard-codes the defaults `budget = 512`,
+    * `nGroups = 8`; non-default invocations are NOT gate-checked. */
   def packSequences(spark: SparkSession, dir: String, budget: Int = 512,
                     nGroups: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -451,9 +463,10 @@ object TextOps {
         |  FROM t),
         |c AS (
         |  SELECT doc_id, grp, n_tokens,
-        |         SUM(n_tokens) OVER (PARTITION BY grp ORDER BY rk_key, doc_id
-        |                             ROWS UNBOUNDED PRECEDING) - n_tokens
-        |           AS start_off
+        |         CAST(SUM(n_tokens) OVER (PARTITION BY grp
+        |                                  ORDER BY rk_key, doc_id
+        |                                  ROWS UNBOUNDED PRECEDING)
+        |              - n_tokens AS BIGINT) AS start_off
         |  FROM g)
         |SELECT doc_id, grp, n_tokens, start_off,
         |       CAST(start_off // 512 AS INTEGER) AS bin

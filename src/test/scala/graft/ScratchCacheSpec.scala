@@ -25,6 +25,8 @@ class ScratchCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("operator scratch auto-unpersists after the caller's action — no clearCache needed") {
     spark.catalog.clearCache() // isolate from other suites on the shared context
+    // memo-cold so nearDupClusters builds (and arms) the real pair graph
+    operators.Dedup.invalidateClusterMemo()
     // one persisting operator per family, materialized the way a caller would
     operators.Dedup.ngramJaccard(spark, sf).count()          // docs + prefix index
     operators.Dedup.minhashLsh(spark, sf).count()            // docs + banded index
@@ -49,5 +51,23 @@ class ScratchCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cachedRdds === 0,
       s"cached RDDs left: ${spark.sparkContext.getRDDStorageInfo.map(_.name).mkString(", ")}")
     assert(ScratchCache.pending === 0)
+  }
+
+  test("byte budget: arming past maxArmedBytes evicts the oldest, keeps the newest") {
+    import org.apache.spark.storage.StorageLevel
+    // range stats are exact (8 bytes/row): each frame's ESTIMATE alone
+    // exceeds the 8 GiB default budget; nothing is ever materialized,
+    // so the test costs no actual memory
+    val big1 = spark.range(2000000000L).toDF("v")
+    val big2 = spark.range(2000000001L).toDF("v")
+    ScratchCache.arm(big1)
+    // a single over-budget entry is kept — the caller is about to read it
+    assert(big1.storageLevel != StorageLevel.NONE)
+    ScratchCache.arm(big2)
+    assert(big1.storageLevel == StorageLevel.NONE,
+      "oldest over-budget scratch not evicted")
+    assert(big2.storageLevel != StorageLevel.NONE,
+      "newest armed scratch must survive eviction")
+    big2.unpersist(blocking = false) // don't leak into later suites
   }
 }

@@ -401,6 +401,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast === slow)
   }
 
+  test("cluster-label memo: hit on second call, bypassed when distributed path forced") {
+    import spark.implicits._
+    Dedup.invalidateClusterMemo()
+    assert(Dedup.clusterMemoSize === 0)
+    val first = Dedup.nearDupClusters(spark, sf).as[(Long, Long)].collect().toSet
+    assert(Dedup.clusterMemoSize === 1, "fast path must memoize its labels")
+    val second = Dedup.nearDupClusters(spark, sf).as[(Long, Long)].collect().toSet
+    assert(second === first, "memo hit must return identical labels")
+    assert(Dedup.clusterMemoSize === 1)
+    // forcing the distributed path bypasses the memo and still agrees
+    val forced = Dedup.nearDupClusters(spark, sf, driverMaxEdges = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(forced === first)
+    Dedup.invalidateClusterMemo()
+    assert(Dedup.clusterMemoSize === 0)
+  }
+
+  test("search page: pagination stable, ES-style highlight wraps every match") {
+    // sf0.01: the sf0.001 part table has <5 q13 matches, which the
+    // offset(5) would swallow — highlight needs rows to assert on
+    val rows = GmallQueries.searchPage(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val name = r.getAs[String]("p_name")
+      assert(r.getAs[String]("highlight") === name.replace("a", "<em>a</em>"))
+    }
+    // stability: same page twice
+    val again = GmallQueries.searchPage(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+  }
+
   test("near-dup clusters with zero pairs: every doc is its own singleton") {
     // J = 1.0 requires identical shingle sets — none exist in this
     // corpus → empty edge set; must not NPE on the empty label-sum,
