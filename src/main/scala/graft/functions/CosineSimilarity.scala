@@ -173,5 +173,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         checkArity("hyperplane_sig", 3, exprs)
         HyperplaneSig(exprs.head, exprs(1), exprs(2))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("bloom_might_contain_long"),
+      new ExpressionInfo(classOf[BloomMightContainLong].getName,
+        "bloom_might_contain_long"),
+      (exprs: Seq[Expression]) => {
+        checkArity("bloom_might_contain_long", 2, exprs)
+        BloomMightContainLong(exprs.head, exprs(1))
+      }))
   }
 }

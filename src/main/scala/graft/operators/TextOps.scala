@@ -279,6 +279,56 @@ object TextOps {
       .withColumn("contaminated", col("n_matched") > 0)
   }
 
+  /** t17: Bloom-pruned decontamination — [[decontaminate]]'s 100 TB
+    * shape when the eval-gram dictionary outgrows a comfortable
+    * broadcast-hash build: a driver-built Bloom filter over
+    * `xxhash64(gram)` (a few bits per gram instead of a hash relation)
+    * prunes the train side map-side via the native
+    * `bloom_might_contain_long` expression, then an EXACT join confirms
+    * the survivors. Bloom false positives (and xxhash64 collisions) are
+    * confirmed away; false negatives are impossible — so the output is
+    * bit-identical to [[decontaminate]] and carries the SAME DuckDB
+    * oracle. The confirm join sees only fpp × corpus + true matches.
+    * Same two-phase prune-then-confirm shape Spark's runtime row-level
+    * filtering injects for shuffle joins — here the filter is explicit
+    * so the prune survives any plan shape and the fpp is chosen, not
+    * heuristic. */
+  def decontaminateBloom(spark: SparkSession, dir: String, evalN: Long = 50,
+                         k: Int = 5, fpp: Double = 0.01): DataFrame = {
+    val grams = docGrams(spark, dir, k)
+    // persisted UNARMED while the filter is built: the sizing count is
+    // an internal action, which would sweep an armed entry before the
+    // confirm join reads it (the nearDupClusters fast-path pattern);
+    // armed below once the model exists, so the CALLER's action sweeps
+    val evalGrams = grams.filter(col("doc_id") < evalN)
+      .select(col("gram")).distinct()
+      .persist()
+    // driver-built model → binary literal (the IVF-centroid pattern);
+    // sizing needs the distinct-gram count
+    val nEval = evalGrams.count()
+    val bloom = evalGrams
+      .select(xxhash64(col("gram")).as("h"))
+      .stat.bloomFilter("h", math.max(nEval, 1L), fpp)
+    ScratchCache.arm(evalGrams)
+    val bloomLit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      lit(bos.toByteArray)
+    }
+    val pruned = grams.filter(col("doc_id") >= evalN)
+      .filter(graft.functions.BloomMightContainLong
+        .bloom_might_contain_long(bloomLit, xxhash64(col("gram"))))
+    val matched = pruned
+      .join(evalGrams, Seq("gram"), "left_semi") // exact confirm
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    Tables.documents(spark, dir).filter(col("doc_id") >= evalN)
+      .select(col("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("contaminated", col("n_matched") > 0)
+  }
+
   /** t13: inter-document boilerplate profile (CCNet-style) — grams that
     * recur across many DISTINCT documents are template/boilerplate, not
     * content; per doc, the fraction of its distinct grams that are
@@ -389,6 +439,7 @@ object TextOps {
     "t15_quantile_filter" -> ((s, d) => quantileFilter(s, d)),
     "t16_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "t12_decontaminate" -> ((s, d) => decontaminate(s, d)),
+    "t17_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
     "t13_boilerplate" -> ((s, d) => boilerplate(s, d)),
     "t14_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
     "t11_tfidf" -> ((s, d) => tfidf(s, d)),
@@ -425,6 +476,19 @@ object TextOps {
        |SELECT doc_id, labeled_lang, cand AS predicted_lang
        |FROM ranked WHERE r = 1""".stripMargin
   }
+
+  /** t12's oracle — also t17's: the Bloom-pruned two-phase variant is
+    * value-identical by construction. */
+  private def decontaminateSql: String =
+    s"""WITH ${gramCte(5)},
+       |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+       |m AS (
+       |  SELECT g.doc_id, COUNT(*) AS n FROM g JOIN eg USING (gram)
+       |  WHERE g.doc_id >= 50 GROUP BY g.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_matched,
+       |       COALESCE(m.n, 0) > 0 AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+       |LEFT JOIN m USING (doc_id)""".stripMargin
 
   /** Distinct-k-gram CTE shared by the t12/t13 oracles — same window
     * arithmetic as Dedup's shingle CTE, parameterized by k. */
@@ -471,16 +535,11 @@ object TextOps {
         |SELECT doc_id, grp, n_tokens, start_off,
         |       CAST(start_off // 512 AS INTEGER) AS bin
         |FROM c""".stripMargin,
-    "t12_decontaminate" ->
-      s"""WITH ${gramCte(5)},
-        |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
-        |m AS (
-        |  SELECT g.doc_id, COUNT(*) AS n FROM g JOIN eg USING (gram)
-        |  WHERE g.doc_id >= 50 GROUP BY g.doc_id)
-        |SELECT d.doc_id, CAST(COALESCE(m.n, 0) AS BIGINT) AS n_matched,
-        |       COALESCE(m.n, 0) > 0 AS contaminated
-        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
-        |LEFT JOIN m USING (doc_id)""".stripMargin,
+    "t12_decontaminate" -> decontaminateSql,
+    // t17 is value-identical to t12 by construction (Bloom prune has
+    // false positives only; the exact confirm join removes them) — the
+    // SAME oracle gates the two-phase path
+    "t17_decontaminate_bloom" -> decontaminateSql,
     "t13_boilerplate" ->
       s"""WITH ${gramCte(3)},
         |dfreq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1)

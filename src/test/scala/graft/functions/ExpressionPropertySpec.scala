@@ -262,4 +262,44 @@ object ExpressionPropertySpec extends Properties("expressions") {
     Prop.forAll(vecPairs) { case (a, b) =>
       CosineSimilarity(floatArray(a), floatArray(b :+ 1.0f)).eval(null) == null
     }
+
+  // --- bloom_might_contain_long ---------------------------------------
+  private def bloomLit(xs: Seq[Long], fpp: Double = 0.01): Literal = {
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(xs.size, 1).toLong, fpp)
+    xs.foreach(bf.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    Literal.create(bos.toByteArray, org.apache.spark.sql.types.BinaryType)
+  }
+
+  property("bloom: NO false negatives — every inserted key probes true") =
+    Prop.forAll(Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))) { xs =>
+      val bl = bloomLit(xs)
+      xs.forall { x =>
+        BloomMightContainLong(bl, Literal(x, LongType))
+          .eval(null).asInstanceOf[Boolean]
+      }
+    }
+
+  property("bloom: false-positive rate is bounded (not everything matches)") =
+    Prop.forAll(Gen.listOfN(200, Gen.choose(0L, 1L << 40))) { xs =>
+      val bl = bloomLit(xs.distinct)
+      val inSet = xs.toSet
+      // probe 400 keys far outside the insert range — at fpp = 0.01 the
+      // chance of >10% spurious hits is astronomically small
+      val probes = (1L to 400L).map(i => (1L << 50) + i).filterNot(inSet)
+      val fp = probes.count { x =>
+        BloomMightContainLong(bl, Literal(x, LongType))
+          .eval(null).asInstanceOf[Boolean]
+      }
+      fp <= probes.size / 10
+    }
+
+  property("bloom: null filter and null key yield null, never false") = {
+    val nullFilter = Literal.create(null, org.apache.spark.sql.types.BinaryType)
+    val nullKey = Literal.create(null, LongType)
+    Prop(BloomMightContainLong(nullFilter, Literal(1L, LongType)).eval(null) == null) &&
+      Prop(BloomMightContainLong(bloomLit(Seq(1L)), nullKey).eval(null) == null)
+  }
 }
