@@ -435,8 +435,89 @@ object TextOps {
         floor(col("start_off") / lit(budget)).cast("int").as("bin"))
   }
 
+  /** t18: corpus heavy hitters — k-grams with global count ≥ `minCount`,
+    * EXACT counts, without shuffling the full gram vocabulary.
+    *
+    * Shape: a plain `groupBy(gram).count().filter(n >= T)` shuffles one
+    * partial-aggregate row per DISTINCT gram per map task — at 100 TB
+    * the long tail (typos, ids, boilerplate variants) dominates that
+    * shuffle and the filter only applies after it. This two-phase form
+    * prunes BEFORE the shuffle:
+    *
+    *  1. Candidates: each partition summarizes its grams with a
+    *     bounded-memory Misra-Gries sketch (`summaryCap` counters) and
+    *     emits grams whose local count could reach ceil(minCount / P) —
+    *     by pigeonhole, any gram with global count ≥ minCount reaches
+    *     that bar in at least one partition, so candidate recall is 1.
+    *     MG's deficit bound (true count − counter ≤ decrements) makes
+    *     the emit test `counter + decrements ≥ localT`, which cannot
+    *     lose a qualifying gram while the guard below holds.
+    *  2. Confirm: exact recount of ONLY the candidate grams (broadcast
+    *     semi-join — candidates ≤ P × summaryCap keys), then the exact
+    *     global filter. False positives from phase 1 cost only work,
+    *     never correctness — the output is bit-identical to the naive
+    *     groupBy, and carries the same exact SQL oracle.
+    *
+    * Two summary modes, chosen by `summaryCap`:
+    *  - default (unbounded): exact local counts — memory is one counter
+    *    per DISTINCT gram per partition, the same envelope Spark's own
+    *    hash partial aggregation uses before spilling. Never loses a
+    *    candidate at any threshold.
+    *  - finite cap: a true Misra-Gries sketch for adversarial
+    *    vocabularies. MG can only guarantee recall when the support
+    *    floor holds (localT > localRows / (cap+1) — the classic MG
+    *    bound); the sketch tracks its decrement rounds and FAILS LOUDLY
+    *    with the capacity to raise once exactness is no longer provable,
+    *    rather than return a silently incomplete candidate set (the d7
+    *    non-convergence pattern). Real heavy-hitter settings (support
+    *    1e-6 over 1e12 rows → 1e6 counters) sit comfortably under this.
+    *
+    * The gram relation is computed twice (candidates + recount) — two
+    * narrow scans instead of a full-vocabulary shuffle is the right
+    * trade at scale; caching the exploded grams would pin a corpus-sized
+    * relation. mapPartitions is justified here (per-partition imperative
+    * summary with early pruning — a declarative groupBy cannot filter
+    * before its shuffle). */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 3,
+                   minCount: Long = 5,
+                   summaryCap: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    require(minCount >= 1 && summaryCap >= 1)
+    def grams = Tables.documents(spark, dir)
+      .select(tokens("text").as("toks"))
+      .select(explode(tokenWindows(col("toks"), k, 1)).as("gram"))
+    // partition count of the narrow gram plan = the file splits of the
+    // documents scan (no shuffle in the lineage), so this matches the
+    // partitioning mapPartitions below sees. Overestimating P would be
+    // safe (lower bar, more candidates); underestimating could lose one.
+    val p = grams.rdd.getNumPartitions
+    val localT = math.max(1L, (minCount + p - 1) / p)
+    val cands = grams.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var dec = 0L // Misra-Gries decrement rounds so far
+      it.foreach { g =>
+        if (m.contains(g) || m.size < summaryCap) m(g) = m.getOrElse(g, 0L) + 1L
+        else { // summary full: decrement-all, drop zeros (classic MG)
+          dec += 1L
+          m.filterInPlace((_, c) => c > 1L)
+          m.mapValuesInPlace((_, c) => c - 1L)
+        }
+      }
+      if (dec >= localT) throw new IllegalStateException(
+        s"heavyHitters: Misra-Gries summary overflowed ($dec decrement rounds " +
+          s">= local threshold $localT) — a qualifying gram may have been " +
+          s"dropped; raise summaryCap (now $summaryCap)")
+      m.iterator.collect { case (g, c) if c + dec >= localT => g }
+    }.toDF("gram").distinct()
+    grams
+      .join(broadcast(cands), Seq("gram"), "left_semi")
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t15_quantile_filter" -> ((s, d) => quantileFilter(s, d)),
+    "t18_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "t16_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "t12_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "t17_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
@@ -502,6 +583,19 @@ object TextOps {
        |  FROM toks)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // exact by construction: phase-1 pruning has recall 1 (pigeonhole +
+    // MG deficit bound, overflow fails loudly), phase 2 recounts
+    // exactly — so the naive GROUP BY / HAVING is THE oracle, not an
+    // approximation of it. Hard-codes the defaults k=3, minCount=5.
+    "t18_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),
+        |g AS (
+        |  SELECT UNNEST([array_to_string(t[i+1:i+3], ' ')
+        |                 FOR i IN range(0, GREATEST(LEN(t)-3, 0) + 1)]) AS gram
+        |  FROM toks)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM g GROUP BY gram HAVING COUNT(*) >= 5""".stripMargin,
     "t15_quantile_filter" ->
       """WITH scored AS (
         |  SELECT doc_id, lang,

@@ -666,4 +666,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.reduce((a, b) => a.bitwiseOR(b))
     assert(emb.filter(fused =!= composed).count() === 0L)
   }
+
+  // t18: the two-phase (MG candidates → exact recount) form must be
+  // bit-identical to the naive full-vocabulary groupBy at ANY parameters
+  private def naiveHitters(k: Int, minCount: Long) =
+    Tables.documents(spark, sf)
+      .select(TextOps.tokens(col("text")).as("toks"))
+      .select(explode(TextOps.tokenWindows(col("toks"), k, 1)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+
+  test("heavy_hitters: two-phase pruning equals the naive groupBy, defaults") {
+    val got = TextOps.heavyHitters(spark, sf).collect().map(_.mkString("|")).toSet
+    val want = naiveHitters(3, 5).collect().map(_.mkString("|")).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "threshold should qualify some grams on this corpus")
+  }
+
+  test("heavy_hitters: exact at non-default k/minCount too") {
+    val got = TextOps.heavyHitters(spark, sf, k = 2, minCount = 10)
+      .collect().map(_.mkString("|")).toSet
+    val want = naiveHitters(2, 10).collect().map(_.mkString("|")).toSet
+    assert(got === want)
+  }
+
+  test("heavy_hitters: MG summary overflow fails loudly, not silently") {
+    val e = intercept[Exception] {
+      TextOps.heavyHitters(spark, sf, summaryCap = 1).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("raise summaryCap"))),
+      s"expected the loud overflow error, got: $e")
+  }
 }
