@@ -228,6 +228,35 @@ object Pipelines {
         col("n_events"))
   }
 
+  /** Streaming heavy hitters — the incremental form of batch
+    * TextOps.heavyHitters, reshaped for an unbounded vocabulary: global
+    * all-time counts would grow state per DISTINCT gram forever, so the
+    * streaming form is per event-time window — the production question
+    * is "what was hot in this window", and the watermark closing a
+    * window evicts all of its gram state. Fully declarative
+    * (window groupBy + count + threshold filter); in append mode a
+    * (window, gram) row emits exactly once, with its FINAL count, when
+    * the watermark closes the window — so the `n >= minCount` filter
+    * sees complete counts and the emitted set equals the batch operator
+    * run over the same window (asserted by PipelinesSpec against the
+    * same-windowed batch groupBy).
+    *
+    * State bound: distinct grams per open window × open windows — the
+    * streaming analog of the batch operator's per-partition summary
+    * bound. Identical code path in batch (the window function groups by
+    * time bucket). */
+  def heavyHittersWindowed(grams: DataFrame, gramCol: String = "gram",
+                           tsCol: String = "ts", minCount: Long = 5,
+                           window_ : String = "1 minute",
+                           lateness: String = "30 seconds"): DataFrame = {
+    val base =
+      if (grams.isStreaming) grams.withWatermark(tsCol, lateness) else grams
+    base.groupBy(window(col(tsCol), window_), col(gramCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("window.start").as("window_start"), col(gramCol), col("n"))
+  }
+
   /** Streaming near-dup candidate detection — the incremental form of
     * batch MinHash-LSH (operators/Dedup.minhashLsh): as documents
     * arrive, band their minhash signatures (same fused expressions, same

@@ -37,6 +37,37 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2).final_detail_amount === 30.02)
   }
 
+  test("heavyHittersWindowed: cross-batch counts, emits on window close == batch path") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val q = Pipelines.heavyHittersWindowed(
+      mem.toDS().toDF("gram", "ts"), minCount = 3)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("append").start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[(String, Timestamp)]
+    def add(rows: (String, Timestamp)*): Unit = {
+      all ++= rows; mem.addData(rows); q.processAllAvailable()
+    }
+    try {
+      add(("a", ts("2024-01-01 00:00:01")), ("a", ts("2024-01-01 00:00:05")),
+        ("b", ts("2024-01-01 00:00:10")))
+      // nothing closed yet → append mode has emitted nothing
+      assert(spark.table("hh_out").count() === 0)
+      // same window, later batch: the count must accumulate across batches
+      add(("a", ts("2024-01-01 00:00:20")), ("b", ts("2024-01-01 00:00:25")))
+      // watermark-advancing event closes the [00:00, 00:01) window
+      add(("z", ts("2024-01-01 00:02:00")))
+      val got = spark.table("hh_out").as[(Timestamp, String, Long)].collect().toSet
+      assert(got === Set((ts("2024-01-01 00:00:00"), "a", 3L)))
+      // the emitted set equals the batch operator over the same rows
+      // (b reached only 2, z only 1 — thresholded out on both paths)
+      val batch = Pipelines.heavyHittersWindowed(all.toSeq.toDF("gram", "ts"),
+        minCount = 3).as[(Timestamp, String, Long)].collect().toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("apportion: state carries across micro-batches (MemoryStream)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
