@@ -406,6 +406,23 @@ object GmallQueries {
         col("session_window.end").as("session_end"),
         col("n_events"), col("first_event_id"))
 
+  /** q26: assign every event to its containing session — a keyed
+    * point-in-interval join through [[Ranges.pointInIntervalJoin]]'s
+    * binning rewrite (one shuffle equi-join on (user_id, hour-bin);
+    * Spark's native plan for the range predicate would cross-product
+    * each user's events × sessions). Sessions come from [[sessionize]],
+    * so the oracle reuses q17's gaps-and-islands CTE and checks the
+    * containment join directly. */
+  def eventSessionJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val sess = sessionize(spark, dir)
+      .select(col("user_id"), col("session_start"), col("session_end"))
+    Ranges.pointInIntervalJoin(ev, sess, Seq("user_id"),
+        "ts", "session_start", "session_end")
+      .select(col("user_id"), col("event_id"), col("ts"), col("session_start"))
+  }
+
   /** Pivot (status × nation revenue matrix). Pivot values are pinned —
     * an unpinned pivot needs a distinct-scan of the pivot column first,
     * which is an extra pass at 100 TB. */
@@ -539,7 +556,33 @@ object GmallQueries {
        |FROM fin""".stripMargin
   }
 
+  /** q17's gaps-and-islands session derivation, shared with q26's
+    * containment-join oracle so the two cannot drift. */
+  private val sessionsCte =
+    """marked AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                   > INTERVAL 30 MINUTE OR
+      |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |islands AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                                   ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM marked),
+      |sessions AS (
+      |  SELECT user_id, MIN(ts) AS session_start,
+      |         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |         COUNT(*) AS n_events, MIN(event_id) AS first_event_id
+      |  FROM islands GROUP BY user_id, session_no)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q26_event_session_join" ->
+      s"""WITH $sessionsCte
+         |SELECT e.user_id, e.event_id, e.ts, s.session_start
+         |FROM events e JOIN sessions s
+         |  ON e.user_id = s.user_id
+         | AND e.ts >= s.session_start AND e.ts <= s.session_end""".stripMargin,
     "q24_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS view_ts FROM events
@@ -689,21 +732,10 @@ object GmallQueries {
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
     "q17_sessionize" ->
-      """WITH marked AS (
-        |  SELECT user_id, ts, event_id,
-        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |                   > INTERVAL 30 MINUTE OR
-        |              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |              THEN 1 ELSE 0 END AS new_session
-        |  FROM events),
-        |islands AS (
-        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |                                   ROWS UNBOUNDED PRECEDING) AS session_no
-        |  FROM marked)
-        |SELECT user_id, MIN(ts) AS session_start,
-        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-        |       COUNT(*) AS n_events, MIN(event_id) AS first_event_id
-        |FROM islands GROUP BY user_id, session_no""".stripMargin,
+      s"""WITH $sessionsCte
+         |SELECT user_id, session_start, session_end, n_events,
+         |       first_event_id
+         |FROM sessions""".stripMargin,
     "q18_status_pivot" ->
       """SELECT n_name AS province_name,
         |       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) FILTER (WHERE o_orderstatus='F')/100.0 AS amount_f,
@@ -747,6 +779,7 @@ object GmallQueries {
     "q22_dau_hll_portable" -> dauHllPortable,
     "q23_running_spend" -> runningSpend,
     "q17_sessionize" -> sessionize,
+    "q26_event_session_join" -> eventSessionJoin,
     "q18_status_pivot" -> statusPivot,
     "q19_order_percentiles" -> orderPercentiles,
     "q20_set_ops" -> setOps,

@@ -667,6 +667,54 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(emb.filter(fused =!= composed).count() === 0L)
   }
 
+  // q26/Ranges: the binning rewrite must be join-for-join identical to
+  // the naive range join, while planning as an equi-join
+  test("pointInIntervalJoin: binned equals naive ranged, keyed and unkeyed") {
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("event_id"), col("ts"))
+    val sess = GmallQueries.sessionize(spark, sf)
+      .select(col("user_id"), col("session_start"), col("session_end"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).toSet
+    val naiveKeyed = ev.join(sess, Seq("user_id"))
+      .filter(col("ts") >= col("session_start") && col("ts") <= col("session_end"))
+    val binnedKeyed = Ranges.pointInIntervalJoin(ev, sess, Seq("user_id"),
+      "ts", "session_start", "session_end")
+    assert(canon(binnedKeyed) === canon(naiveKeyed))
+    // unkeyed (global intervals): same containment set, but the naive
+    // plan is a nested loop and the rewrite stays an equi-join
+    val iv = sess.select(col("session_start"), col("session_end")).limit(20)
+    val naive = ev.join(iv,
+      col("ts") >= col("session_start") && col("ts") <= col("session_end"))
+    val binned = Ranges.pointInIntervalJoin(ev, iv, Seq.empty,
+      "ts", "session_start", "session_end")
+    assert(canon(binned) === canon(naive))
+    assert(naive.queryExecution.sparkPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "the naive range join should plan as a nested loop (that's the problem)")
+    assert(!binned.queryExecution.sparkPlan.toString.contains("BroadcastNestedLoopJoin") &&
+      !binned.queryExecution.sparkPlan.toString.contains("CartesianProduct"),
+      "the rewrite must plan as an equi-join")
+  }
+
+  test("pointInIntervalJoin: degenerate intervals fail loudly") {
+    import spark.implicits._
+    val pts = Seq(("2024-01-01 00:30:00")).toDF("p")
+      .select(to_timestamp(col("p")).as("ts"))
+    def iv(s: String, e: String) = Seq((s, e)).toDF("s", "e")
+      .select(to_timestamp(col("s")).as("lo"), to_timestamp(col("e")).as("hi"))
+    val reversed = intercept[Exception] {
+      Ranges.pointInIntervalJoin(pts, iv("2024-01-02 00:00:00", "2024-01-01 00:00:00"),
+        Seq.empty, "ts", "lo", "hi").collect()
+    }
+    assert(reversed.getMessage.contains("end precedes start") ||
+      Option(reversed.getCause).exists(_.getMessage.contains("end precedes start")))
+    val tooWide = intercept[Exception] {
+      Ranges.pointInIntervalJoin(pts, iv("2024-01-01 00:00:00", "2026-01-01 00:00:00"),
+        Seq.empty, "ts", "lo", "hi").collect()
+    }
+    assert(tooWide.getMessage.contains("bins") ||
+      Option(tooWide.getCause).exists(_.getMessage.contains("bins")))
+  }
+
   // t18: the two-phase (MG candidates → exact recount) form must be
   // bit-identical to the naive full-vocabulary groupBy at ANY parameters
   private def naiveHitters(k: Int, minCount: Long) =
