@@ -242,6 +242,39 @@ object TextOps {
       .select(col("doc_id"), col("rank"), col("tok"), col("score"))
   }
 
+  /** t19: unigram language-model scoring — the perplexity-proxy quality
+    * filter (the KenLM-filter shape with the simplest possible LM):
+    * score each document by its average token log-probability under the
+    * corpus's own unigram distribution; unusually low scores mark
+    * gibberish/OCR noise, unusually high ones boilerplate. Two
+    * vocab-bounded aggregates (per-doc term counts, corpus counts), one
+    * driver scalar for the total, one broadcast join back — the corpus
+    * itself never shuffles more than its distinct (doc, token) pairs.
+    * At 100 TB you'd train the model on a sample and only the narrow
+    * scoring join touches every document; the formulation is identical.
+    *
+    * Float parity with the oracle: both sides compute
+    * Σ n·ln(c/total) / Σ n over ≤ |vocab ∩ doc| terms and round to
+    * 6 dp — the v7 centroid pattern. */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // persisted UNARMED while the total is computed (an internal action
+    // would sweep an armed entry — the decontaminateBloom pattern)
+    val tf = docs.select(col("doc_id"), explode(tokens("text")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+      .persist()
+    val model = tf.groupBy(col("tok")).agg(sum(col("n")).as("c"))
+    val total = model.agg(sum(col("c"))).head.getLong(0)
+    ScratchCache.arm(tf)
+    tf.join(broadcast(model), "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_tokens"),
+        round(
+          sum(col("n") * log(col("c") / lit(total.toDouble))) / sum(col("n")),
+          6).as("avg_logprob"))
+  }
+
   /** Distinct k-token shingles per document, as STRINGS — the
     * cross-engine-checkable gram unit for the corpus-statistic
     * operators below (decontaminate/boilerplate). A production run at
@@ -518,6 +551,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t15_quantile_filter" -> ((s, d) => quantileFilter(s, d)),
     "t18_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
+    "t19_unigram_logprob" -> unigramLogProb,
     "t16_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "t12_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "t17_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
@@ -587,6 +621,17 @@ object TextOps {
     // MG deficit bound, overflow fails loudly), phase 2 recounts
     // exactly — so the naive GROUP BY / HAVING is THE oracle, not an
     // approximation of it. Hard-codes the defaults k=3, minCount=5.
+    "t19_unigram_logprob" ->
+      """WITH t AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS n FROM t GROUP BY 1, 2),
+        |m AS (SELECT tok, SUM(n) AS c FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM m)
+        |SELECT tf.doc_id, CAST(SUM(tf.n) AS BIGINT) AS n_tokens,
+        |       ROUND(SUM(tf.n * ln(m.c / tot.total)) / SUM(tf.n), 6) AS avg_logprob
+        |FROM tf JOIN m USING (tok), tot
+        |GROUP BY tf.doc_id""".stripMargin,
     "t18_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),

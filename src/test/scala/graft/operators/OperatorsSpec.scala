@@ -667,6 +667,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(emb.filter(fused =!= composed).count() === 0L)
   }
 
+  test("unigram_logprob: scores bounded by the rarest/commonest token, every doc scored") {
+    val out = TextOps.unigramLogProb(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.count() === nDocs)
+    // a mixture of token log-probs lies between the extreme log-probs
+    val toks = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("tok").count().collect().map(_.getLong(1))
+    val total = counts.sum.toDouble
+    val lo = math.log(counts.min / total) - 1e-6
+    val hi = math.log(counts.max / total) + 1e-6
+    assert(out.filter(col("avg_logprob") < lo || col("avg_logprob") > hi).count() === 0L)
+    assert(out.filter(col("avg_logprob") >= 0).count() === 0L,
+      "log-probs of a >1-token vocabulary are strictly negative")
+    out.unpersist()
+  }
+
   // q26/Ranges: the binning rewrite must be join-for-join identical to
   // the naive range join, while planning as an equi-join
   test("pointInIntervalJoin: binned equals naive ranged, keyed and unkeyed") {
