@@ -264,6 +264,32 @@ object GmallQueries {
         dollars(sum(cents(col("o_totalprice")))).as("total_amount"))
   }
 
+  /** q27: arbitrary GROUPING SETS (beyond q15's prefix-only ROLLUP) —
+    * region totals, status totals, and the grand total in ONE pass with
+    * an explicit `grouping_id` disambiguating which set a row belongs
+    * to (r_name/o_orderstatus are never null in the data, but the
+    * marker is what makes the pattern safe on nullable dimensions).
+    * Spark expands the sets before the aggregate, so this is still a
+    * single shuffle whose width is Σ per-set distinct keys — the
+    * one-pass multi-cube alternative to N separate groupBys + union. */
+  def groupingSetsStat(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(r("r_name").as("region_name"),
+        o("o_orderstatus").as("order_status"), o("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("region_name")), Seq(col("order_status")), Seq.empty),
+        col("region_name"), col("order_status"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("order_count"),
+        dollars(sum(cents(col("o_totalprice")))).as("total_amount"))
+  }
+
   /** HLL-style approximate distinct (north-star §7.2-9): sketch-based
     * DAU per day — the constant-memory path when exact distinct state
     * would hold 1e9+ keys. Sketches are engine-specific → rows-only
@@ -731,6 +757,16 @@ object GmallQueries {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q27_grouping_sets" ->
+      """SELECT r_name AS region_name, o_orderstatus AS order_status,
+        |       CAST(GROUPING(r_name)*2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+        |       COUNT(*) AS order_count,
+        |       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0 AS total_amount
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (o_orderstatus), ())""".stripMargin,
     "q17_sessionize" ->
       s"""WITH $sessionsCte
          |SELECT user_id, session_start, session_end, n_events,
@@ -780,6 +816,7 @@ object GmallQueries {
     "q23_running_spend" -> runningSpend,
     "q17_sessionize" -> sessionize,
     "q26_event_session_join" -> eventSessionJoin,
+    "q27_grouping_sets" -> groupingSetsStat,
     "q18_status_pivot" -> statusPivot,
     "q19_order_percentiles" -> orderPercentiles,
     "q20_set_ops" -> setOps,
