@@ -54,6 +54,31 @@ object Runner {
     maxwell.union(canal)
   }
 
+  /** [[routeMixed]] plus a DEAD-LETTER lane: CDC feeds carry garbage in
+    * practice (truncated messages, non-JSON heartbeats, envelopes with
+    * missing fields), and the bare router drops those silently — at
+    * production scale a silent drop is an unnoticed data loss. Lines
+    * that are unparseable as JSON or lack the (type, table, data)
+    * envelope under BOTH interpretations route to `dlqTopic` with their
+    * raw payload intact, so they can be replayed after a fix. Lines the
+    * router drops ON PURPOSE (non-whitelisted table, non-insert op on a
+    * fact, empty data) are NOT dead letters — they parsed fine and
+    * policy excluded them. Still one narrow pass (two from_json
+    * branches + a predicate), no shuffle. */
+  def routeMixedWithDeadLetter(lines: DataFrame,
+                               dlqTopic: String = "dlq_cdc"): DataFrame = {
+    val m = from_json(col("value"), cdcSchema)
+    val c = from_json(col("value"), canalCdcSchema)
+    // from_json yields null for unparseable input; field-level nulls
+    // mean the envelope key was absent (or mistyped for BOTH shapes)
+    val wellFormed = m.isNotNull &&
+      m.getField("type").isNotNull && m.getField("table").isNotNull &&
+      (m.getField("data").isNotNull || c.getField("data").isNotNull)
+    val dead = lines.filter(!wellFormed)
+      .select(lit(dlqTopic).as("topic"), col("value"))
+    routeMixed(lines).union(dead)
+  }
+
   val startLogSchema: StructType = StructType(Seq(
     StructField("ts", LongType),
     StructField("common", StructType(Seq(

@@ -463,6 +463,28 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length === 4) // no double-routing across branches
   }
 
+  test("routeMixedWithDeadLetter: malformed lines land in the DLQ raw; policy drops do not") {
+    import spark.implicits._
+    val lines = Seq(
+      """{"type":"insert","table":"order_info","data":{"id":1}}""", // routed
+      """not json at all""",                                        // DLQ
+      """{"foo": 1}""",                                             // DLQ: no envelope
+      """{"type":"insert","data":{"id":2}}""",                      // DLQ: no table
+      """{"type":"insert","table":"order_info"}""",                 // DLQ: no data
+      // parsed fine, dropped by POLICY (not whitelisted / wrong op):
+      """{"type":"insert","table":"not_a_table","data":{"id":3}}""",
+      """{"type":"update","table":"order_info","data":{"id":4}}""")
+      .toDF("value")
+    val out = Runner.routeMixedWithDeadLetter(lines).as[(String, String)].collect()
+    val (dlq, routed) = out.partition(_._1 == "dlq_cdc")
+    assert(routed.toSet === Set(("ods_order_info", """{"id":1}""")))
+    assert(dlq.map(_._2).toSet === Set(
+      """not json at all""",
+      """{"foo": 1}""",
+      """{"type":"insert","data":{"id":2}}""",
+      """{"type":"insert","table":"order_info"}"""))
+  }
+
   test("sessionize merges events within gap across micro-batches, closes on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
