@@ -275,6 +275,31 @@ object TextOps {
           6).as("avg_logprob"))
   }
 
+  /** t20: dataset card — the per-(source, language) composition report
+    * every corpus release ships: document and token counts, average
+    * document size, and each stratum's share of the corpus. One
+    * map-side-combined aggregate over the corpus (partials bounded by
+    * distinct strata), then a window over the TINY aggregate for the
+    * shares — the corpus is scanned once and never reshuffled. All
+    * ratios are exact-integer-derived doubles (long sums / counts), so
+    * cross-engine parity is exact at 6 dp. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(tokens("text")).cast("long").as("toks"),
+        col("n_chars").cast("long").as("n_chars"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+      .withColumn("doc_share",
+        round(col("n_docs") / sum(col("n_docs")).over(w), 6))
+      .withColumn("token_share",
+        round(col("n_tokens") / sum(col("n_tokens")).over(w), 6))
+  }
+
   /** Distinct k-token shingles per document, as STRINGS — the
     * cross-engine-checkable gram unit for the corpus-statistic
     * operators below (decontaminate/boilerplate). A production run at
@@ -552,6 +577,7 @@ object TextOps {
     "t15_quantile_filter" -> ((s, d) => quantileFilter(s, d)),
     "t18_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "t19_unigram_logprob" -> unigramLogProb,
+    "t20_dataset_card" -> datasetCard,
     "t16_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "t12_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "t17_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
@@ -621,6 +647,21 @@ object TextOps {
     // MG deficit bound, overflow fails loudly), phase 2 recounts
     // exactly — so the naive GROUP BY / HAVING is THE oracle, not an
     // approximation of it. Hard-codes the defaults k=3, minCount=5.
+    "t20_dataset_card" ->
+      """WITH s AS (
+        |  SELECT source, lang,
+        |         CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS toks,
+        |         CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |         ROUND(AVG(n_chars), 6) AS avg_chars
+        |  FROM s GROUP BY source, lang)
+        |SELECT source, lang, n_docs, n_tokens, avg_chars,
+        |       ROUND(n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS doc_share,
+        |       ROUND(n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS token_share
+        |FROM a""".stripMargin,
     "t19_unigram_logprob" ->
       """WITH t AS (
         |  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS tok

@@ -684,6 +684,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
   }
 
+  test("dataset_card: strata cover the corpus exactly, shares sum to ~1") {
+    val card = TextOps.datasetCard(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(card.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    val docShare = card.map(_.getAs[Double]("doc_share")).sum
+    val tokShare = card.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(docShare - 1.0) < 1e-4 && math.abs(tokShare - 1.0) < 1e-4)
+    assert(card.forall(r => r.getAs[Double]("avg_chars") > 0))
+  }
+
   // q26/Ranges: the binning rewrite must be join-for-join identical to
   // the naive range join, while planning as an equi-join
   test("pointInIntervalJoin: binned equals naive ranged, keyed and unkeyed") {
