@@ -174,6 +174,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         HyperplaneSig(exprs.head, exprs(1), exprs(2))
       }))
     e.injectFunction((
+      new FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (exprs: Seq[Expression]) => {
+        checkArity("deflate_len", 1, exprs)
+        DeflateLen(exprs.head)
+      }))
+    e.injectFunction((
       new FunctionIdentifier("bloom_might_contain_long"),
       new ExpressionInfo(classOf[BloomMightContainLong].getName,
         "bloom_might_contain_long"),

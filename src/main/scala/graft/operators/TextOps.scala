@@ -300,6 +300,25 @@ object TextOps {
         round(col("n_tokens") / sum(col("n_tokens")).over(w), 6))
   }
 
+  /** t21: compression-ratio quality signal (Gopher/CCNet family) —
+    * raw bytes / DEFLATE bytes per document via the native
+    * [[graft.functions.DeflateLen]] expression. High ratios mark
+    * repetitive boilerplate, near-1 ratios high-entropy noise; both are
+    * standard cut candidates. Fully narrow map-only scan (one
+    * thread-local deflate call per row, inside codegen). zlib output is
+    * deterministic per input but engine-specific — no portable SQL can
+    * reproduce it, so this is a ROWS-ONLY gate entry (the d4/d5
+    * pattern) with value determinism and the reference-implementation
+    * equality pinned in ScalaTest instead. */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("raw_len"),
+        graft.functions.DeflateLen.deflate_len(col("text")).as("deflate_len"))
+      .withColumn("ratio",
+        when(col("deflate_len") > 0,
+          round(col("raw_len") / col("deflate_len"), 6)))
+
   /** Distinct k-token shingles per document, as STRINGS — the
     * cross-engine-checkable gram unit for the corpus-statistic
     * operators below (decontaminate/boilerplate). A production run at
@@ -578,6 +597,9 @@ object TextOps {
     "t18_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "t19_unigram_logprob" -> unigramLogProb,
     "t20_dataset_card" -> datasetCard,
+    // t21 is rows-only BY DESIGN: zlib byte counts are deterministic
+    // but engine-specific (no DuckDB analog) — see compressionRatio
+    "t21_compression_ratio" -> compressionRatio,
     "t16_pack_sequences" -> ((s, d) => packSequences(s, d)),
     "t12_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "t17_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),

@@ -302,4 +302,42 @@ object ExpressionPropertySpec extends Properties("expressions") {
     Prop(BloomMightContainLong(nullFilter, Literal(1L, LongType)).eval(null) == null) &&
       Prop(BloomMightContainLong(bloomLit(Seq(1L)), nullKey).eval(null) == null)
   }
+
+  // --- deflate_len ---------------------------------------------------
+
+  /** Independent reference: a FRESH Deflater per call with the same
+    * parameters (raw stream, default level) — pins the thread-local
+    * reuse + reset in the expression to the from-scratch semantics. */
+  private def refDeflateLen(bytes: Array[Byte]): Int = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0
+      while (!d.finished()) n += d.deflate(buf)
+      n
+    } finally d.end()
+  }
+
+  private def deflateOf(s: String): Int =
+    DeflateLen(Literal.create(UTF8String.fromString(s), StringType))
+      .eval(null).asInstanceOf[Int]
+
+  property("deflate_len == fresh-Deflater reference on arbitrary strings") =
+    Prop.forAll(Gen.asciiPrintableStr) { s =>
+      deflateOf(s) == refDeflateLen(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+  property("deflate_len: repetition compresses, entropy does not") = {
+    val repetitive = "spam ham " * 500
+    val diverse = (0 until 500).map(i => (i * 2654435761L).toHexString).mkString(" ")
+    // sub-linear on pure repetition; ratio separates the two classes
+    Prop(deflateOf(repetitive) * 10 < repetitive.length) &&
+      Prop(deflateOf(repetitive) * 5 < deflateOf(diverse))
+  }
+
+  property("deflate_len: null in, null out") =
+    Prop(DeflateLen(Literal.create(null, StringType)).eval(null) == null)
 }

@@ -684,6 +684,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
   }
 
+  test("compression_ratio: codegen path equals the driver-side zlib, all docs scored") {
+    val out = TextOps.compressionRatio(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("deflate_len")).toMap
+    val want = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map { r =>
+        r.getAs[Long]("doc_id") -> graft.functions.DeflateLen.deflatedLen(
+          r.getAs[String]("text").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }.toMap
+    assert(out === want)
+    // run-to-run determinism (the rows-only gate leans on this)
+    val again = TextOps.compressionRatio(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("deflate_len")).toMap
+    assert(again === out)
+  }
+
   test("dataset_card: strata cover the corpus exactly, shares sum to ~1") {
     val card = TextOps.datasetCard(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
