@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The curation pipeline's contract: the written corpus is EXACTLY the
+  * intersection of its stages' keep-decisions, carries no duplicates
+  * and no contamination, and the funnel summary reports the persisted
+  * truth. */
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = GraftSession.tune(
+    SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("curate: output == ∩ of stage decisions; dup-free; contamination-free") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curated").toString
+    val summary = Curation.curate(spark, sf, out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val curated = spark.read.parquet(out)
+    val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // funnel reports the persisted truth and shrinks monotonically
+    assert(summary("curated_written") === ids.size)
+    assert(summary("curated_written") <= summary("quality_keep"))
+    assert(summary("curated_written") <= summary("dedup_survivors"))
+    assert(summary("curated_written") <= summary("decontaminated_clean"))
+    assert(summary("curated_written") > 0, "curation must keep something")
+
+    // exactly the intersection of the three decisions
+    def idsOf(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col(c)).collect().map(_.getLong(0)).toSet
+    val quality = idsOf(TextOps.filterDecision(spark, sf).filter(col("keep")), "doc_id")
+    val survivors = idsOf(Dedup.keepBest(spark, sf), "keep_id")
+    val clean = idsOf(TextOps.decontaminate(spark, sf)
+      .filter(!col("contaminated")), "doc_id")
+    assert(ids === (quality & survivors & clean))
+
+    // eval reference never leaks into training data
+    assert(ids.forall(_ >= 50))
+    // keep-best left one survivor per cluster → no two curated docs
+    // share content (order-insensitive fingerprint)
+    val nFps = curated
+      .select(md5(array_join(array_sort(split(trim(col("text")), "\\s+")), " ")
+        .cast("binary")).as("fp"))
+      .distinct().count()
+    assert(nFps === ids.size.toLong, "curated corpus must be content-dup-free")
+  }
+}
