@@ -19,7 +19,11 @@ object ProbeLsh {
     val spark = graft.GraftSession.local("graft-probe-lsh")
     import graft.operators.Similarity
 
-    val profiles = Seq((3, 20), (2, 24), (2, 20), (2, 16), (2, 12), (3, 10), (3, 8), (2, 8))
+    val profiles =
+      if (args.nonEmpty) args.toSeq.map { p =>
+        val Array(a, b) = p.split("x"); (a.toInt, b.toInt)
+      }
+      else Seq((3, 20), (2, 24), (2, 20), (2, 16), (2, 12), (3, 10), (3, 8), (2, 8))
 
     def setOf(df: DataFrame): Set[String] =
       df.collect().map(_.mkString("|")).toSet
