@@ -268,10 +268,12 @@ object Dedup {
     chunkedHammingPairs(simhash(spark, dir), maxDist, bits = 64)
 
   /** Pigeonhole-blocked Hamming join over any (doc_id, simhash) relation
-    * — shared by the xxhash64 (64-bit) and md5-portable (60-bit) paths.
-    * Chunks cover the low `bits`; uncovered high bits only REMOVE
-    * differing bits from chunks, so pigeonhole recall is unaffected. */
-  private def chunkedHammingPairs(sh: DataFrame, maxDist: Int, bits: Int): DataFrame = {
+    * — shared by the xxhash64 (64-bit) and md5-portable (60-bit) paths,
+    * and by Multimodal's perceptual-hash pairs (m3). Chunks cover the
+    * low `bits`; uncovered high bits only REMOVE differing bits from
+    * chunks, so pigeonhole recall is unaffected. */
+  private[operators] def chunkedHammingPairs(sh: DataFrame, maxDist: Int,
+                                             bits: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < bits / 2, s"maxDist $maxDist out of range")
     val nChunks = maxDist + 1
     val width = bits / nChunks

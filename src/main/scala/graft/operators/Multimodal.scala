@@ -130,9 +130,47 @@ object Multimodal {
     sampleFrames(mediaTable(spark, dir))
       .select(col("media_id"), col("frame_no"), col("n_bytes"))
 
+  /** 60-bit perceptual hash per media row: sign bits of the (stubbed)
+    * decoded+resized feature vector against its own mean — the pHash
+    * recipe with the stub codec standing in for the DCT. 60 bits (the
+    * portable-simhash width) keeps the packed value positive in any
+    * signed-64 engine, so the DuckDB oracle reproduces it EXACTLY: the
+    * stub's pixels are dyadic rationals (byte/256) whose 60-term mean
+    * is order-independent in IEEE double, and every comparison is then
+    * exact on both sides. Mean is materialized in its own projection
+    * (HOF lambdas get no CSE — the v6 pattern). */
+  def mediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    val f60 = slice(col("feature"), 1, 60)
+    extractFeatures(mediaTable(spark, dir)).toDF()
+      .select(col("media_id"), col("feature"))
+      .withColumn("mean",
+        aggregate(f60, lit(0.0d), (acc, x) => acc + x.cast("double")) / 60.0d)
+      .select(col("media_id"),
+        aggregate(zip_with(f60, sequence(lit(0), lit(59)),
+          (x, j) => when(x.cast("double") > col("mean"),
+            pow(lit(2.0d), j).cast("long")).otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc + x).as("phash"))
+  }
+
+  /** m3: near-duplicate media pairs — same kind, perceptual hashes
+    * within Hamming `maxDist`, found via the SAME pigeonhole
+    * chunk-blocked equi-join the text SimHash family uses
+    * ([[Dedup.chunkedHammingPairs]]): recall guaranteed for any
+    * maxDist, never an all-pairs scan. Kind is media_id-derived in
+    * [[mediaTable]], so the same-kind constraint is a residual
+    * predicate, not a third join input. */
+  def phashPairs(spark: SparkSession, dir: String, maxDist: Int = 8): DataFrame =
+    Dedup.chunkedHammingPairs(
+        mediaPhash(spark, dir)
+          .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
+        maxDist, bits = 60)
+      .filter(col("id_a") % 3 === col("id_b") % 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> mediaFeatures,
     "m2_frame_sample" -> frameSample,
+    "m3_phash_pairs" -> ((s, d) => phashPairs(s, d)),
   )
 
   /** The corpus payloads are ASCII text bytes, so byte entropy equals
@@ -148,6 +186,33 @@ object Multimodal {
         |       64 AS feature_dim
         |FROM (SELECT doc_id, text, UNNEST(string_split(text, '')) AS c FROM documents)
         |GROUP BY doc_id, text""".stripMargin,
+    // m3: DuckDB recomputes the 60-bit perceptual hash VALUE-exactly
+    // (stub pixels are byte/256 dyadic rationals: the 60-term mean is
+    // order-independent in IEEE double, POWER(2,j) ≤ 2^59 is exact, and
+    // the packed hash stays positive) and sweeps all same-kind pairs;
+    // the engine's chunk-blocked join is recall-complete by pigeonhole,
+    // so the two sides are set-equal at any maxDist.
+    "m3_phash_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |         LEAST(octet_length(CAST(text AS BLOB)), 256) AS L
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, j,
+        |         ascii(substr(text, CAST((j*L)//64 AS INTEGER)+1, 1)) / 256.0 AS v
+        |  FROM d, (SELECT UNNEST(range(0,60)) AS j) r),
+        |m AS (SELECT doc_id, SUM(v)/60.0 AS mean FROM f GROUP BY doc_id),
+        |ph AS (
+        |  SELECT f.doc_id AS media_id,
+        |         CAST(SUM(CASE WHEN v > mean
+        |                       THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END)
+        |              AS BIGINT) AS phash
+        |  FROM f JOIN m USING (doc_id) GROUP BY f.doc_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        |FROM ph a JOIN ph b
+        |  ON a.media_id < b.media_id AND (a.media_id % 3) = (b.media_id % 3)
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 8""".stripMargin,
     // stub frame-sample: payload sliced into 80-byte frames
     // (step = max(1, 200ms/40) * 16), at most 8 — counts and lengths are
     // arithmetic over the payload size

@@ -38,6 +38,24 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f1.values.forall { case (_, feat) => feat.nonEmpty && feat.length <= 64 })
   }
 
+  test("phash pairs: chunk-blocked join equals the all-pairs sweep, any maxDist") {
+    import spark.implicits._
+    val ph = Multimodal.mediaPhash(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    for (d <- Seq(4, 8, 12)) {
+      val want = (for {
+        (ia, ha) <- ph; (ib, hb) <- ph
+        if ia < ib && ia % 3 == ib % 3
+        h = java.lang.Long.bitCount(ha ^ hb) if h <= d
+      } yield (ia, ib, h)).toSet
+      val got = Multimodal.phashPairs(spark, sf, maxDist = d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === want, s"maxDist=$d")
+    }
+    // phash stays in the positive 60-bit range (packing invariant)
+    assert(ph.forall { case (_, h) => h >= 0L && h < (1L << 60) })
+  }
+
   test("frame sampling: only video rows, bounded frame count") {
     import spark.implicits._
     val frames = Multimodal.sampleFrames(Multimodal.mediaTable(spark, sf))
