@@ -121,6 +121,24 @@ object ScratchCache {
     }
   }
 
+  /** Unpersist and forget EVERY armed entry. For plan-only workflows
+    * (explain audits, plan linting, dry-run pipelines): building an
+    * operator's plan arms its scratch, but no action ever runs to sweep
+    * it — the count/byte bounds cap the leak, this releases it
+    * entirely. Also the test-isolation hook. Safe anytime: unpersisting
+    * scratch costs a recompute on next use, never correctness. */
+  def drain(): Unit = {
+    var e = armed.poll()
+    while (e != null) {
+      armedBytes.addAndGet(-e.bytes)
+      if (e.df.storageLevel != StorageLevel.NONE) {
+        try e.df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
+      e = armed.poll()
+    }
+  }
+
   /** Test/diagnostic hook: number of armed, still-cached relations. */
   def pending: Int = {
     var n = 0

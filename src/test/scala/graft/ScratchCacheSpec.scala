@@ -24,7 +24,10 @@ class ScratchCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def cachedRdds: Int = spark.sparkContext.getRDDStorageInfo.length
 
   test("operator scratch auto-unpersists after the caller's action — no clearCache needed") {
-    spark.catalog.clearCache() // isolate from other suites on the shared context
+    // isolate from other suites on the shared context: drop cached data
+    // AND any armed-but-never-swept entries a plan-only suite left
+    ScratchCache.drain()
+    spark.catalog.clearCache()
     // memo-cold so nearDupClusters builds (and arms) the real pair graph
     operators.Dedup.invalidateClusterMemo()
     // one persisting operator per family, materialized the way a caller would
@@ -43,6 +46,7 @@ class ScratchCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("distributed label-propagation path sweeps its per-round and final frames") {
+    ScratchCache.drain()
     spark.catalog.clearCache()
     operators.Dedup.nearDupClusters(spark, sf, driverMaxEdges = 0).count()
     val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000

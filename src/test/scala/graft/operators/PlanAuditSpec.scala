@@ -24,7 +24,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", "4"))
     .getOrCreate()
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = {
+    // plan-only construction arms operator scratch that no action will
+    // ever sweep — release it so later suites start clean
+    graft.ScratchCache.drain()
+    spark.stop()
+  }
 
   /** The documented exact all-pairs baselines: tiny-side broadcast /
     * one-sided smallness by construction (Similarity scaladoc). */
