@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{ScratchCache, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each designed
@@ -548,7 +549,69 @@ object Dedup {
         round(col("n_dup") / col("n_windows").cast("double"), 6))
   }
 
+  /** d12: fuzzy decontamination — the near-dup analogue of
+    * [[TextOps.decontaminate]]: a training document is contaminated when
+    * it is a NEAR-duplicate (word-3-shingle Jaccard ≥ `minJ`) of any
+    * held-out eval document (doc_id < `evalN`), catching lightly edited
+    * benchmark copies that exact k-gram matching (t12) misses. Per
+    * flagged doc: how many eval docs it matches, the best-matching eval
+    * doc (highest Jaccard, ties → lowest id), and that Jaccard.
+    *
+    * EXACT, not LSH: candidate generation is [[ngramJaccard]]'s prefix
+    * filter run cross-corpus — both sides index only their first
+    * `n − ⌈J·n⌉ + 1` hash-ordered shingles, any qualifying pair must
+    * collide there, and survivors are verified with the full sorted-hash
+    * merge — so the oracle needs no recall precondition (unlike d3).
+    * Scale shape: the eval side is a benchmark suite — tiny vs the
+    * corpus — so its prefix index and shingle arrays BROADCAST; the
+    * 100 TB train side is one narrow scan + prefix explode + map-side
+    * joins, with the only shuffle being the candidate `distinct`
+    * (bounded by prefix collisions, not corpus size).
+    *
+    * The DuckDB oracle hard-codes the defaults `evalN = 50`,
+    * `minJ = lshMinJ`; non-default invocations are NOT gate-checked. */
+  def fuzzyDecontaminate(spark: SparkSession, dir: String, evalN: Long = 50,
+                         minJ: Double = lshMinJ): DataFrame = {
+    require(minJ > 0 && minJ <= 1, s"minJ must be in (0, 1], got $minJ")
+    val docs = ScratchCache.arm( // feeds two prefix indexes + both verify joins
+      withShingleHashes(Tables.documents(spark, dir), "text")
+        .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh")))
+    val prefixLen = (col("n_sh") - ceil(lit(minJ) * col("n_sh")) + 1).cast("int")
+    def prefixIdx(df: DataFrame) = df.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("sh_hashes"), lit(1), prefixLen)).as("sh"))
+    val evalIdx = prefixIdx(docs.filter(col("doc_id") < evalN))
+      .select(col("sh"), col("doc_id").as("id_eval"), col("n_sh").as("n_e"))
+    val cand = prefixIdx(docs.filter(col("doc_id") >= evalN))
+      .join(broadcast(evalIdx), Seq("sh"))
+      // length filter, as in d2: J ≥ minJ forces min(n)/max(n) ≥ minJ
+      .filter(least(col("n_sh"), col("n_e")) >=
+        ceil(lit(minJ) * greatest(col("n_sh"), col("n_e"))))
+      .select(col("doc_id"), col("id_eval")).distinct()
+    val verified = cand
+      .join(docs.select(col("doc_id"), col("sh_hashes").as("sh_t"),
+        col("n_sh").as("n_t")), "doc_id")
+      .join(broadcast(docs.filter(col("doc_id") < evalN)
+        .select(col("doc_id").as("id_eval"), col("sh_hashes").as("sh_e"),
+          col("n_sh").as("n_e"))), "id_eval")
+      .withColumn("n_common", graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("sh_t"), col("sh_e")))
+      .withColumn("jaccard",
+        col("n_common") / (col("n_t") + col("n_e") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+    // deterministic argmax: rank (jaccard desc, id_eval asc) then fold —
+    // verified is tiny (flagged pairs only), the window costs nothing
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("jaccard").desc, col("id_eval").asc)
+    verified
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max(col("jaccard")).as("max_jaccard"),
+        min(when(col("rn") === 1, col("id_eval"))).as("best_eval_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d12_fuzzy_decontaminate" -> ((s, d) => fuzzyDecontaminate(s, d)),
     "d11_exact_substring" -> ((s, d) => exactSubstring(s, d)),
     "d7_near_dup_clusters" -> ((s, d) => nearDupClusters(s, d)),
     "d8_keep_best" -> ((s, d) => keepBest(s, d)),
@@ -617,6 +680,28 @@ object Dedup {
        |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d12_fuzzy_decontaminate" ->
+      s"""WITH $shingleCte,
+         |inv AS (
+         |  SELECT doc_id, LEN(shingles) AS n_sh, UNNEST(shingles) AS s FROM sh),
+         |cp AS (
+         |  SELECT t.doc_id AS doc_id, e.doc_id AS id_eval,
+         |         e.n_sh AS n_e, t.n_sh AS n_t, COUNT(*) AS n_common
+         |  FROM inv e JOIN inv t ON e.s = t.s
+         |  WHERE e.doc_id < 50 AND t.doc_id >= 50
+         |  GROUP BY 1,2,3,4),
+         |m AS (
+         |  SELECT doc_id, id_eval,
+         |         n_common / CAST(n_e + n_t - n_common AS DOUBLE) AS jaccard
+         |  FROM cp
+         |  WHERE n_common / CAST(n_e + n_t - n_common AS DOUBLE) >= $lshMinJ),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                               ORDER BY jaccard DESC, id_eval) AS rn
+         |  FROM m)
+         |SELECT doc_id, COUNT(*) AS n_eval_matches, MAX(jaccard) AS max_jaccard,
+         |       MIN(CASE WHEN rn = 1 THEN id_eval END) AS best_eval_id
+         |FROM r GROUP BY doc_id""".stripMargin,
     "d11_exact_substring" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),

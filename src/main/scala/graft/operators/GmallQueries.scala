@@ -543,6 +543,71 @@ object GmallQueries {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** q28: SCD Type-2 history build — the temporal-table extension of
+    * the reference's dimension layer (its Phoenix upserts keep only the
+    * LATEST row per key, `dim/ProvinceInfoApp.scala:48-53`; a warehouse
+    * also needs the history). Per user, consecutive runs of the same
+    * `event_type` collapse into one versioned validity interval
+    * `[valid_from, valid_to)`, `valid_to` null ⇒ current row.
+    *
+    * Plan shape: every window is partitioned by `user_id` and the runs
+    * are derived from run-START rows only (filter on lag ≠ state, then
+    * lead over the survivors) — no second groupBy exchange, so the
+    * whole history build is ONE keyed shuffle + sorts at any scale.
+    * Ordering ties break on `event_id`, so versions are deterministic
+    * under re-execution. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val marked = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("state"))
+      .withColumn("prev", lag("state", 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_total", count(lit(1)).over(Window.partitionBy("user_id")))
+    val w2 = Window.partitionBy("user_id").orderBy("rn")
+    marked.filter(col("prev").isNull || col("prev") =!= col("state"))
+      .withColumn("version", row_number().over(w2))
+      .withColumn("valid_to", lead("ts", 1).over(w2))
+      .withColumn("n_events",
+        (coalesce(lead("rn", 1).over(w2), col("n_total") + 1) - col("rn"))
+          .cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("version"), col("state"),
+        col("ts").as("valid_from"), col("valid_to"), col("n_events"),
+        col("is_current"))
+  }
+
+  /** q29: calendar gap-fill / resample — per-user daily activity with
+    * missing days materialized (zero-filled) and the last active day
+    * forward-filled, the standard time-series densification every
+    * reporting layer needs on top of event streams (the reference's ES
+    * daily indexes, `app/DauApp.scala:133`, silently skip empty days).
+    *
+    * Plan shape: daily rollup (one keyed shuffle, map-side combined),
+    * per-user span agg, then `sequence(d0, d1)` explode — output is
+    * bounded by users × calendar span, NOT event count, so at 100 TB
+    * the explode is the small relation; the forward-fill window rides
+    * the same user_id partitioning. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("day_cents"))
+    val cal = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val w = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("user_id", "d"), "left")
+      .withColumn("filled", col("n_events").isNull)
+      .withColumn("last_active_day",
+        last(when(!col("filled"), col("d")), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("d"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("day_cents"), lit(0L)).as("day_cents"),
+        col("filled"), col("last_active_day"))
+  }
+
   /** DuckDB-equivalent SQL per query (driver correctness oracle). Money
     * math mirrors the cents formulation exactly. */
   /** q22 oracle: identical HLL recomputed in DuckDB — constants
@@ -636,6 +701,44 @@ object GmallQueries {
         |       COUNT(*) AS n_users
         |FROM ud JOIN fs ON ud.user_id = fs.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "q28_scd2_history" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type AS state,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) AS INTEGER) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n_total
+        |  FROM events),
+        |starts AS (SELECT * FROM marked WHERE prev IS NULL OR prev <> state)
+        |SELECT user_id,
+        |       CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+        |       state, ts AS valid_from,
+        |       LEAD(ts) OVER w AS valid_to,
+        |       CAST(COALESCE(LEAD(rn) OVER w, n_total + 1) - rn AS BIGINT) AS n_events,
+        |       LEAD(ts) OVER w IS NULL AS is_current
+        |FROM starts
+        |WINDOW w AS (PARTITION BY user_id ORDER BY rn)""".stripMargin,
+    "q29_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_events,
+        |         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+        |cal AS (
+        |  SELECT user_id,
+        |         CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+        |                                     CAST(d1 AS TIMESTAMP),
+        |                                     INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM span)
+        |SELECT c.user_id, c.d,
+        |       COALESCE(dy.n_events, 0) AS n_events,
+        |       COALESCE(dy.day_cents, 0) AS day_cents,
+        |       dy.n_events IS NULL AS filled,
+        |       last_value(CASE WHEN dy.n_events IS NOT NULL THEN c.d END IGNORE NULLS)
+        |         OVER (PARTITION BY c.user_id ORDER BY c.d
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_active_day
+        |FROM cal c LEFT JOIN daily dy ON c.user_id = dy.user_id AND c.d = dy.d""".stripMargin,
     "q22_dau_hll_portable" -> dauHllOracle,
     "q23_running_spend" ->
       """SELECT o_custkey AS customer_id, o_orderkey AS order_id,
@@ -822,5 +925,7 @@ object GmallQueries {
     "q20_set_ops" -> setOps,
     "q24_funnel" -> funnel,
     "q25_retention" -> retention,
+    "q28_scd2_history" -> scd2History,
+    "q29_gap_fill" -> gapFill,
   )
 }

@@ -790,4 +790,97 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(t.getMessage).exists(_.contains("raise summaryCap"))),
       s"expected the loud overflow error, got: $e")
   }
+
+  // d12: the prefix-filtered cross-corpus join must equal a naive
+  // all-cross-pairs sweep computed on STRING shingles (so the spec also
+  // revalidates the hash-array verify path), at defaults and at
+  // non-default parameters the oracle does not cover
+  private def naiveFuzzyDecon(evalN: Long, minJ: Double) = {
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(TextOps.tokenWindows(
+          TextOps.tokens(col("text")), 3, 1)).as("shingles"))
+    val e = sh.filter(col("doc_id") < evalN)
+      .select(col("doc_id").as("id_eval"), col("shingles").as("sh_e"))
+    val t = sh.filter(col("doc_id") >= evalN)
+      .select(col("doc_id"), col("shingles").as("sh_t"))
+    val pairs = t.crossJoin(e)
+      .withColumn("n_common", size(array_intersect(col("sh_t"), col("sh_e"))))
+      .withColumn("jaccard", col("n_common") /
+        (size(col("sh_t")) + size(col("sh_e")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("jaccard").desc, col("id_eval").asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max(col("jaccard")).as("max_jaccard"),
+        min(when(col("rn") === 1, col("id_eval"))).as("best_eval_id"))
+  }
+
+  test("fuzzy_decontaminate: prefix-filtered join equals the naive cross sweep") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).toSet
+    assert(canon(Dedup.fuzzyDecontaminate(spark, sf)) ===
+      canon(naiveFuzzyDecon(50, Dedup.lshMinJ)))
+    // non-default params (not gate-covered): bigger eval set, looser J
+    assert(canon(Dedup.fuzzyDecontaminate(spark, sf, evalN = 100, minJ = 0.3)) ===
+      canon(naiveFuzzyDecon(100, 0.3)))
+  }
+
+  test("scd2_history: versions contiguous, intervals chain, one current row") {
+    val h = GmallQueries.scd2History(spark, sf).cache()
+    // exactly one open (is_current) interval per user
+    assert(h.filter(col("is_current")).groupBy("user_id").count()
+      .filter(col("count") =!= 1).count() === 0L)
+    assert(h.filter(col("is_current") && col("valid_to").isNotNull).count() === 0L)
+    // versions are 1..k with no gaps
+    val vstats = h.groupBy("user_id")
+      .agg(min("version").as("v0"), max("version").as("v1"), count(lit(1)).as("n"))
+    assert(vstats.filter(col("v0") =!= 1 || col("v1") =!= col("n")).count() === 0L)
+    // intervals chain: valid_to == next version's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("version")
+    val chained = h.withColumn("next_from", lead("valid_from", 1).over(w))
+    assert(chained.filter(col("next_from").isNotNull &&
+      col("valid_to") =!= col("next_from")).count() === 0L)
+    // no collapsed run repeats its predecessor's state
+    val rep = h.withColumn("prev_state", lag("state", 1).over(w))
+      .filter(col("prev_state").isNotNull && col("prev_state") === col("state"))
+    assert(rep.count() === 0L)
+    // run lengths sum back to the per-user event count
+    val evCount = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"))
+    val sums = h.groupBy("user_id").agg(sum("n_events").as("n_run"))
+      .join(evCount, "user_id")
+    assert(sums.filter(col("n_run") =!= col("n_ev")).count() === 0L)
+    h.unpersist()
+  }
+
+  test("gap_fill: calendar is dense, filled rows are zero, forward-fill is last active") {
+    val g = GmallQueries.gapFill(spark, sf).cache()
+    // dense calendar: row count per user == span days, no duplicate days
+    val span = g.groupBy("user_id")
+      .agg(min("d").as("d0"), max("d").as("d1"), count(lit(1)).as("n"),
+        countDistinct("d").as("nd"))
+    assert(span.filter(col("n") =!= col("nd") ||
+      col("n") =!= datediff(col("d1"), col("d0")) + 1).count() === 0L)
+    // filled rows carry zeros; real rows match the daily rollup
+    assert(g.filter(col("filled") &&
+      (col("n_events") =!= 0 || col("day_cents") =!= 0)).count() === 0L)
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("e_n"), sum(Tables.cents(col("value"))).as("e_c"))
+    val joined = g.filter(!col("filled")).join(daily, Seq("user_id", "d"), "left")
+    assert(joined.filter(col("e_n").isNull || col("n_events") =!= col("e_n") ||
+      col("day_cents") =!= col("e_c")).count() === 0L)
+    // forward fill: last_active_day is the greatest non-filled day ≤ d
+    val active = g.filter(!col("filled")).select(col("user_id"), col("d").as("ad"))
+    val expect = g.join(active, Seq("user_id"))
+      .filter(col("ad") <= col("d"))
+      .groupBy("user_id", "d").agg(max("ad").as("want"))
+    val cmp = g.join(expect, Seq("user_id", "d"), "left")
+    assert(cmp.filter(col("last_active_day") =!= col("want")).count() === 0L)
+    g.unpersist()
+  }
 }
