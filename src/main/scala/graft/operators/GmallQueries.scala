@@ -608,6 +608,40 @@ object GmallQueries {
         col("filled"), col("last_active_day"))
   }
 
+  /** q30: CDC apply / upsert compaction — materialize the current
+    * snapshot from a keyed change log, the batch form of what the
+    * reference's ODS→DIM layer does per micro-batch with Phoenix
+    * upserts (`ods/BaseDBMaxwellApp.scala:54-74` routes full-row CDC
+    * events; the dim apps upsert latest state). Maxwell/Canal rows carry
+    * the FULL row, so last-writer-wins is the correct merge:
+    * `signup` = insert, `view/click/purchase` = update (both upsert the
+    * carried row), `error` = delete tombstone — a key whose latest
+    * event is a delete leaves the snapshot. `props` is parsed as JSON
+    * (`$$.k`), exercising the semi-structured path end to end.
+    *
+    * Plan shape: ONE `max_by` aggregation with map-side partial
+    * combine — each mapper keeps one row per local key before the
+    * shuffle, so the exchange carries ≤ |keys| × mappers rows instead
+    * of the full log (the row_number-window formulation would shuffle
+    * and sort EVERY event). At 100 TB of CDC log this is the difference
+    * between compacting and re-sorting the log. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_ops"),
+        max_by(struct(col("ts"), col("event_type"), col("value"), col("k")),
+          struct(col("ts"), col("event_id"))).as("last"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.ts").as("last_ts"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value").as("last_value"), col("last.k").as("last_k"),
+        col("n_ops"))
+  }
+
   /** DuckDB-equivalent SQL per query (driver correctness oracle). Money
     * math mirrors the cents formulation exactly. */
   /** q22 oracle: identical HLL recomputed in DuckDB — constants
@@ -701,6 +735,19 @@ object GmallQueries {
         |       COUNT(*) AS n_users
         |FROM ud JOIN fs ON ud.user_id = fs.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "q30_cdc_apply" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, event_id DESC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM ev)
+        |SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+        |       value AS last_value, k AS last_k, CAST(n_ops AS BIGINT) AS n_ops
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     "q28_scd2_history" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, event_type AS state,
@@ -927,5 +974,6 @@ object GmallQueries {
     "q25_retention" -> retention,
     "q28_scd2_history" -> scd2History,
     "q29_gap_fill" -> gapFill,
+    "q30_cdc_apply" -> cdcApply,
   )
 }

@@ -70,3 +70,17 @@ final case class ClickState(ts: Timestamp, id: Long)
 final case class Attribution(event_id: Long, user_id: Long, ts: Timestamp,
     click_id: Option[Long], click_ts: Option[Timestamp],
     stale_state: Boolean = false)
+
+/** Streaming SCD2 output: one CLOSED validity interval (the open run
+  * lives only in state until the next state change closes it).
+  * `n_late` is the count of out-of-order events dropped while this
+  * interval was open — nonzero means the batch rebuild
+  * (GmallQueries.scd2History) may split this interval differently. */
+final case class Scd2Row(user_id: Long, version: Int, state: String,
+    valid_from: Timestamp, valid_to: Timestamp, n_events: Long,
+    n_late: Long)
+
+/** Keyed state for streaming SCD2: the open run per user. */
+final case class Scd2State(state: String, validFrom: Timestamp,
+    version: Int, nEvents: Long, lastTs: Timestamp, lastId: Long,
+    nLate: Long)

@@ -451,6 +451,72 @@ object Pipelines {
     Iterator.single((dt, graft.operators.GmallQueries.Hll.estimate(regs)))
   }
 
+  /** Streaming SCD2 — incremental maintenance of the versioned history
+    * that GmallQueries.scd2History builds in batch: keyed state holds
+    * each user's OPEN run (state string, valid_from, version, event
+    * count); a state-changing event closes the run (emitting one
+    * Scd2Row, append mode) and opens the next. This is the reference's
+    * dim-upsert lane (`dim/UserInfoApp.scala:69-74` keeps latest-only)
+    * upgraded to keep history, with O(keys) state — one scalar record
+    * per key regardless of traffic.
+    *
+    * Ordering: rows are applied in (ts, event_id) order within a batch;
+    * an event older than the open run's last applied event
+    * (cross-batch out-of-order) cannot retro-split already-closed
+    * intervals, so it is dropped and COUNTED — emitted rows carry
+    * `n_late`, and the batch rebuild is the replayable source of truth
+    * when it is nonzero (the lastTouchAttribution `stale_state`
+    * pattern). In-order feeds reproduce the batch history exactly
+    * (pinned by spec). */
+  def scd2Stream(events: DataFrame, stateTtlMs: Long = 0L): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("ts").cast("timestamp"), col("event_type"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    typed.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        scd2Group(stateTtlMs))
+  }
+
+  private[streaming] def scd2Group(stateTtlMs: Long)(
+      user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, String)],
+      state: GroupState[Scd2State]): Iterator[Scd2Row] = {
+    // a TTL'd key drops its open run — acceptable for abandoned keys,
+    // the same trade the reference's Redis TTLs make
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var cur = state.getOption
+    val out = scala.collection.mutable.ListBuffer.empty[Scd2Row]
+    rows.toSeq
+      .sortWith { (a, b) =>
+        val c = a._3.compareTo(b._3)
+        if (c != 0) c < 0 else a._1 < b._1
+      }
+      .foreach { case (id, uid, ts, et) =>
+        cur match {
+          case None =>
+            cur = Some(Scd2State(et, ts, 1, 1L, ts, id, 0L))
+          case Some(s) =>
+            val cmp = ts.compareTo(s.lastTs)
+            if (cmp < 0 || (cmp == 0 && id < s.lastId))
+              cur = Some(s.copy(nLate = s.nLate + 1)) // out-of-order: count, drop
+            else if (et == s.state)
+              cur = Some(s.copy(nEvents = s.nEvents + 1, lastTs = ts, lastId = id))
+            else {
+              out += Scd2Row(uid, s.version, s.state, s.validFrom, ts,
+                s.nEvents, s.nLate)
+              cur = Some(Scd2State(et, ts, s.version + 1, 1L, ts, id, s.nLate))
+            }
+        }
+      }
+    cur.foreach(state.update)
+    if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+    out.iterator
+  }
+
   /** J6/A2 first-order flag (`dwd/OrderInfoApp.scala:92-157`): keyed
     * state holds "has this user ever ordered"; within one batch the
     * earliest order wins — the reference's lookup + intra-batch

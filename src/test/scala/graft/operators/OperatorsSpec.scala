@@ -857,6 +857,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     h.unpersist()
   }
 
+  test("cdc_apply: last-writer-wins snapshot with delete tombstones") {
+    val snap = GmallQueries.cdcApply(spark, sf).cache()
+    // one row per surviving key
+    assert(snap.groupBy("user_id").count().filter(col("count") > 1).count() === 0L)
+    // independent formulation: window latest per key, tombstone filter
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val ev = Tables.events(spark, sf)
+    val want = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"),
+        get_json_object(col("props"), "$.k").cast("int").as("last_k"),
+        col("n_ops"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).toSet
+    assert(canon(snap) === canon(want))
+    // tombstoned keys really had a trailing delete
+    val gone = ev.select(col("user_id")).distinct()
+      .join(snap.select("user_id"), Seq("user_id"), "left_anti")
+    val lastIsDelete = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") === "error")
+      .select("user_id")
+    assert(canon(gone) === canon(lastIsDelete))
+    snap.unpersist()
+  }
+
   test("gap_fill: calendar is dense, filled rows are zero, forward-fill is last active") {
     val g = GmallQueries.gapFill(spark, sf).cache()
     // dense calendar: row count per user == span days, no duplicate days

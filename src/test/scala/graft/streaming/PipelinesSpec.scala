@@ -144,6 +144,63 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed === batch)
   }
 
+  test("scd2Stream: cross-batch closed intervals == batch scd2History, in order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, Long, Timestamp, String)].collect()
+      .sortWith { (a, b) => // (ts, event_id) — Timestamp.compareTo keeps sub-ms
+        val c = a._3.compareTo(b._3)
+        if (c != 0) c < 0 else a._1 < b._1
+      }
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = Pipelines.scd2Stream(
+        mem.toDF().toDF("event_id", "user_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    try {
+      all.grouped((all.length + 2) / 3)
+        .foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("scd2_out").as[Scd2Row].collect()
+      assert(streamed.nonEmpty && streamed.forall(_.n_late == 0L))
+      val got = streamed.map(r =>
+        (r.user_id, r.version, r.state, r.valid_from, r.valid_to, r.n_events)).toSet
+      val want = graft.operators.GmallQueries.scd2History(spark, sf)
+        .filter(col("valid_to").isNotNull)
+        .select(col("user_id"), col("version"), col("state"),
+          col("valid_from"), col("valid_to"), col("n_events"))
+        .as[(Long, Int, String, Timestamp, Timestamp, Long)].collect().toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("scd2Stream: out-of-order event is dropped and counted in n_late") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = Pipelines.scd2Stream(
+        mem.toDF().toDF("event_id", "user_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("scd2_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        (1L, 7L, ts("2024-01-01 10:00:00"), "A"),
+        (2L, 7L, ts("2024-01-01 10:02:00"), "B")))
+      q.processAllAvailable()
+      // late C (10:01) lands between already-applied events: drop + count;
+      // D closes the open B run, which carries the late counter
+      mem.addData(Seq(
+        (3L, 7L, ts("2024-01-01 10:01:00"), "C"),
+        (4L, 7L, ts("2024-01-01 10:03:00"), "D")))
+      q.processAllAvailable()
+      val rows = spark.table("scd2_late").as[Scd2Row].collect().sortBy(_.version)
+      assert(rows.map(r => (r.version, r.state, r.n_late)).toSeq ===
+        Seq((1, "A", 0L), (2, "B", 1L)))
+    } finally q.stop()
+  }
+
   test("dauHllStream: constant-register state across batches == batch q22 estimates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
