@@ -642,6 +642,50 @@ object GmallQueries {
         col("n_ops"))
   }
 
+  /** q31: incremental materialized-view maintenance — refresh a
+    * pre-aggregated revenue MV from a signed delta instead of
+    * recomputing, the standard warehouse pattern the reference
+    * approximates by re-reading dims every batch
+    * (`dwd/OrderInfoApp.scala:194-221`). Base = the MV as of `cutoff`
+    * (orders before it); delta = post-cutoff orders applied with
+    * sign +1, and post-cutoff 'P'-status orders retracted with sign −1
+    * (cancellations arriving after the MV was built). The refreshed MV
+    * must equal a full recompute that excludes the retracted rows —
+    * which is exactly what the DuckDB oracle computes, so the gate
+    * checks the IVM invariant itself.
+    *
+    * Plan shape: base and delta are map-side-combined aggregates over
+    * disjoint date slices (at 100 TB: the base is the ALREADY
+    * MATERIALIZED tiny MV, only the delta partition is scanned); the
+    * merge is a full-outer join on the group key — |groups| rows, not
+    * fact rows. Zeroed groups drop out (`n_orders > 0`), so deletes
+    * fully unwind. */
+  def deltaAgg(spark: SparkSession, dir: String,
+               cutoff: String = "2000-01-01"): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val rows = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(n("n_name").as("province_name"), col("o_orderdate"),
+        col("o_orderstatus"), cents(col("o_totalprice")).as("c"))
+    val base = rows.filter(col("o_orderdate") < lit(cutoff))
+      .groupBy("province_name")
+      .agg(count(lit(1)).as("b_n"), sum("c").as("b_c"))
+    val post = rows.filter(col("o_orderdate") >= lit(cutoff))
+    val delta = post.select(col("province_name"), col("c"), lit(1L).as("sign"))
+      .union(post.filter(col("o_orderstatus") === "P")
+        .select(col("province_name"), col("c"), lit(-1L).as("sign")))
+      .groupBy("province_name")
+      .agg(sum(col("sign")).as("d_n"), sum(col("sign") * col("c")).as("d_c"))
+    base.join(delta, Seq("province_name"), "full_outer")
+      .select(col("province_name"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_orders"),
+        dollars(coalesce(col("b_c"), lit(0L)) + coalesce(col("d_c"), lit(0L)))
+          .as("amount"))
+      .filter(col("n_orders") > 0)
+  }
+
   /** DuckDB-equivalent SQL per query (driver correctness oracle). Money
     * math mirrors the cents formulation exactly. */
   /** q22 oracle: identical HLL recomputed in DuckDB — constants
@@ -735,6 +779,16 @@ object GmallQueries {
         |       COUNT(*) AS n_users
         |FROM ud JOIN fs ON ud.user_id = fs.user_id
         |GROUP BY 1, 2""".stripMargin,
+    // q31's oracle is the full recompute the incremental path must
+    // reproduce: everything except post-cutoff cancelled ('P') orders
+    "q31_delta_agg" ->
+      """SELECT n_name AS province_name, COUNT(*) AS n_orders,
+        |       SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS amount
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT (o_orderstatus = 'P' AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY n_name""".stripMargin,
     "q30_cdc_apply" ->
       """WITH ev AS (
         |  SELECT user_id, ts, event_id, event_type, value,
@@ -975,5 +1029,6 @@ object GmallQueries {
     "q28_scd2_history" -> scd2History,
     "q29_gap_fill" -> gapFill,
     "q30_cdc_apply" -> cdcApply,
+    "q31_delta_agg" -> ((s, d) => deltaAgg(s, d)),
   )
 }

@@ -857,6 +857,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     h.unpersist()
   }
 
+  test("delta_agg: incremental merge equals full recompute at any cutoff") {
+    def direct(cutoff: String) = {
+      val o = Tables.orders(spark, sf)
+      val c = Tables.customer(spark, sf)
+      val n = Tables.nation(spark, sf)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .filter(!(col("o_orderstatus") === "P" &&
+          col("o_orderdate") >= lit(cutoff)))
+        .groupBy(n("n_name").as("province_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          Tables.dollars(sum(Tables.cents(col("o_totalprice")))).as("amount"))
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).toSet
+    // mid-range cutoff, all-delta (base empty), all-base (delta empty)
+    for (cutoff <- Seq("1996-06-15", "1990-01-01", "2005-01-01"))
+      assert(canon(GmallQueries.deltaAgg(spark, sf, cutoff)) ===
+        canon(direct(cutoff)), s"cutoff $cutoff")
+  }
+
   test("cdc_apply: last-writer-wins snapshot with delete tombstones") {
     val snap = GmallQueries.cdcApply(spark, sf).cache()
     // one row per surviving key

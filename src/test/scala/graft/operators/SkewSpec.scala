@@ -38,4 +38,40 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(String, Long)].collect().toMap
     assert(salted === plain)
   }
+
+  // AQE's skew-join split is the no-code-change alternative to manual
+  // salting — at 100 TB it is the FIRST line of defense (salting is for
+  // when AQE's per-partition granularity isn't enough). Prove the
+  // engine's session config actually gets it: a hot-key join must plan
+  // SortMergeJoin(skew=true) under AQE with the skew thresholds scaled
+  // to local data sizes.
+  test("AQE splits the hot partition of a skewed sort-merge join") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carries ~95% of a 300k-row left side
+      val left = spark.range(300000)
+        .select(when(col("id") % 20 === 0, col("id") % 50).otherwise(lit(7L)).as("k"),
+          concat(lit("payload_"), col("id")).as("payload"))
+      val right = spark.range(50).select(col("id").as("k"),
+        concat(lit("dim_"), col("id")).as("name"))
+        .repartition(4) // materialize via shuffle so SMJ is the natural plan
+      val joined = left.join(right, "k")
+      // collect THIS DataFrame (count() would execute a different
+      // QueryExecution) so its adaptive plan is final when inspected
+      assert(joined.collect().length === 300000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should mark the skewed join, final plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
