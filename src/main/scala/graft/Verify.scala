@@ -82,6 +82,7 @@ object Verify {
       (if (d3Trusted) Nil else Seq("d3_minhash_lsh")) ++
       (if (lshTrusted("v2_ann_lsh", "v1_ann_bruteforce")) Nil else Seq("v2_ann_lsh")) ++
       (if (lshTrusted("v4_ann_ivf", "v1_ann_bruteforce")) Nil else Seq("v4_ann_ivf")) ++
+      (if (lshTrusted("v8_ann_pq", "v1_ann_bruteforce")) Nil else Seq("v8_ann_pq")) ++
       (if (lshTrusted("v5_near_dup_lsh", "v3_near_dup_pairs")) Nil else Seq("v5_near_dup_lsh"))
     val oracles = SparkEntry.oracleSql -- demoted
     val json = oracles

@@ -275,6 +275,48 @@ object TextOps {
           6).as("avg_logprob"))
   }
 
+  /** t22: bigram LM scoring — the conditional-probability upgrade of
+    * t19 (the KenLM-filter shape one order up): score each document by
+    * the average log-probability of its bigrams under the corpus bigram
+    * model with add-1 smoothing, P(w|prev) = (c(prev,w) + 1) /
+    * (c(prev·) + |V|). Low scores = unnatural token transitions
+    * (shuffled text, boilerplate soup) that unigram frequencies cannot
+    * see.
+    *
+    * Scale shape: the corpus shuffles only distinct (doc, bigram)
+    * pairs; the bigram model and its prefix marginals are
+    * vocabulary-bounded aggregates that join back BROADCAST. Float
+    * parity: both sides compute Σ n·ln((c+1)/(cp+V)) / Σ n and round
+    * to 6 dp (the t19 pattern). Degenerate single-token docs emit the
+    * tail window both engines produce (the shared window formula), so
+    * coverage is every document. */
+  def bigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // persisted UNARMED while the vocab count runs (an internal action
+    // would sweep an armed entry — the decontaminateBloom pattern)
+    val bf = docs
+      .select(col("doc_id"), tokens("text").as("toks"))
+      .select(col("doc_id"),
+        explode(tokenWindows(col("toks"), 2, 1)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .persist()
+    val model = bf.groupBy(col("bg")).agg(sum(col("n")).as("c"))
+      .withColumn("prev", split(col("bg"), " ").getItem(0))
+    val prefix = model.groupBy(col("prev")).agg(sum(col("c")).as("cp"))
+    val vocab = docs.select(explode(tokens("text")).as("tok"))
+      .distinct().count()
+    ScratchCache.arm(bf)
+    bf.join(broadcast(model), "bg")
+      .join(broadcast(prefix), "prev")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_bigrams"),
+        round(
+          sum(col("n") * log((col("c") + lit(1)) /
+            (col("cp") + lit(vocab)).cast("double"))) / sum(col("n")),
+          6).as("avg_logprob"))
+  }
+
   /** t20: dataset card — the per-(source, language) composition report
     * every corpus release ships: document and token counts, average
     * document size, and each stratum's share of the corpus. One
@@ -596,6 +638,7 @@ object TextOps {
     "t15_quantile_filter" -> ((s, d) => quantileFilter(s, d)),
     "t18_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "t19_unigram_logprob" -> unigramLogProb,
+    "t22_bigram_logprob" -> bigramLogProb,
     "t20_dataset_card" -> datasetCard,
     // t21 is rows-only BY DESIGN: zlib byte counts are deterministic
     // but engine-specific (no DuckDB analog) — see compressionRatio
@@ -695,6 +738,24 @@ object TextOps {
         |       ROUND(SUM(tf.n * ln(m.c / tot.total)) / SUM(tf.n), 6) AS avg_logprob
         |FROM tf JOIN m USING (tok), tot
         |GROUP BY tf.doc_id""".stripMargin,
+    "t22_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, UNNEST([array_to_string(t[i+1:i+2], ' ')
+        |                         FOR i IN range(0, GREATEST(LEN(t)-2, 0) + 1)]) AS bg
+        |  FROM toks),
+        |bf AS (SELECT doc_id, bg, COUNT(*) AS n FROM w GROUP BY 1, 2),
+        |m0 AS (SELECT bg, SUM(n) AS c FROM bf GROUP BY 1),
+        |m AS (SELECT bg, c, string_split(bg, ' ')[1] AS prev FROM m0),
+        |pf AS (SELECT prev, SUM(c) AS cp FROM m GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS vocab
+        |      FROM (SELECT UNNEST(t) AS tok FROM toks))
+        |SELECT bf.doc_id, CAST(SUM(bf.n) AS BIGINT) AS n_bigrams,
+        |       ROUND(SUM(bf.n * ln((m.c + 1) / CAST(pf.cp + v.vocab AS DOUBLE)))
+        |             / SUM(bf.n), 6) AS avg_logprob
+        |FROM bf JOIN m USING (bg) JOIN pf USING (prev), v
+        |GROUP BY bf.doc_id""".stripMargin,
     "t18_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),

@@ -455,6 +455,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("annPq: codes are compact and valid, gate profile equals exact, default has recall floor") {
+    val emb = Tables.embeddings(spark, sf)
+    val books = Similarity.pqCodebooks(emb, m = 4, nCodes = 16, iters = 2)
+    // every subspace codebook trained (possibly < nCodes after empty
+    // Lloyd clusters, never more); codes index into it
+    assert(books.size === 4)
+    assert(books.forall(b => b.nonEmpty && b.size <= 16))
+    val codes = Similarity.encodePq(emb, books).cache()
+    assert(codes.count() === emb.count())
+    val bad = codes.select(posexplode(col("codes")))
+      .filter(col("col") < 0 ||
+        col("col") >= element_at(typedLit(books.map(_.size)), col("pos") + 1))
+      .count()
+    assert(bad === 0L, "every code must index its subspace codebook")
+    codes.unpersist()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).toSet
+    // gate profile (probed recall-complete): identical to brute force
+    assert(canon(Similarity.annPq(spark, sf, rerank = 272)) ===
+      canon(Similarity.annBruteForce(spark, sf)))
+    // throughput default: a recall floor, not completeness (near-random
+    // embeddings — see scaladoc)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pairs(Similarity.annBruteForce(spark, sf))
+    val got = pairs(Similarity.annPq(spark, sf))
+    assert(want.intersect(got).size.toDouble / want.size >= 0.4)
+  }
+
   test("streaming near-dup candidates cover every verified batch LSH pair (shared buckets)") {
     import spark.implicits._
     // batch-mode execution of the streaming operator (state per group,
@@ -681,6 +711,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(col("avg_logprob") < lo || col("avg_logprob") > hi).count() === 0L)
     assert(out.filter(col("avg_logprob") >= 0).count() === 0L,
       "log-probs of a >1-token vocabulary are strictly negative")
+    out.unpersist()
+  }
+
+  test("bigram_logprob: every doc scored, smoothed probs strictly in (0,1)") {
+    val out = TextOps.bigramLogProb(spark, sf).cache()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.count() === nDocs)
+    // add-1 smoothing keeps every conditional in (0, 1): averages are
+    // strictly negative and bounded below by the rarest transition
+    val bgs = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(explode(TextOps.tokenWindows(col("toks"), 2, 1)).as("bg"))
+    val maxCp = bgs.withColumn("prev", split(col("bg"), " ").getItem(0))
+      .groupBy("prev").count().agg(max("count")).head.getLong(0)
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(TextOps.tokens(col("text"))).as("tok")).distinct().count()
+    val lo = math.log(1.0 / (maxCp + vocab)) - 1e-6
+    assert(out.filter(col("avg_logprob") < lo || col("avg_logprob") >= 0)
+      .count() === 0L)
+    // n_bigrams matches the shared window formula per doc
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(TextOps.tokenWindows(col("toks"), 2, 1)).cast("long").as("w_n"))
+    assert(out.join(want, "doc_id")
+      .filter(col("n_bigrams") =!= col("w_n")).count() === 0L)
     out.unpersist()
   }
 

@@ -32,8 +32,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** The documented exact all-pairs baselines: tiny-side broadcast /
-    * one-sided smallness by construction (Similarity scaladoc). */
-  private val allPairsBaselines = Set("v1_ann_bruteforce", "v3_near_dup_pairs")
+    * one-sided smallness by construction (Similarity scaladoc). v8's
+    * ADC stage is the same shape ON PURPOSE — every compressed code row
+    * scores against the broadcast query set (a linear scan of the
+    * 2-byte-code relation, not of the vectors). */
+  private val allPairsBaselines =
+    Set("v1_ann_bruteforce", "v3_near_dup_pairs", "v8_ann_pq")
 
   test("no undocumented nested-loop or cartesian join in any gate query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
