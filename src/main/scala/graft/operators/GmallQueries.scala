@@ -589,10 +589,12 @@ object GmallQueries {
     * the explode is the small relation; the forward-fill window rides
     * the same user_id partitioning. */
   def gapFill(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+    // armed: the daily rollup feeds BOTH the span/calendar side and the
+    // join side — without the cache the heaviest aggregate runs twice
+    val daily = graft.ScratchCache.arm(Tables.events(spark, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("n_events"),
-        sum(cents(col("value"))).as("day_cents"))
+        sum(cents(col("value"))).as("day_cents")))
     val cal = daily.groupBy(col("user_id"))
       .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("d"))
@@ -659,7 +661,11 @@ object GmallQueries {
     * MATERIALIZED tiny MV, only the delta partition is scanned); the
     * merge is a full-outer join on the group key — |groups| rows, not
     * fact rows. Zeroed groups drop out (`n_orders > 0`), so deletes
-    * fully unwind. */
+    * fully unwind.
+    *
+    * The DuckDB oracle hard-codes the default `cutoff = 2000-01-01`;
+    * non-default invocations are NOT gate-checked (the spec covers
+    * mid-range and both degenerate cutoffs instead). */
   def deltaAgg(spark: SparkSession, dir: String,
                cutoff: String = "2000-01-01"): DataFrame = {
     val o = Tables.orders(spark, dir)

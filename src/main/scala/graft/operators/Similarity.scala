@@ -277,36 +277,54 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
-  /** Per-subspace codebooks: Lloyd on the subvectors (annIvf's loop —
-    * deterministic lowest-id seeds, assignment via the fused
-    * literal-matrix argmax, exact double means, driver-held model). */
+  /** Per-subspace codebooks: Lloyd on the subvectors (annIvf's
+    * ingredients — deterministic lowest-id seeds, assignment via the
+    * fused literal-matrix argmax, exact double means, driver-held
+    * model). ALL subspaces train together: one seed collect, then ONE
+    * Spark job per Lloyd iteration — per-row the m assignments explode
+    * to (s, code, pos, v) rows and a single (s, code, pos) average
+    * updates every codebook (m × nCodes × subDim result rows). The
+    * per-subspace-sequential formulation paid m × iters driver
+    * round-trips of job latency for the same arithmetic. */
   private[operators] def pqCodebooks(emb: DataFrame, m: Int, nCodes: Int,
                                      iters: Int): Seq[Seq[Array[Float]]] = {
     val dim = embDim(emb)
     val subDim = dim / m
     def subCol(s: Int): Column = slice(col("embedding"), s * subDim + 1, subDim)
-    (0 until m).map { s =>
-      var cents: Seq[Array[Float]] = {
-        val spark = emb.sparkSession
-        import spark.implicits._
-        emb.orderBy(col("vec_id")).limit(nCodes)
-          .select(subCol(s)).as[Array[Float]].collect().toSeq
-      }
-      for (_ <- 0 until iters) {
-        val flat = cents.flatMap(_.map(_.toDouble)).toArray
-        val avgs = (0 until subDim).map(i =>
-          avg(element_at(subCol(s), i + 1)).as(s"v_$i"))
-        cents = emb
-          .withColumn("code", graft.functions.NearestCentroidIdx
-            .nearest_centroid_idx(subCol(s), typedLit(flat), lit(cents.size)))
-          .groupBy(col("code"))
-          .agg(avgs.head, avgs.tail: _*)
-          .collect().toSeq
-          .sortBy(_.getInt(0))
-          .map(r => Array.tabulate(subDim)(i => r.getDouble(1 + i).toFloat))
-      }
-      cents
+    var books: Seq[Seq[Array[Float]]] = {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      val seeds = emb.orderBy(col("vec_id")).limit(nCodes)
+        .select(col("embedding")).as[Array[Float]].collect()
+      (0 until m).map(s =>
+        seeds.map(v => v.slice(s * subDim, (s + 1) * subDim)).toSeq)
     }
+    for (_ <- 0 until iters) {
+      val perSub = array(books.indices.map { s =>
+        val flat = books(s).flatMap(_.map(_.toDouble)).toArray
+        struct(lit(s).as("s"),
+          graft.functions.NearestCentroidIdx.nearest_centroid_idx(
+            subCol(s), typedLit(flat), lit(books(s).size)).as("code"),
+          subCol(s).as("sub"))
+      }: _*)
+      val updated = emb.select(explode(perSub).as("e"))
+        .select(col("e.s").as("s"), col("e.code").as("code"),
+          posexplode(col("e.sub")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("v"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .view.mapValues { rows =>
+          val arr = new Array[Float](subDim)
+          rows.foreach(r => arr(r.getInt(2)) = r.getDouble(3).toFloat)
+          arr
+        }.toMap
+      books = (0 until m).map { s =>
+        updated.keys.filter(_._1 == s).map(_._2).toSeq.sorted
+          .map(c => updated((s, c)))
+      }
+    }
+    books
   }
 
   /** The compressed PQ relation (vec_id, codes): m narrow argmaxes per
