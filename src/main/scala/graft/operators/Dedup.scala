@@ -273,8 +273,14 @@ object Dedup {
     * and by Multimodal's perceptual-hash pairs (m3). Chunks cover the
     * low `bits`; uncovered high bits only REMOVE differing bits from
     * chunks, so pigeonhole recall is unaffected. */
+  /** `blockCols`: extra equality keys folded into the bucket join
+    * (e.g. media kind) — pairs differing there are never candidates,
+    * instead of being generated and residual-filtered away. Pigeonhole
+    * recall is unaffected: a qualifying pair agrees on the block
+    * columns by definition and still shares an exact chunk. */
   private[operators] def chunkedHammingPairs(sh: DataFrame, maxDist: Int,
-                                             bits: Int): DataFrame = {
+                                             bits: Int,
+                                             blockCols: Seq[String] = Nil): DataFrame = {
     require(maxDist >= 0 && maxDist < bits / 2, s"maxDist $maxDist out of range")
     val nChunks = maxDist + 1
     val width = bits / nChunks
@@ -283,13 +289,16 @@ object Dedup {
     // the bucket self-join, which would otherwise tokenize+simhash the
     // corpus twice (self-joins re-execute unshared subtrees per side)
     val chunked = ScratchCache.arm(
-      sh.select(col("doc_id"), col("simhash"),
+      sh.select(Seq(col("doc_id"), col("simhash")) ++ blockCols.map(col) :+
         posexplode(array((0 until nChunks).map(c =>
-          shiftright(col("simhash"), c * width).bitwiseAND(mask)): _*)))
+          shiftright(col("simhash"), c * width).bitwiseAND(mask)): _*)): _*)
         .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key"))
-    val l = chunked.select(col("chunk"), col("key"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-    val r = chunked.select(col("chunk"), col("key"), col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("chunk", "key"))
+    val keys = Seq("chunk", "key") ++ blockCols
+    val l = chunked.select(keys.map(col) ++
+      Seq(col("doc_id").as("id_a"), col("simhash").as("sh_a")): _*)
+    val r = chunked.select(keys.map(col) ++
+      Seq(col("doc_id").as("id_b"), col("simhash").as("sh_b")): _*)
+    l.join(r, keys)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))

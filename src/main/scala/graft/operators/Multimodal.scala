@@ -157,14 +157,16 @@ object Multimodal {
     * chunk-blocked equi-join the text SimHash family uses
     * ([[Dedup.chunkedHammingPairs]]): recall guaranteed for any
     * maxDist, never an all-pairs scan. Kind is media_id-derived in
-    * [[mediaTable]], so the same-kind constraint is a residual
-    * predicate, not a third join input. */
+    * [[mediaTable]] and folded INTO the bucket key (`blockCols`), so
+    * cross-kind collisions never become candidates — at maxDist = 8 the
+    * 60-bit chunks are only ~6 bits wide and bucket collisions are the
+    * cost driver, so blocking by kind cuts the candidate set ~3×. */
   def phashPairs(spark: SparkSession, dir: String, maxDist: Int = 8): DataFrame =
     Dedup.chunkedHammingPairs(
         mediaPhash(spark, dir)
-          .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
-        maxDist, bits = 60)
-      .filter(col("id_a") % 3 === col("id_b") % 3)
+          .select(col("media_id").as("doc_id"), col("phash").as("simhash"),
+            (col("media_id") % 3).as("kind")),
+        maxDist, bits = 60, blockCols = Seq("kind"))
       .select(col("id_a"), col("id_b"), col("hamming"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
