@@ -84,3 +84,11 @@ final case class Scd2Row(user_id: Long, version: Int, state: String,
 final case class Scd2State(state: String, validFrom: Timestamp,
     version: Int, nEvents: Long, lastTs: Timestamp, lastId: Long,
     nLate: Long)
+
+/** Streaming CDC-apply state AND output: the key's current row under
+  * last-writer-wins (one scalar record per key — O(keys) state).
+  * `is_deleted` = the latest op is a tombstone; the key stays in state
+  * so later upserts revive it, but a snapshot reader drops it. */
+final case class CdcRow(user_id: Long, last_ts: Timestamp, last_id: Long,
+    last_event_type: String, last_value: Double, last_k: Option[Int],
+    n_ops: Long, is_deleted: Boolean)

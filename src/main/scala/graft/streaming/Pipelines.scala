@@ -517,6 +517,52 @@ object Pipelines {
     out.iterator
   }
 
+  /** Streaming CDC apply — the incremental form of
+    * GmallQueries.cdcApply: keyed state holds each key's CURRENT row
+    * under last-writer-wins (`error` = delete tombstone, kept in state
+    * so later upserts revive the key); each batch emits one refreshed
+    * CdcRow per touched key (append mode — downstream keeps the
+    * latest). O(keys) state; out-of-order events older than the
+    * current row are absorbed by the (ts, event_id) max rule exactly
+    * as in batch, so stream and batch snapshots agree on ANY feed
+    * order (pinned by spec). */
+  def cdcApplyStream(events: DataFrame, stateTtlMs: Long = 0L): Dataset[CdcRow] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("ts").cast("timestamp"), col("event_type"),
+        col("value").cast("double"),
+        get_json_object(col("props"), "$.k").cast("int"))
+      .as[(Long, Long, java.sql.Timestamp, String, Double, Option[Int])]
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    typed.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        cdcApplyGroup(stateTtlMs))
+  }
+
+  private[streaming] def cdcApplyGroup(stateTtlMs: Long)(
+      user: Long,
+      rows: Iterator[(Long, Long, java.sql.Timestamp, String, Double, Option[Int])],
+      state: GroupState[CdcRow]): Iterator[CdcRow] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var cur = state.getOption
+    rows.foreach { case (id, uid, ts, et, v, k) =>
+      val newer = cur.forall { c =>
+        val cmp = ts.compareTo(c.last_ts)
+        cmp > 0 || (cmp == 0 && id > c.last_id)
+      }
+      val n = cur.map(_.n_ops).getOrElse(0L) + 1
+      cur =
+        if (newer) Some(CdcRow(uid, ts, id, et, v, k, n, et == "error"))
+        else cur.map(c => c.copy(n_ops = n))
+    }
+    cur.foreach(state.update)
+    if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+    cur.iterator
+  }
+
   /** J6/A2 first-order flag (`dwd/OrderInfoApp.scala:92-157`): keyed
     * state holds "has this user ever ordered"; within one batch the
     * earliest order wins — the reference's lookup + intra-batch

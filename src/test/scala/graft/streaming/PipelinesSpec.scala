@@ -201,6 +201,43 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("cdcApplyStream: final snapshot == batch cdcApply on an UNORDERED feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"), col("props"))
+      .as[(Long, Long, Timestamp, String, Double, String)].collect()
+    // deliberately NOT time-ordered: batch by event_id % 3 — the
+    // (ts, event_id) max rule must absorb any arrival order
+    val mem = MemoryStream[(Long, Long, Timestamp, String, Double, String)]
+    val q = Pipelines.cdcApplyStream(
+        mem.toDF().toDF("event_id", "user_id", "ts", "event_type", "value", "props"))
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("append").start()
+    try {
+      (0 until 3).foreach { b =>
+        mem.addData(all.filter(_._1 % 3 == b).toSeq); q.processAllAvailable()
+      }
+      // latest emission per key = the row with the max n_ops
+      val streamed = spark.table("cdc_out").as[CdcRow].collect()
+        .groupBy(_.user_id).map(_._2.maxBy(_.n_ops)).toSeq
+      val batch = graft.operators.GmallQueries.cdcApply(spark, sf)
+        .select(col("user_id"), col("last_ts"), col("last_event_type"),
+          col("last_value"), col("last_k"), col("n_ops"))
+        .as[(Long, Timestamp, String, Double, Option[Int], Long)].collect()
+      val got = streamed.filter(!_.is_deleted)
+        .map(r => (r.user_id, r.last_ts, r.last_event_type, r.last_value,
+          r.last_k, r.n_ops)).toSet
+      assert(got === batch.toSet)
+      // tombstoned keys are exactly the complement of the batch snapshot
+      val allUsers = all.map(_._2).toSet
+      assert(streamed.filter(_.is_deleted).map(_.user_id).toSet ===
+        allUsers -- batch.map(_._1).toSet)
+    } finally q.stop()
+  }
+
   test("dauHllStream: constant-register state across batches == batch q22 estimates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
