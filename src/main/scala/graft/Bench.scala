@@ -219,6 +219,23 @@ object Bench {
         if (acc.value == 0L) -1.0 else nIn / sec
       }
     } catch { case _: Throwable => -1.0 }
+    // streaming CDC apply (q30's incremental twin): keyed
+    // flatMapGroupsWithState over the full events stream — the
+    // last-writer-wins state-update path with one state row per key.
+    val streamCdcRate: Double = try {
+      val n = Tables.events(spark, sfDir).count()
+      best2 { () =>
+        val ev = Tables.normalizeEventTs(streamOf("events"))
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-cckpt").toString
+        val sec = timedStream(partitions = 8) { () =>
+          streaming.Pipelines.cdcApplyStream(ev)
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .start()
+        }
+        n / sec
+      }
+    } catch { case _: Throwable => -1.0 }
     val suspectJson = suspectQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"failed":$failed,""" +
@@ -226,7 +243,8 @@ object Bench {
       s""""suspect_queries":$suspectJson,""" +
       s""""stream_dau_rows_per_sec":${streamRate.toLong},""" +
       s""""stream_dau_rocksdb_rows_per_sec":${streamRateRocks.toLong},""" +
-      s""""stream_join_rows_per_sec":${streamJoinRate.toLong},"sf":"$sfDir"}"""
+      s""""stream_join_rows_per_sec":${streamJoinRate.toLong},""" +
+      s""""stream_cdc_apply_rows_per_sec":${streamCdcRate.toLong},"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: sbt prefixes stdout with [info] and appends its
     // own trailer lines, which can defeat a last-line JSON parse — leave
