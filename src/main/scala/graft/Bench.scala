@@ -226,14 +226,20 @@ object Bench {
       val n = Tables.events(spark, sfDir).count()
       best2 { () =>
         val ev = Tables.normalizeEventTs(streamOf("events"))
+        // processed-rows guard (the join bench's accumulator pattern): an
+        // empty/misconfigured stream must report the -1 sentinel, not an
+        // inflated n/sec over near-zero wall time
+        val acc = spark.sparkContext.longAccumulator("graft-bench-cdc")
         val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-cckpt").toString
         val sec = timedStream(partitions = 8) { () =>
           streaming.Pipelines.cdcApplyStream(ev)
-            .writeStream.format("noop")
+            .writeStream
+            .foreachBatch((b: org.apache.spark.sql.Dataset[streaming.CdcRow], _: Long) =>
+              acc.add(b.count()))
             .option("checkpointLocation", ckpt)
             .start()
         }
-        n / sec
+        if (acc.value == 0L) -1.0 else n / sec
       }
     } catch { case _: Throwable => -1.0 }
     val suspectJson = suspectQueries.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -282,6 +282,12 @@ object Dedup {
                                              bits: Int,
                                              blockCols: Seq[String] = Nil): DataFrame = {
     require(maxDist >= 0 && maxDist < bits / 2, s"maxDist $maxDist out of range")
+    // block columns join the internal chunk index by NAME — a caller
+    // reusing one of the generated/required names would silently corrupt
+    // the bucket key instead of erroring
+    val reserved = Seq("doc_id", "simhash", "pos", "col", "chunk", "key")
+    require((blockCols intersect reserved).isEmpty,
+      s"blockCols may not use reserved names ${blockCols intersect reserved}")
     val nChunks = maxDist + 1
     val width = bits / nChunks
     val mask = (1L << width) - 1

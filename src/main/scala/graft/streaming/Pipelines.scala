@@ -508,7 +508,10 @@ object Pipelines {
             else {
               out += Scd2Row(uid, s.version, s.state, s.validFrom, ts,
                 s.nEvents, s.nLate)
-              cur = Some(Scd2State(et, ts, s.version + 1, 1L, ts, id, s.nLate))
+              // n_late is per-interval ("dropped while this interval was
+              // open", Beans.Scd2Row) — the new run starts its own count,
+              // so summing n_late downstream never double-counts a drop
+              cur = Some(Scd2State(et, ts, s.version + 1, 1L, ts, id, 0L))
             }
         }
       }

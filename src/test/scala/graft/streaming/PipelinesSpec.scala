@@ -195,9 +195,13 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
         (3L, 7L, ts("2024-01-01 10:01:00"), "C"),
         (4L, 7L, ts("2024-01-01 10:03:00"), "D")))
       q.processAllAvailable()
+      // E closes the D run: n_late is PER-INTERVAL (resets with each new
+      // run), so B's drop must not leak into D's row
+      mem.addData(Seq((5L, 7L, ts("2024-01-01 10:04:00"), "E")))
+      q.processAllAvailable()
       val rows = spark.table("scd2_late").as[Scd2Row].collect().sortBy(_.version)
       assert(rows.map(r => (r.version, r.state, r.n_late)).toSeq ===
-        Seq((1, "A", 0L), (2, "B", 1L)))
+        Seq((1, "A", 0L), (2, "B", 1L), (3, "D", 0L)))
     } finally q.stop()
   }
 
