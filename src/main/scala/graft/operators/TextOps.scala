@@ -258,20 +258,24 @@ object TextOps {
     * 6 dp — the v7 centroid pattern. */
   def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // persisted UNARMED while the total is computed (an internal action
-    // would sweep an armed entry — the decontaminateBloom pattern)
-    val tf = docs.select(col("doc_id"), explode(tokens("text")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
-      .persist()
+    val tf = ScratchCache.arm(
+      docs.select(col("doc_id"), explode(tokens("text")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n")))
     val model = tf.groupBy(col("tok")).agg(sum(col("n")).as("c"))
-    val total = model.agg(sum(col("c"))).head.getLong(0)
-    ScratchCache.arm(tf)
+    // corpus total as a broadcast ONE-ROW relation inside the plan (not
+    // a driver head action): the operator stays a single lazy plan — no
+    // mid-construction materialization barrier, no unarmed-persist
+    // dance, and one fewer driver round-trip per invocation. Long sum
+    // cast to double AFTER summing — arithmetic identical to the former
+    // lit(total.toDouble).
+    val total = model.agg(sum(col("c")).cast("double").as("total"))
     tf.join(broadcast(model), "tok")
+      .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("n")).as("n_tokens"),
         round(
-          sum(col("n") * log(col("c") / lit(total.toDouble))) / sum(col("n")),
+          sum(col("n") * log(col("c") / col("total"))) / sum(col("n")),
           6).as("avg_logprob"))
   }
 
@@ -292,28 +296,29 @@ object TextOps {
     * coverage is every document. */
   def bigramLogProb(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // persisted UNARMED while the vocab count runs (an internal action
-    // would sweep an armed entry — the decontaminateBloom pattern)
-    val bf = docs
+    val bf = ScratchCache.arm(docs
       .select(col("doc_id"), tokens("text").as("toks"))
       .select(col("doc_id"),
         explode(tokenWindows(col("toks"), 2, 1)).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
-      .persist()
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n")))
     val model = bf.groupBy(col("bg")).agg(sum(col("n")).as("c"))
       .withColumn("prev", split(col("bg"), " ").getItem(0))
     val prefix = model.groupBy(col("prev")).agg(sum(col("c")).as("cp"))
-    val vocab = docs.select(explode(tokens("text")).as("tok"))
-      .distinct().count()
-    ScratchCache.arm(bf)
+    // |V| as a broadcast ONE-ROW relation inside the plan — the t19
+    // pattern: no driver action mid-construction, the operator is one
+    // lazy plan. (cp + vocab) stays long + long, cast after — identical
+    // arithmetic to the former lit(vocab).
+    val vocabDf = docs.select(explode(tokens("text")).as("tok"))
+      .agg(count_distinct(col("tok")).as("vocab"))
     bf.join(broadcast(model), "bg")
       .join(broadcast(prefix), "prev")
+      .crossJoin(broadcast(vocabDf))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("n")).as("n_bigrams"),
         round(
           sum(col("n") * log((col("c") + lit(1)) /
-            (col("cp") + lit(vocab)).cast("double"))) / sum(col("n")),
+            (col("cp") + col("vocab")).cast("double"))) / sum(col("n")),
           6).as("avg_logprob"))
   }
 

@@ -39,6 +39,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val allPairsBaselines =
     Set("v1_ann_bruteforce", "v3_near_dup_pairs", "v8_ann_pq")
 
+  /** Scalar broadcasts: a ONE-ROW aggregate (corpus token total / |V|)
+    * cross-joined broadcast into the scoring join — t19/t22's in-plan
+    * replacement for a driver round-trip. A nested-loop join whose
+    * build side is a single broadcast row is the optimal
+    * scalar-distribution plan (each probe row "loops" over one row),
+    * not an all-pairs risk. */
+  private val scalarBroadcasts =
+    Set("t19_unigram_logprob", "t22_bigram_logprob")
+
   test("no undocumented nested-loop or cartesian join in any gate query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -47,7 +56,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
         val looped = plan.contains("BroadcastNestedLoopJoin") ||
           plan.contains("CartesianProduct")
-        if (looped && !allPairsBaselines(name)) Some(name) else None
+        if (looped && !allPairsBaselines(name) && !scalarBroadcasts(name))
+          Some(name)
+        else None
     }
     assert(offenders.isEmpty,
       s"queries planning nested-loop/cartesian joins: ${offenders.mkString(", ")}")
