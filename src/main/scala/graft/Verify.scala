@@ -78,11 +78,44 @@ object Verify {
       System.err.println(s"[verify] $name precondition probe failed: ${e.getMessage}")
       true
     }
+    // m3's gate precondition probed the same way: the chunk-blocked
+    // Hamming join is recall-complete by pigeonhole (a theorem, not a
+    // corpus property), but the ORACLE also recomputes the perceptual
+    // hash value-exactly — compare the blocked output to an exact
+    // same-kind all-pairs sweep over the same Spark-side hashes so a
+    // regenerated corpus that breaks any piece of the chain demotes the
+    // gate instead of silently keeping a green-but-unsound oracle.
+    val m3Trusted = try {
+      val ph = operators.Multimodal.mediaPhash(spark, sfDir)
+      val a = ph.select(org.apache.spark.sql.functions.col("media_id").as("id_a"),
+        org.apache.spark.sql.functions.col("phash").as("ph_a"))
+      val b = ph.select(org.apache.spark.sql.functions.col("media_id").as("id_b"),
+        org.apache.spark.sql.functions.col("phash").as("ph_b"))
+      import org.apache.spark.sql.functions._
+      val exact = a.crossJoin(b)
+        .filter(col("id_a") < col("id_b") &&
+          col("id_a") % 3 === col("id_b") % 3)
+        .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+        .filter(col("hamming") <= 8)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+      val blocked = spark.read.parquet(s"$outDir/m3_phash_pairs")
+      val diff = blocked.exceptAll(exact).count() + exact.exceptAll(blocked).count()
+      spark.catalog.clearCache()
+      if (diff != 0)
+        System.err.println(s"[verify] m3_phash_pairs demoted to rows-only: " +
+          s"blocked join differs from exact sweep by $diff rows on this corpus")
+      diff == 0
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] m3 precondition probe failed: ${e.getMessage}")
+      true
+    }
     val demoted =
       (if (d3Trusted) Nil else Seq("d3_minhash_lsh")) ++
+      (if (m3Trusted) Nil else Seq("m3_phash_pairs")) ++
       (if (lshTrusted("v2_ann_lsh", "v1_ann_bruteforce")) Nil else Seq("v2_ann_lsh")) ++
       (if (lshTrusted("v4_ann_ivf", "v1_ann_bruteforce")) Nil else Seq("v4_ann_ivf")) ++
       (if (lshTrusted("v8_ann_pq", "v1_ann_bruteforce")) Nil else Seq("v8_ann_pq")) ++
+      (if (lshTrusted("v9_ann_ivfpq", "v1_ann_bruteforce")) Nil else Seq("v9_ann_ivfpq")) ++
       (if (lshTrusted("v5_near_dup_lsh", "v3_near_dup_pairs")) Nil else Seq("v5_near_dup_lsh"))
     val oracles = SparkEntry.oracleSql -- demoted
     val json = oracles

@@ -140,62 +140,8 @@ object Similarity {
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
              nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4,
              trainFraction: Double = 1.0): DataFrame = {
-    require(trainFraction > 0 && trainFraction <= 1.0,
-      s"trainFraction must be in (0, 1], got $trainFraction")
     val emb = Tables.embeddings(spark, dir)
-    // at corpus scale the quantizer trains on a SAMPLE (deterministic
-    // seed) — only assignment touches every vector; trainFraction = 1
-    // keeps the small-corpus default exact
-    val trainSet = if (trainFraction >= 1.0) emb
-                   else emb.sample(withReplacement = false, trainFraction, seed = 42L)
-
-    // The MODEL (≤ nClusters × dim floats) lives on the driver and enters
-    // plans as literals — the MLlib KMeans pattern. The corpus is never
-    // collected; assignment is a NARROW per-row argmax (zero shuffles),
-    // where the old crossJoin+groupBy formulation shuffled
-    // corpus × nClusters rows per Lloyd pass. Only the centroid update
-    // aggregates (one shuffle per iteration, nClusters×dim rows out).
-
-    // argmax over the literal centroid model via the fused
-    // nearest_centroid_idx expression (ONE flattened-matrix literal).
-    // The per-centroid cosine-subtree formulation
-    // (array_max(array(struct(cos, cid), …))) re-planned and
-    // re-codegen'd an O(nClusters × dim) tree for every Lloyd pass —
-    // measured overhead-bound (near-identical runtime at 500 and 5 000
-    // corpus rows). Ties break to the highest index == highest cid
-    // (cents kept cid-ascending), matching the struct-max semantics.
-    def assignCol(cents: Seq[(Long, Array[Float])], embCol: Column): Column = {
-      val flat = cents.flatMap(_._2.map(_.toDouble)).toArray
-      val cids = cents.map(_._1).toArray
-      element_at(typedLit(cids),
-        graft.functions.NearestCentroidIdx.nearest_centroid_idx(
-          embCol, typedLit(flat), lit(cents.size)) + 1)
-    }
-
-    // seed centroids: the nClusters lowest vec_ids (deterministic)
-    var cents: Seq[(Long, Array[Float])] = {
-      import spark.implicits._
-      trainSet.orderBy(col("vec_id")).limit(nClusters)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])].collect().toSeq
-    }
-    val dim = cents.head._2.length
-    for (_ <- 0 until iters) {
-      // Lloyd update: narrow assign → one per-dimension avg aggregate
-      // per dim (partial+final, no explode — a posexplode formulation
-      // shuffled corpus×dim rows where this shuffles nClusters×dim
-      // partial aggregates) → collect the model rows back to the driver
-      val avgs = (0 until dim).map(i =>
-        avg(element_at(col("embedding"), i + 1)).as(s"v_$i"))
-      cents = trainSet.withColumn("cid", assignCol(cents, col("embedding")))
-        .groupBy(col("cid"))
-        .agg(avgs.head, avgs.tail: _*)
-        .collect().toSeq
-        .map(r => r.getLong(0) ->
-          Array.tabulate(dim)(i => r.getDouble(1 + i).toFloat))
-        .sortBy(_._1)
-    }
-
+    val cents = ivfCentroids(emb, nClusters, iters, trainFraction)
     val corpusAssign = emb.withColumn("cid", assignCol(cents, col("embedding")))
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -217,6 +163,136 @@ object Similarity {
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Coarse-quantizer training (Lloyd) shared by [[annIvf]] and
+    * [[annIvfPq]]. The MODEL (≤ nClusters × dim floats) lives on the
+    * driver and enters plans as literals — the MLlib KMeans pattern. The
+    * corpus is never collected; assignment is a NARROW per-row argmax
+    * (zero shuffles), where a crossJoin+groupBy formulation would
+    * shuffle corpus × nClusters rows per Lloyd pass. Only the centroid
+    * update aggregates (one shuffle per iteration, nClusters×dim rows
+    * out). At corpus scale the quantizer trains on a SAMPLE
+    * (deterministic seed) — only assignment touches every vector;
+    * trainFraction = 1 keeps the small-corpus default exact.
+    *
+    * Determinism: seeds are the nClusters lowest vec_ids, Lloyd means
+    * are exact double averages, argmax ties break on highest centroid
+    * id via [[assignCol]] — identical across runs/executors. */
+  private[operators] def ivfCentroids(emb: DataFrame, nClusters: Int,
+                                      iters: Int, trainFraction: Double): Seq[(Long, Array[Float])] = {
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
+    val trainSet = if (trainFraction >= 1.0) emb
+                   else emb.sample(withReplacement = false, trainFraction, seed = 42L)
+    var cents: Seq[(Long, Array[Float])] = {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      trainSet.orderBy(col("vec_id")).limit(nClusters)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().toSeq
+    }
+    val dim = cents.head._2.length
+    for (_ <- 0 until iters) {
+      // Lloyd update: narrow assign → one per-dimension avg aggregate
+      // per dim (partial+final, no explode — a posexplode formulation
+      // shuffled corpus×dim rows where this shuffles nClusters×dim
+      // partial aggregates) → collect the model rows back to the driver
+      val avgs = (0 until dim).map(i =>
+        avg(element_at(col("embedding"), i + 1)).as(s"v_$i"))
+      cents = trainSet.withColumn("cid", assignCol(cents, col("embedding")))
+        .groupBy(col("cid"))
+        .agg(avgs.head, avgs.tail: _*)
+        .collect().toSeq
+        .map(r => r.getLong(0) ->
+          Array.tabulate(dim)(i => r.getDouble(1 + i).toFloat))
+        .sortBy(_._1)
+    }
+    cents
+  }
+
+  /** Argmax over the literal centroid model via the fused
+    * nearest_centroid_idx expression (ONE flattened-matrix literal).
+    * The per-centroid cosine-subtree formulation
+    * (array_max(array(struct(cos, cid), …))) re-planned and
+    * re-codegen'd an O(nClusters × dim) tree for every Lloyd pass —
+    * measured overhead-bound (near-identical runtime at 500 and 5 000
+    * corpus rows). Ties break to the highest index == highest cid
+    * (cents kept cid-ascending), matching the struct-max semantics. */
+  private def assignCol(cents: Seq[(Long, Array[Float])], embCol: Column): Column = {
+    val flat = cents.flatMap(_._2.map(_.toDouble)).toArray
+    val cids = cents.map(_._1).toArray
+    element_at(typedLit(cids),
+      graft.functions.NearestCentroidIdx.nearest_centroid_idx(
+        embCol, typedLit(flat), lit(cents.size)) + 1)
+  }
+
+  /** v9: IVF × PQ — the FAISS-IVFPQ composition and the production ANN
+    * shape at 100 TB: the coarse quantizer ([[ivfCentroids]]) prunes the
+    * search to the `nprobe` nearest cells, and within those cells
+    * candidates are scored against the 2-byte PQ codes
+    * ([[pqCodebooks]]/ADC), not the full vectors. Versus v8's exhaustive
+    * ADC scan, the codes relation is only read for ~nprobe/nClusters of
+    * the corpus; versus v4, the candidate scoring touches 128×-smaller
+    * payloads. The exact `rerank` shortlist rescore keeps the output
+    * schema and (under a recall-complete profile) the exact top-k of
+    * [[annBruteForce]].
+    *
+    * PQ here encodes RAW vectors (not residuals): the corpus has no
+    * cluster structure for residuals to exploit, and raw codes keep
+    * cell assignment and encoding independent narrow projections. A
+    * residual-encoding upgrade changes only the encode/reconstruct
+    * columns — the probe/join/rerank shape is identical.
+    *
+    * Scale shape: one narrow projection builds the (cid, codes) index —
+    * at rest this is the persisted ANN index, 2 bytes + a long per
+    * vector; queries broadcast (queries × nprobe rows); candidate
+    * generation is a broadcast equi-join on cid; only rerank × queries
+    * full vectors are ever probed. */
+  def annIvfPq(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+               nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4,
+               m: Int = 4, nCodes: Int = 16, rerank: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dim = embDim(emb)
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val subDim = dim / m
+    val cents = ivfCentroids(emb, nClusters, iters, trainFraction = 1.0)
+    val codebooks = pqCodebooks(emb, m, nCodes, iters)
+    // the ANN index: cell id + PQ codes in ONE narrow projection
+    val index = emb.select(col("vec_id"),
+      assignCol(cents, col("embedding")).as("cid"),
+      array(pqCodeCols(codebooks, subDim): _*).as("codes"))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val flatCents = cents.flatMap(_._2.map(_.toDouble)).toArray
+    val centIds = cents.map(_._1).toArray
+    val probes = queries
+      .select(col("query_id"), col("q_emb"),
+        explode(graft.functions.TopCentroidIdxs.top_centroid_idxs(
+          col("q_emb"), typedLit(flatCents), lit(cents.size), lit(nprobe))).as("cidx"))
+      .select(col("query_id"), col("q_emb"),
+        element_at(typedLit(centIds), col("cidx") + 1).as("cid"))
+    // ADC scoring inside the probed cells only: reconstruct from the
+    // literal codebooks (mathematically the per-subspace LUT sum)
+    val cbLit = typedLit(codebooks.map(_.flatMap(_.map(_.toDouble)).toSeq))
+    val recon = flatten(transform(col("codes"), (c, ms) =>
+      slice(element_at(cbLit, ms + 1), c * subDim + 1, lit(subDim))))
+    val cand = index.join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("acos", cosineHof(col("q_emb"), recon))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("vec_id"))
+    val shortlist = cand.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("q_emb"), col("vec_id"))
+    // exact rescore of the shortlist only
+    val rescored = shortlist
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    rescored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
@@ -332,16 +408,19 @@ object Similarity {
     * encoded corpus. */
   private[operators] def encodePq(emb: DataFrame,
                                   codebooks: Seq[Seq[Array[Float]]]): DataFrame = {
-    val dim = embDim(emb)
-    val subDim = dim / codebooks.size
-    val codeCols = codebooks.indices.map { s =>
+    val subDim = embDim(emb) / codebooks.size
+    emb.select(col("vec_id"), array(pqCodeCols(codebooks, subDim): _*).as("codes"))
+  }
+
+  /** One argmax column per PQ subspace (narrow, codegen) — shared by
+    * [[encodePq]] and [[annIvfPq]]'s index projection. */
+  private def pqCodeCols(codebooks: Seq[Seq[Array[Float]]], subDim: Int): Seq[Column] =
+    codebooks.indices.map { s =>
       val flat = codebooks(s).flatMap(_.map(_.toDouble)).toArray
       graft.functions.NearestCentroidIdx.nearest_centroid_idx(
         slice(col("embedding"), s * subDim + 1, subDim),
         typedLit(flat), lit(codebooks(s).size))
     }
-    emb.select(col("vec_id"), array(codeCols: _*).as("codes"))
-  }
 
   /** Embedding-cosine near-dup pairs above a threshold. Exact at test SF
     * via block-nested join through LSH buckets; pairs output. */
@@ -494,6 +573,16 @@ object Similarity {
     // throughput setting. Verify's recall probe re-checks per run and
     // auto-demotes to rows-only if a regenerated corpus breaks it.
     "v4_ann_ivf" -> ((s, d) => annIvf(s, d, nprobe = 14)),
+    // v9 gate profile: the cheapest recall-complete (nprobe, rerank) on
+    // the pinned corpora, found by tools/ProbeIvfPq (14:240 and 13:any
+    // miss neighbors; 14:248 is complete at sf0.001 AND sf0.01). The
+    // dials sit at/above the standalone-complete v4/v8 settings because
+    // composition only shrinks the candidate pool. Near-exhaustive
+    // probing is expected HERE (near-random embeddings, no cluster
+    // structure); the production dials (nprobe=4, rerank=64) are the
+    // bench's prod line. Verify's recall probe re-checks per run and
+    // auto-demotes to rows-only if a regenerated corpus breaks it.
+    "v9_ann_ivfpq" -> ((s, d) => annIvfPq(s, d, nprobe = 14, rerank = 248)),
     // v8 gate profile: the cheapest recall-complete rerank shortlist on
     // the pinned corpora, found by tools/ProbePq (256 misses neighbors,
     // 272 is complete at sf0.001 AND sf0.01; runtime is dominated by
@@ -557,6 +646,10 @@ object Similarity {
     // candidates, the exact rescore makes surviving rows identical —
     // recall-complete (probed) ⇒ the exact oracle applies.
     "v8_ann_pq" -> exactAnnSql,
+    // v9 composes v4's cell pruning with v8's shortlist pruning; both
+    // only affect recall and the rescore is exact — recall-complete
+    // (probed per run by Verify) ⇒ the exact oracle applies.
+    "v9_ann_ivfpq" -> exactAnnSql,
     "v3_near_dup_pairs" -> exactNearDupSql,
     "v5_near_dup_lsh" -> exactNearDupSql,
   )

@@ -490,6 +490,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.intersect(got).size.toDouble / want.size >= 0.2)
   }
 
+  test("annIvfPq: gate profile equals exact; defaults answer k per query, deterministic") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).toSet
+    // gate profile (ProbeIvfPq-verified recall-complete): identical to
+    // brute force — cell pruning + shortlist pruning only affect recall,
+    // the rescore is exact
+    assert(canon(Similarity.annIvfPq(spark, sf, nprobe = 14, rerank = 248)) ===
+      canon(Similarity.annBruteForce(spark, sf)))
+    // production dials: k results per query, deterministic across runs
+    import spark.implicits._
+    val a = Similarity.annIvfPq(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val b = Similarity.annIvfPq(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(a.nonEmpty)
+    assert(a.groupBy(_._1).forall(_._2.length == 5))
+    assert(a.toSeq === b.toSeq)
+    // every result the defaults return is a true cosine pair from the
+    // corpus (exact rescore): it must appear in the exhaustive sweep
+    // extended to the same depth
+    val sweep = canon(Similarity.annBruteForce(spark, sf, k = 2000)
+      .drop("rank"))
+    val gotPairs = canon(Similarity.annIvfPq(spark, sf).drop("rank"))
+    assert(gotPairs.subsetOf(sweep))
+  }
+
   test("streaming near-dup candidates cover every verified batch LSH pair (shared buckets)") {
     import spark.implicits._
     // batch-mode execution of the streaming operator (state per group,
