@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): times every SparkEntry query at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
@@ -13,7 +13,17 @@ import org.apache.spark.sql.SparkSession
   * Contention guard: queries whose two passes disagree by >3× get a
   * third pass; if no two passes then agree within 3×, the JSON carries
   * `load_suspect: true` + `suspect_queries` so a loaded machine can be
-  * told apart from a code regression (the BENCH_r04 failure mode).
+  * told apart from a code regression (the BENCH_r04 failure mode). The
+  * stream-rate sections run under the same guard (`suspect_streams`).
+  *
+  * Gate vs production profiles: the CORRECTNESS gate pins the
+  * approximate operators (v2/v4/v5/v8/v9) at probed recall-COMPLETE
+  * settings so the exact oracle applies — settings chosen for the
+  * oracle, not for users. The bench times BOTH: the gate surface in
+  * `queries`/`value`, and the same operators at their production dials
+  * in `prod_queries`; `prod_total` is the headline total with the gate
+  * profiles swapped for the production ones — the number a user of the
+  * library would see.
   */
 object Bench {
   /** Pass-to-pass disagreement: ratio of the second-smallest successful
@@ -25,12 +35,24 @@ object Bench {
     if (ok.size < 2 || ok.head <= 0) 1.0 else ok(1) / ok.head
   }
 
+  /** The approximate operators at their PRODUCTION dials (defaults) —
+    * keyed with a `_prod` suffix so they ride the same two-pass +
+    * contention machinery as the gate surface. */
+  private val prodFns: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v2_ann_lsh_prod" -> ((s, d) => operators.Similarity.annLsh(s, d)),
+    "v4_ann_ivf_prod" -> ((s, d) => operators.Similarity.annIvf(s, d)),
+    "v5_near_dup_lsh_prod" -> ((s, d) => operators.Similarity.nearDupLsh(s, d)),
+    "v8_ann_pq_prod" -> ((s, d) => operators.Similarity.annPq(s, d)),
+    "v9_ann_ivfpq_prod" -> ((s, d) => operators.Similarity.annIvfPq(s, d)),
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val spark = GraftSession.local("graft-bench")
+    val allQs = SparkEntry.queries ++ prodFns
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      allQs.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
@@ -45,7 +67,7 @@ object Bench {
       // a real dedup pipeline gets
       operators.Dedup.invalidateClusterMemo()
       names.sorted.map { name =>
-        val fn = SparkEntry.queries(name)
+        val fn = allQs(name)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -56,7 +78,8 @@ object Bench {
         name -> (if (ok) dt else -1.0)
       }
     }
-    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val gateNames = SparkEntry.queries.keys.toSeq.sorted
+    val allNames = allQs.keys.toSeq.sorted
     var passes = Seq(timedPass(allNames), timedPass(allNames)).map(_.toMap)
     // CONTENTION GUARD: a shared/loaded machine shows up as wild
     // pass-to-pass spread on multi-stage queries (BENCH_r04 post-mortem:
@@ -81,22 +104,33 @@ object Bench {
     }
     def timesOf(name: String): Seq[Double] = passes.flatMap(_.get(name))
     val suspectQueries = disagree.filter(n => passSpread(timesOf(n)) > 3.0)
-    val results = allNames.map { name =>
+    def minOf(name: String): Double = {
       val ts = timesOf(name)
       // -1 (crash) wins over any timing: a query that failed any pass
       // is reported failed
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+      if (ts.exists(_ < 0)) -1.0 else ts.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = gateNames.map(n => n -> minOf(n))
+    val prodResults = prodFns.keys.toSeq.sorted.map(n => n -> minOf(n))
+    def jsonMap(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jsonMap(results)
+    val prodQs = jsonMap(prodResults)
     // headline total covers successful queries only — a crashed query's
     // -1 sentinel must not subtract from (i.e. flatter) the total; it is
     // reported separately in "failed" so a crash is loud, not invisible
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // the user-facing total: gate profiles swapped for production dials
+    val prodByGate = prodResults.toMap.map { case (k, v) =>
+      k.stripSuffix("_prod") -> v }
+    val prodTotal = results.collect {
+      case (n, v) if math.max(v, prodByGate.getOrElse(n, -1.0)) >= 0 =>
+        prodByGate.get(n).filter(_ >= 0).getOrElse(v)
+    }.sum
+    val failed = (results ++ prodResults).collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // file-stream sources need a directory; expose a single parquet file
-    // through a temp-dir symlink (shared by both streaming sections)
+    // through a temp-dir symlink (shared by the streaming sections)
     def streamOf(name: String) = {
       val schema = spark.read.parquet(s"$sfDir/$name.parquet").schema
       val d = java.nio.file.Files.createTempDirectory(s"graft-bench-$name")
@@ -129,14 +163,24 @@ object Bench {
         spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
     }
-    // like the batch queries, stream sections run twice and report the
-    // best rate — single runs carry the same environmental noise (each
-    // run gets a FRESH checkpoint so no state is reused). A crash in one
-    // attempt counts as -1 for that attempt only; noise that manifests
-    // as a transient failure must not discard a successful other run.
-    def best2(run: () => Double): Double = {
+    // STREAM CONTENTION GUARD (the query machinery, rate-shaped): two
+    // attempts per section, best (max) rate reported — each attempt gets
+    // a FRESH checkpoint so no state is reused. If the top two
+    // successful rates disagree by >3×, a third attempt decides; still
+    // >3× → the section lands in `suspect_streams` (r5's dau-HDFS 3×
+    // drop was unjudgeable because the rates were single-guarded). A
+    // crash counts as -1 for that attempt only.
+    val suspectStreams = scala.collection.mutable.ListBuffer.empty[String]
+    def guardedRate(name: String)(run: () => Double): Double = {
       def one(): Double = try run() catch { case _: Throwable => -1.0 }
-      math.max(one(), one())
+      def spread(xs: Seq[Double]): Double = {
+        val ok = xs.filter(_ > 0).sorted(Ordering[Double].reverse)
+        if (ok.size < 2) 1.0 else ok.head / ok(1)
+      }
+      var rs = Seq(one(), one())
+      if (spread(rs) > 3.0) rs = rs :+ one()
+      if (spread(rs) > 3.0) suspectStreams += name
+      rs.max
     }
     // streaming throughput: the DAU pipeline through a REAL streaming
     // query — file-stream source → watermark → state-store dedup → noop
@@ -144,9 +188,9 @@ object Bench {
     // branch and skip the state store entirely). The reference's
     // envelope is "fits a 5 s trigger on 4 cores" (BASELINE.md);
     // rows/sec makes that comparable.
-    def dauRate(): Double = {
+    def dauRate(name: String): Double = {
       val n = Tables.events(spark, sfDir).count()
-      best2 { () =>
+      guardedRate(name) { () =>
         val ev = Tables.normalizeEventTs(streamOf("events"))
           .selectExpr("cast(user_id as string) as mid", "ts")
         val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
@@ -159,24 +203,27 @@ object Bench {
         n / sec
       }
     }
-    val streamRate = try dauRate() catch { case _: Throwable => -1.0 }
-    // the same pipeline on the RocksDB state store — the provider the
-    // engine would run on at 1e9-key scale (GraftSession.streamingTune
-    // default for the drive mains); benchmark both so a store-side
-    // regression is visible. providerClass is a runtime SQL conf pinned
-    // into each query's checkpoint at first batch, so flipping it
-    // between fully-stopped queries is safe.
-    val streamRateRocks = try {
+    val streamRate = try dauRate("stream_dau") catch { case _: Throwable => -1.0 }
+    // the RocksDB state store — the provider the engine would run on at
+    // 1e9-key scale (GraftSession.streamingTune default for the drive
+    // mains); benchmark both so a store-side regression is visible.
+    // providerClass is a runtime SQL conf pinned into each query's
+    // checkpoint at first batch, so flipping it between fully-stopped
+    // queries is safe.
+    def withRocks[A](body: => A): A = {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try dauRate()
+      try body
       finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
-    } catch { case _: Throwable => -1.0 }
+    }
+    val streamRateRocks =
+      try withRocks(dauRate("stream_dau_rocksdb"))
+      catch { case _: Throwable => -1.0 }
     // stream-stream interval join throughput (the reference's DWS core,
     // J1/W1): lineitem+orders as two file streams through
     // Pipelines.orderWideJoin. The corpus's synthetic ship/order dates
@@ -205,7 +252,7 @@ object Bench {
         col("l_quantity").cast("long").as("sku_num"),
         col("l_extendedprice").as("order_price"),
         keyTime(col("l_orderkey")).as("create_time")).as[streaming.OrderDetail]
-      best2 { () =>
+      guardedRate("stream_join") { () =>
         val acc = spark.sparkContext.longAccumulator("graft-bench-joined")
         val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-jckpt").toString
         val sec = timedStream(partitions = 16) { () =>
@@ -224,7 +271,7 @@ object Bench {
     // last-writer-wins state-update path with one state row per key.
     val streamCdcRate: Double = try {
       val n = Tables.events(spark, sfDir).count()
-      best2 { () =>
+      guardedRate("stream_cdc_apply") { () =>
         val ev = Tables.normalizeEventTs(streamOf("events"))
         // processed-rows guard (the join bench's accumulator pattern): an
         // empty/misconfigured stream must report the -1 sentinel, not an
@@ -242,15 +289,47 @@ object Bench {
         if (acc.value == 0L) -1.0 else n / sec
       }
     } catch { case _: Throwable => -1.0 }
-    val suspectJson = suspectQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // streaming heavy hitters on RocksDB: the windowed (window, gram)
+    // count state is exactly what grows at 1e9-key scale — documents
+    // exploded to a gram stream (the t18 vocabulary) with synthetic
+    // event time spreading docs across five 1-minute windows; rate over
+    // input GRAM rows. Output is the aggregate relation (guard counts
+    // emitted windows — zero emissions = misconfigured watermark, -1).
+    val streamHhRate: Double = try {
+      import org.apache.spark.sql.functions._
+      val nGrams = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(operators.TextOps.tokens(col("text")))).count()
+      withRocks {
+        guardedRate("stream_heavy_hitters_rocksdb") { () =>
+          val grams = streamOf("documents").select(
+            explode(operators.TextOps.tokens(col("text"))).as("gram"),
+            timestamp_seconds(lit(1700000000L) + col("doc_id") % 300).as("ts"))
+          val acc = spark.sparkContext.longAccumulator("graft-bench-hh")
+          val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-hckpt").toString
+          val sec = timedStream(partitions = 8) { () =>
+            streaming.Pipelines.heavyHittersWindowed(grams)
+              .writeStream.outputMode("append")
+              .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+                acc.add(b.count()))
+              .option("checkpointLocation", ckpt)
+              .start()
+          }
+          if (acc.value == 0L) -1.0 else nGrams / sec
+        }
+      }
+    } catch { case _: Throwable => -1.0 }
+    def jsonArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"failed":$failed,""" +
-      s""""load_suspect":${suspectQueries.nonEmpty},""" +
-      s""""suspect_queries":$suspectJson,""" +
+      s""""prod_queries":$prodQs,"prod_total":$prodTotal,""" +
+      s""""load_suspect":${suspectQueries.nonEmpty || suspectStreams.nonEmpty},""" +
+      s""""suspect_queries":${jsonArr(suspectQueries)},""" +
+      s""""suspect_streams":${jsonArr(suspectStreams.toSeq)},""" +
       s""""stream_dau_rows_per_sec":${streamRate.toLong},""" +
       s""""stream_dau_rocksdb_rows_per_sec":${streamRateRocks.toLong},""" +
       s""""stream_join_rows_per_sec":${streamJoinRate.toLong},""" +
-      s""""stream_cdc_apply_rows_per_sec":${streamCdcRate.toLong},"sf":"$sfDir"}"""
+      s""""stream_cdc_apply_rows_per_sec":${streamCdcRate.toLong},""" +
+      s""""stream_heavy_hitters_rocksdb_rows_per_sec":${streamHhRate.toLong},"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: sbt prefixes stdout with [info] and appends its
     // own trailer lines, which can defeat a last-line JSON parse — leave
