@@ -1,0 +1,80 @@
+package graft.tools
+
+import graft.GraftSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** State-store scale ladder (RocksDB): pushes the two O(keys)-state
+  * streaming operators — DAU dedup (`dauFirstVisits`) and CDC apply
+  * (`cdcApplyStream`) — to 10^5 → 10^7 DISTINCT KEYS and records
+  * throughput + state-store size at each rung, so the "constant
+  * per-key state" claims carry measured points instead of comments
+  * (SCALE.md is authored from this output).
+  *
+  * Key-space scaling, not row replication: state size is driven by
+  * distinct keys, so the ladder generates one event per key (the
+  * worst case for state growth per input row — every row inserts).
+  * The feed is file-edged parquet like the bench streams.
+  *
+  * `Test/runMain graft.tools.DriveScale [keys ...]` (default ladder
+  * 100000 1000000 10000000)
+  */
+object DriveScale {
+  def main(args: Array[String]): Unit = {
+    val ladder = if (args.nonEmpty) args.map(_.toLong).toSeq
+                 else Seq(100000L, 1000000L, 10000000L)
+    val spark = GraftSession.streamingTune(
+      SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println("stateStore provider = " +
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass"))
+
+    def events(n: Long): DataFrame =
+      spark.range(n).select(
+        col("id").as("event_id"),
+        col("id").as("user_id"),
+        timestamp_seconds(lit(1700000000L) + col("id") % 3600).as("ts"),
+        element_at(array(lit("click"), lit("view"), lit("purchase")),
+          (col("id") % 3 + 1).cast("int")).as("event_type"),
+        (col("id") % 100).cast("double").as("value"),
+        concat(lit("{\"k\":"), (col("id") % 5).cast("string"), lit("}")).as("props"))
+
+    def run(name: String, keys: Long)(pipe: DataFrame => DataFrame): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-scale-$name").toString
+      events(keys).repartition(32).write.mode("overwrite").parquet(s"$dir/in")
+      val src = spark.readStream
+        .schema(spark.read.parquet(s"$dir/in").schema).parquet(s"$dir/in")
+      val t0 = System.nanoTime()
+      val q = pipe(src).writeStream.format("noop")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // state metrics from the progress log: max rows ever reported and
+      // the matching store-size custom metrics (RocksDB SST bytes)
+      val sos = q.recentProgress.flatMap(_.stateOperators)
+      q.stop()
+      val rows = if (sos.isEmpty) -1L else sos.map(_.numRowsTotal).max
+      val bytes = if (sos.isEmpty) -1L else sos.map(_.memoryUsedBytes).max
+      val sst = sos.flatMap(so => Option(so.customMetrics)
+        .map(m => Option(m.get("rocksdbSstFileSize")).map(_.longValue).getOrElse(0L)))
+        .foldLeft(0L)(math.max)
+      println(f"SCALE $name%-10s keys=$keys%9d rows=$keys%9d sec=$sec%8.1f " +
+        f"rows_per_sec=${(keys / sec).toLong}%8d state_rows=$rows%9d " +
+        f"state_mem_bytes=$bytes%12d sst_bytes=$sst%12d")
+      // tmp hygiene at 1e7-key scale: drop the ~200 MB input + checkpoint
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(dir)).deleteRecursively()
+      } catch { case _: Throwable => () }
+    }
+
+    ladder.foreach { k =>
+      run("dau", k)(ev => graft.streaming.Pipelines.dauFirstVisits(
+        ev.selectExpr("cast(user_id as string) as mid", "ts")))
+      run("cdc_apply", k)(ev => graft.streaming.Pipelines.cdcApplyStream(ev).toDF())
+    }
+    spark.stop()
+  }
+}
