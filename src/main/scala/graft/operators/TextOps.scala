@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{ScratchCache, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines, over
@@ -639,7 +640,55 @@ object TextOps {
       .filter(col("n") >= minCount)
   }
 
+  /** t23: BM25 relevance scoring — the standard retrieval scorer every
+    * corpus-search / RAG-recall pipeline runs: score each document
+    * against a query-term set with Okapi BM25
+    * (idf(t) = ln((N − df + ½)/(df + ½) + 1), Lucene's non-negative
+    * variant) and surface the top-`topK`. The natural companion to t11's
+    * TF-IDF (per-doc keywords) — this direction ranks DOCS for a QUERY.
+    *
+    * Scale shape: the corpus shuffles only distinct (doc, token) pairs;
+    * the per-term df aggregate is filtered to the query terms BEFORE it
+    * aggregates (query-terms × docs candidate rows, broadcast back);
+    * corpus stats (N, avgdl) ride the plan as a broadcast one-row
+    * aggregate (the t19 pattern); doc length joins on the doc key. The
+    * global top-k is a rank-limit window (WindowGroupLimit pushes the
+    * limit before the final sort).
+    *
+    * Float parity: both sides sum the identical idf·tf-saturation terms
+    * per doc and round to 6 dp (the t19 precedent). */
+  def bm25(spark: SparkSession, dir: String,
+           queryTerms: Seq[String] = Seq("hash", "join", "scan"),
+           k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty && topK >= 1)
+    val docs = Tables.documents(spark, dir)
+    // (doc, token, tf) feeds doc lengths AND the query-term scan
+    val tf = ScratchCache.arm(
+      docs.select(col("doc_id"), explode(tokens("text")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val qtf = tf.filter(col("tok").isin(queryTerms: _*))
+    val dfq = qtf.groupBy(col("tok")).agg(count_distinct(col("doc_id")).as("df"))
+    val scored = qtf
+      .join(broadcast(dfq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("s", col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("bm25"), count(lit(1)).as("n_terms"))
+    val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("doc_id"), col("n_terms"), col("bm25"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_bm25" -> ((s, d) => bm25(s, d)),
     "t15_quantile_filter" -> ((s, d) => quantileFilter(s, d)),
     "t18_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "t19_unigram_logprob" -> unigramLogProb,
@@ -713,6 +762,36 @@ object TextOps {
        |  FROM toks)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // t23: DuckDB recomputes the identical Okapi BM25 terms (Lucene idf
+    // variant, k1=1.2, b=0.75, query = hash/join/scan) and ranks the
+    // same (score DESC, doc_id) — both sides round the per-doc sum to
+    // 6 dp (the t19 float-parity pattern)
+    "t23_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |qtf AS (SELECT * FROM tf WHERE tok IN ('hash', 'join', 'scan')),
+        |dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM qtf GROUP BY tok),
+        |scored AS (
+        |  SELECT q.doc_id,
+        |         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+        |         (q.tf * 2.2) /
+        |         (q.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS sc
+        |  FROM qtf q JOIN dfq d USING (tok) JOIN dl l USING (doc_id)
+        |  CROSS JOIN stats s),
+        |agg AS (
+        |  SELECT doc_id, ROUND(SUM(sc), 6) AS bm25,
+        |         CAST(COUNT(*) AS BIGINT) AS n_terms
+        |  FROM scored GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        |  FROM agg)
+        |SELECT rank, doc_id, n_terms, bm25 FROM ranked WHERE rank <= 20""".stripMargin,
     // exact by construction: phase-1 pruning has recall 1 (pigeonhole +
     // MG deficit bound, overflow fails loudly), phase 2 recounts
     // exactly — so the naive GROUP BY / HAVING is THE oracle, not an

@@ -445,6 +445,9 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val a = Similarity.annIvf(spark, sf, trainFraction = 0.5)
       .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // invalidate the model memo so the second run RETRAINS — this spec
+    // pins retrain-determinism, not memo-hit equality
+    Similarity.invalidateModelMemo()
     val b = Similarity.annIvf(spark, sf, trainFraction = 0.5)
       .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
     assert(a.nonEmpty)
@@ -502,6 +505,8 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val a = Similarity.annIvfPq(spark, sf)
       .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // retrain-determinism, not memo-hit equality (the annIvf pattern)
+    Similarity.invalidateModelMemo()
     val b = Similarity.annIvfPq(spark, sf)
       .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
     assert(a.nonEmpty)
@@ -726,6 +731,49 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     assert(emb.filter(fused =!= composed).count() === 0L)
+  }
+
+  test("bm25: matches a driver-side reference at default AND non-default params") {
+    // independent reference: same Okapi formula over collected docs
+    def reference(qts: Seq[String], k1: Double, b: Double,
+                  topK: Int): Seq[(Int, Long, Long, Double)] = {
+      val docs = Tables.documents(spark, sf).select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      val dl = docs.map { case (id, ts) => id -> ts.size.toDouble }.toMap
+      val n = docs.length.toDouble
+      val avgdl = dl.values.sum / n
+      val tf = docs.map { case (id, ts) =>
+        id -> ts.groupBy(identity).map { case (t, xs) => t -> xs.size.toDouble } }
+      val df = qts.map(t => t -> tf.count(_._2.contains(t)).toDouble).toMap
+      val scored = tf.flatMap { case (id, m) =>
+        val terms = qts.filter(m.contains)
+        if (terms.isEmpty) None
+        else {
+          val s = terms.map { t =>
+            val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+            idf * (m(t) * (k1 + 1)) / (m(t) + k1 * (1 - b + b * dl(id) / avgdl))
+          }.sum
+          Some((id, terms.size.toLong,
+            BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }
+      scored.sortBy { case (id, _, s) => (-s, id) }.take(topK).zipWithIndex
+        .map { case ((id, nt, s), i) => (i + 1, id, nt, s) }.toSeq
+    }
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+        .sortBy(_._1)
+    assert(got(TextOps.bm25(spark, sf)) ===
+      reference(Seq("hash", "join", "scan"), 1.2, 0.75, 20))
+    // non-default params (not gate-covered): other terms, k1/b, topK
+    assert(got(TextOps.bm25(spark, sf, queryTerms = Seq("data", "stream"),
+        k1 = 2.0, b = 0.5, topK = 7)) ===
+      reference(Seq("data", "stream"), 2.0, 0.5, 7))
+    // a term absent from the corpus contributes nothing and breaks nothing
+    assert(got(TextOps.bm25(spark, sf,
+        queryTerms = Seq("hash", "zzz_not_a_token"), topK = 5)) ===
+      reference(Seq("hash", "zzz_not_a_token"), 1.2, 0.75, 5))
   }
 
   test("unigram_logprob: scores bounded by the rarest/commonest token, every doc scored") {

@@ -39,14 +39,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val allPairsBaselines =
     Set("v1_ann_bruteforce", "v3_near_dup_pairs", "v8_ann_pq")
 
-  /** Scalar broadcasts: a ONE-ROW aggregate (corpus token total / |V|)
-    * cross-joined broadcast into the scoring join — t19/t22's in-plan
-    * replacement for a driver round-trip. A nested-loop join whose
-    * build side is a single broadcast row is the optimal
-    * scalar-distribution plan (each probe row "loops" over one row),
-    * not an all-pairs risk. */
+  /** Scalar broadcasts: a ONE-ROW aggregate (corpus token total / |V| /
+    * (N, avgdl)) cross-joined broadcast into the scoring join —
+    * t19/t22/t23's in-plan replacement for a driver round-trip. A
+    * nested-loop join whose build side is a single broadcast row is the
+    * optimal scalar-distribution plan (each probe row "loops" over one
+    * row), not an all-pairs risk. */
   private val scalarBroadcasts =
-    Set("t19_unigram_logprob", "t22_bigram_logprob")
+    Set("t19_unigram_logprob", "t22_bigram_logprob", "t23_bm25")
 
   test("no undocumented nested-loop or cartesian join in any gate query") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
