@@ -27,6 +27,7 @@ object TimeQ {
         // standalone timings: each pass starts memo-cold (Bench's d8
         // runs memo-warm after d7; here d8 is its full standalone cost)
         graft.operators.Dedup.invalidateClusterMemo()
+        graft.operators.Similarity.invalidateModelMemo()
         val t0 = System.nanoTime()
         qs(n)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
