@@ -85,6 +85,21 @@ final case class Scd2State(state: String, validFrom: Timestamp,
     version: Int, nEvents: Long, lastTs: Timestamp, lastId: Long,
     nLate: Long)
 
+/** Streaming stratified-sample output: one CURRENT member of a
+  * stratum's bottom-k-by-hash sample. `ver` increments per state
+  * update; append mode cannot retract evicted members, so downstream
+  * keeps the rows of max(ver) per lang (the cdcApplyStream "latest
+  * wins" convention). */
+final case class SampleRow(lang: String, ver: Int, doc_id: Long, rk: Int)
+
+/** One member of a stratum's sample: the md5 rank key and its doc. */
+final case class SampleMember(rk_key: String, doc_id: Long)
+
+/** Keyed state for the streaming stratified sample: the stratum's
+  * current bottom-k members (bounded: quota entries) + emission
+  * version. */
+final case class SampleState(ver: Int, members: Seq[SampleMember])
+
 /** Streaming CDC-apply state AND output: the key's current row under
   * last-writer-wins (one scalar record per key — O(keys) state).
   * `is_deleted` = the latest op is a tombstone; the key stays in state

@@ -257,6 +257,56 @@ object Pipelines {
       .select(col("window.start").as("window_start"), col(gramCol), col("n"))
   }
 
+  /** Streaming stratified sample — the incremental form of batch
+    * bottom-k-by-hash sampling (operators/TextOps.stratifiedSample):
+    * per stratum, keep the `quota` documents with the smallest
+    * md5(doc_id) rank keys. Because membership is a deterministic
+    * function of the SET of documents seen (not of arrival order or
+    * batch boundaries), the stream converges to exactly the batch
+    * sample on any feed — the reproducible-subset property a training
+    * pipeline needs from a sample that is drawn while data is still
+    * arriving.
+    *
+    * State: one bounded list per stratum (quota × (32-char hash, id)) —
+    * O(strata × quota) regardless of traffic. Each batch that touches a
+    * stratum re-emits that stratum's CURRENT sample under an
+    * incremented `ver` (append mode cannot retract an evicted member,
+    * so downstream keeps the rows of max(ver) per stratum — the
+    * cdcApplyStream "latest wins" convention, pinned by spec). */
+  def stratifiedSampleStream(docs: DataFrame, quota: Int = 20,
+                             stateTtlMs: Long = 0L): Dataset[SampleRow] = {
+    import docs.sparkSession.implicits._
+    val typed = docs.select(col("lang"), col("doc_id").cast("long"),
+        md5(col("doc_id").cast("string").cast("binary")).as("rk_key"))
+      .as[(String, Long, String)]
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        sampleGroup(quota, stateTtlMs))
+  }
+
+  private[streaming] def sampleGroup(quota: Int, stateTtlMs: Long)(
+      lang: String, rows: Iterator[(String, Long, String)],
+      state: GroupState[SampleState]): Iterator[SampleRow] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val cur = state.getOption.getOrElse(SampleState(0, Nil))
+    // merge-then-truncate keeps exactly the quota smallest (rk_key,
+    // doc_id) pairs — same ordering as the batch window (rk_key asc,
+    // doc_id asc), so membership equals the batch sample over the
+    // union of everything seen
+    val merged = (cur.members.map(m => (m.rk_key, m.doc_id)) ++
+        rows.map(r => (r._3, r._2))).distinct
+      .sorted.take(quota)
+    val next = SampleState(cur.ver + 1,
+      merged.map { case (k, id) => SampleMember(k, id) })
+    state.update(next)
+    if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+    merged.iterator.zipWithIndex.map { case ((_, id), i) =>
+      SampleRow(lang, next.ver, id, i + 1) }
+  }
+
   /** Streaming near-dup candidate detection — the incremental form of
     * batch MinHash-LSH (operators/Dedup.minhashLsh): as documents
     * arrive, band their minhash signatures (same fused expressions, same

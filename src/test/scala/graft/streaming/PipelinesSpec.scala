@@ -205,6 +205,36 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stratifiedSampleStream: final sample == batch bottom-k sample on an UNORDERED feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // shuffle deterministically so the feed order differs from doc order
+    val all = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id")).as[(String, Long)].collect()
+      .sortBy { case (_, id) => id * 2654435761L % 1000003 }
+    val mem = MemoryStream[(String, Long)]
+    val q = Pipelines.stratifiedSampleStream(
+        mem.toDF().toDF("lang", "doc_id"), quota = 7)
+      .writeStream.format("memory").queryName("sample_out")
+      .outputMode("append").start()
+    try {
+      all.grouped((all.length + 2) / 3)
+        .foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      val rows = spark.table("sample_out").as[SampleRow].collect()
+      // downstream convention: keep max(ver) per stratum
+      val lastVer = rows.groupBy(_.lang).view.mapValues(_.map(_.ver).max).toMap
+      val got = rows.filter(r => r.ver == lastVer(r.lang))
+        .map(r => (r.lang, r.doc_id, r.rk)).toSet
+      val want = graft.operators.TextOps.stratifiedSample(spark, sf, quota = 7)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .as[(String, Long, Int)].collect().toSet
+      assert(got === want)
+      // earlier versions exist (membership evolved across batches)
+      assert(rows.map(_.ver).max > 1)
+    } finally q.stop()
+  }
+
   test("cdcApplyStream: final snapshot == batch cdcApply on an UNORDERED feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
