@@ -298,16 +298,31 @@ object Similarity {
     val index = emb.select(col("vec_id"),
       assignCol(cents, col("embedding")).as("cid"),
       array(pqCodeCols(codebooks, subDim): _*).as("codes"))
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    ivfPqAnswer(index, ivfProbes(emb, cents, nQueries, nprobe), emb,
+      codebooks, subDim, k, rerank)
+  }
+
+  /** The query side of IVF routing: (query_id, q_emb, cid) — one row
+    * per probed cell per query, via the fused top-centroid expression. */
+  private def ivfProbes(emb: DataFrame, cents: Seq[(Long, Array[Float])],
+                        nQueries: Int, nprobe: Int): DataFrame = {
     val flatCents = cents.flatMap(_._2.map(_.toDouble)).toArray
     val centIds = cents.map(_._1).toArray
-    val probes = queries
+    emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .select(col("query_id"), col("q_emb"),
         explode(graft.functions.TopCentroidIdxs.top_centroid_idxs(
           col("q_emb"), typedLit(flatCents), lit(cents.size), lit(nprobe))).as("cidx"))
       .select(col("query_id"), col("q_emb"),
         element_at(typedLit(centIds), col("cidx") + 1).as("cid"))
+  }
+
+  /** Shared IVF×PQ answer tail: ADC-score the (cid, codes) index rows
+    * inside the probed cells (broadcast equi-join on cid), take the
+    * `rerank` shortlist per query, exact-rescore only the shortlist. */
+  private def ivfPqAnswer(index: DataFrame, probes: DataFrame, emb: DataFrame,
+                          codebooks: Seq[Seq[Array[Float]]], subDim: Int,
+                          k: Int, rerank: Int): DataFrame = {
     // ADC scoring inside the probed cells only: reconstruct from the
     // literal codebooks (mathematically the per-subspace LUT sum)
     val cbLit = typedLit(codebooks.map(_.flatMap(_.map(_.toDouble)).toSeq))
@@ -329,6 +344,51 @@ object Similarity {
     rescored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** The v9 index AT REST: the (vec_id, codes) relation written as
+    * parquet PARTITIONED BY coarse cell id — 2 bytes + a long per
+    * vector, laid out so each query's nprobe cells are whole partitions.
+    * Build offline, serve with [[annIvfPqServe]]: the production
+    * deployment split (FAISS: train+add offline, search online). */
+  def writeAnnIndex(spark: SparkSession, dir: String, out: String,
+                    nClusters: Int = 16, iters: Int = 2,
+                    m: Int = 4, nCodes: Int = 16): Unit = {
+    val emb = Tables.embeddings(spark, dir)
+    val dim = embDim(emb)
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val subDim = dim / m
+    val cents = centsFor(spark, dir, nClusters, iters, trainFraction = 1.0)
+    val codebooks = booksFor(spark, dir, m, nCodes, iters)
+    emb.select(col("vec_id"), assignCol(cents, col("embedding")).as("cid"),
+        array(pqCodeCols(codebooks, subDim): _*).as("codes"))
+      .write.mode("overwrite").partitionBy("cid").parquet(out)
+  }
+
+  /** Serve IVF×PQ queries from a [[writeAnnIndex]] index on disk. The
+    * probed cell set (≤ queries × nprobe ids — driver-bounded, the
+    * model-collect pattern) becomes a STATIC partition filter on the
+    * index read: only the probed cells' files are opened, so a query
+    * batch touches ~nprobe/nClusters of the index at rest — the
+    * IndexServeSpec asserts this from scan metrics. Training is
+    * deterministic, so the serve-side model (memo or retrain) equals
+    * the build-side model; in production the model ships with the
+    * index. */
+  def annIvfPqServe(spark: SparkSession, dir: String, indexPath: String,
+                    nQueries: Int = 10, k: Int = 5,
+                    nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4,
+                    m: Int = 4, nCodes: Int = 16, rerank: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dim = embDim(emb)
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val subDim = dim / m
+    val cents = centsFor(spark, dir, nClusters, iters, trainFraction = 1.0)
+    val codebooks = booksFor(spark, dir, m, nCodes, iters)
+    val probes = ivfProbes(emb, cents, nQueries, nprobe)
+    val cids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
+    val index = spark.read.parquet(indexPath)
+      .filter(col("cid").isin(cids: _*))
+    ivfPqAnswer(index, probes, emb, codebooks, subDim, k, rerank)
   }
 
   /** v8: product-quantization ANN — the vector-COMPRESSION scale path

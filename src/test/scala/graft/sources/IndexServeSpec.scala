@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.GraftSession
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The ANN index AT REST (Similarity.writeAnnIndex / annIvfPqServe):
+  * build offline as cid-partitioned parquet, serve online with the
+  * probed cells as a static partition filter. Asserts (a) serve output
+  * equals the in-session operator at the same dials, and (b) the index
+  * scan READS ONLY the probed cells' partitions — the property that
+  * makes a query batch touch ~nprobe/nClusters of a 100 TB index. */
+class IndexServeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = GraftSession.tune(
+    SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = {
+    graft.ScratchCache.drain()
+    spark.stop()
+  }
+
+  /** Rows surfaced by the INDEX scan leaf (AQE off so executed-plan
+    * leaves are the file scans — the DppSpec pattern). The index leaf is
+    * the only one reading a `codes` column. */
+  private def indexScanRows(build: => DataFrame): Long = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = build
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .filter(_.toString.contains("codes"))
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).max
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("serve from the at-rest index == in-session operator; scan reads only probed cells") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
+    Similarity.writeAnnIndex(spark, sf, out)
+
+    def canon(df: DataFrame) = df.collect().map(_.mkString("|")).toSet
+    // same dials → identical answers (default and gate profiles)
+    assert(canon(Similarity.annIvfPqServe(spark, sf, out)) ===
+      canon(Similarity.annIvfPq(spark, sf)))
+    assert(canon(Similarity.annIvfPqServe(spark, sf, out, nprobe = 14, rerank = 248)) ===
+      canon(Similarity.annIvfPq(spark, sf, nprobe = 14, rerank = 248)))
+
+    // partition pruning: with few queries × few probes, the scan must
+    // surface exactly the probed cells' rows, not the corpus
+    val total = spark.read.parquet(out).count()
+    val scanned = indexScanRows(
+      Similarity.annIvfPqServe(spark, sf, out, nQueries = 2, nprobe = 2))
+    assert(scanned < total,
+      s"index scan should be pruned: read $scanned of $total rows")
+    // at nprobe=2 with 2 queries, at most 4 of 16 cells are open —
+    // even with skewed cells this cannot approach the full corpus
+    assert(scanned <= total / 2,
+      s"expected <= half the index at 2x2 probes, read $scanned of $total")
+  }
+}
