@@ -692,6 +692,37 @@ object GmallQueries {
       .filter(col("n_orders") > 0)
   }
 
+  /** q32: temporal (as-of) dimension join — enrich each event with the
+    * SCD2 version valid at its timestamp: the canonical consumer of
+    * q28's history (a fact joined to a versioned dimension AS OF event
+    * time, the Kimball type-2 lookup). Interval semantics are
+    * [valid_from, valid_to): an event whose ts equals a boundary
+    * belongs to the NEWER version — the only consistent reading at ts
+    * granularity, since q28 breaks same-instant ties by event_id below
+    * what intervals can express; the oracle applies the identical
+    * predicate. Every event lands in exactly one interval (a user's
+    * intervals partition the time axis from their first event) — spec-
+    * asserted.
+    *
+    * Scale shape: history is one row per STATE CHANGE per user
+    * (versions, not events), so this is a keyed equi-join on user_id
+    * with an interval residual filter — the equi-key carries the join
+    * (SortMergeJoin, plan-audited; never a range nested loop), and the
+    * per-user match fan-out is |versions|, collapsed by the residual
+    * to 1. */
+  def temporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val hist = scd2History(spark, dir)
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from"), col("valid_to"))
+    ev.join(hist, Seq("user_id"))
+      .filter(col("ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("version"), col("state"))
+  }
+
   /** DuckDB-equivalent SQL per query (driver correctness oracle). Money
     * math mirrors the cents formulation exactly. */
   /** q22 oracle: identical HLL recomputed in DuckDB — constants
@@ -826,6 +857,27 @@ object GmallQueries {
         |       LEAD(ts) OVER w IS NULL AS is_current
         |FROM starts
         |WINDOW w AS (PARTITION BY user_id ORDER BY rn)""".stripMargin,
+    // q32: the q28 history rebuilt as a CTE, then the as-of lookup with
+    // the identical [valid_from, valid_to) predicate
+    "q32_temporal_join" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type AS state,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id) AS INTEGER) AS rn
+        |  FROM events),
+        |starts AS (SELECT * FROM marked WHERE prev IS NULL OR prev <> state),
+        |hist AS (
+        |  SELECT user_id,
+        |         CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+        |         state, ts AS valid_from, LEAD(ts) OVER w AS valid_to
+        |  FROM starts
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY rn))
+        |SELECT e.event_id, e.user_id, e.ts, h.version, h.state
+        |FROM events e JOIN hist h ON e.user_id = h.user_id
+        | AND e.ts >= h.valid_from
+        | AND (h.valid_to IS NULL OR e.ts < h.valid_to)""".stripMargin,
     "q29_gap_fill" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_events,
@@ -1036,5 +1088,6 @@ object GmallQueries {
     "q29_gap_fill" -> gapFill,
     "q30_cdc_apply" -> cdcApply,
     "q31_delta_agg" -> ((s, d) => deltaAgg(s, d)),
+    "q32_temporal_join" -> temporalJoin,
   )
 }

@@ -992,6 +992,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     h.unpersist()
   }
 
+  test("temporal_join: every event matches exactly one interval, consistent with the history") {
+    val out = GmallQueries.temporalJoin(spark, sf).cache()
+    val nEvents = Tables.events(spark, sf).count()
+    // coverage: one output row per event, no duplicates from the join
+    assert(out.count() === nEvents)
+    assert(out.groupBy("event_id").count()
+      .filter(col("count") =!= 1).count() === 0L)
+    // the version a user's LAST event maps to is the open one
+    val lastEv = Tables.events(spark, sf)
+      .groupBy("user_id").agg(max(struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"))
+    val current = GmallQueries.scd2History(spark, sf)
+      .filter(col("is_current"))
+      .select(col("user_id"), col("version").as("cur_version"))
+    val mism = out.join(lastEv, Seq("user_id", "event_id"))
+      .join(current, "user_id")
+      .filter(col("version") =!= col("cur_version"))
+    assert(mism.count() === 0L)
+    // boundary semantics: an event AT a version's valid_from maps to
+    // that version, not the closed predecessor
+    val atBoundary = out.join(
+      GmallQueries.scd2History(spark, sf)
+        .filter(col("version") > 1)
+        .select(col("user_id"), col("valid_from").as("ts"),
+          col("version").as("v_open")),
+      Seq("user_id", "ts"))
+    assert(atBoundary.count() > 0, "corpus has boundary events by construction")
+    assert(atBoundary.filter(col("version") < col("v_open")).count() === 0L)
+    out.unpersist()
+  }
+
   test("delta_agg: incremental merge equals full recompute at any cutoff") {
     def direct(cutoff: String) = {
       val o = Tables.orders(spark, sf)
