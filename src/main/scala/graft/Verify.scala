@@ -86,18 +86,10 @@ object Verify {
     // regenerated corpus that breaks any piece of the chain demotes the
     // gate instead of silently keeping a green-but-unsound oracle.
     val m3Trusted = try {
-      val ph = operators.Multimodal.mediaPhash(spark, sfDir)
-      val a = ph.select(org.apache.spark.sql.functions.col("media_id").as("id_a"),
-        org.apache.spark.sql.functions.col("phash").as("ph_a"))
-      val b = ph.select(org.apache.spark.sql.functions.col("media_id").as("id_b"),
-        org.apache.spark.sql.functions.col("phash").as("ph_b"))
-      import org.apache.spark.sql.functions._
-      val exact = a.crossJoin(b)
-        .filter(col("id_a") < col("id_b") &&
-          col("id_a") % 3 === col("id_b") % 3)
-        .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
-        .filter(col("hamming") <= 8)
-        .select(col("id_a"), col("id_b"), col("hamming"))
+      // the exact sweep shares the operator's hash, kind derivation and
+      // default radius (Multimodal.phashExactPairs) — the probe cannot
+      // drift from the gate query's definition
+      val exact = operators.Multimodal.phashExactPairs(spark, sfDir)
       val blocked = spark.read.parquet(s"$outDir/m3_phash_pairs")
       val diff = blocked.exceptAll(exact).count() + exact.exceptAll(blocked).count()
       spark.catalog.clearCache()

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column support: image/audio/video as opaque `binary`
@@ -161,13 +161,42 @@ object Multimodal {
     * cross-kind collisions never become candidates — at maxDist = 8 the
     * 60-bit chunks are only ~6 bits wide and bucket collisions are the
     * cost driver, so blocking by kind cuts the candidate set ~3×. */
-  def phashPairs(spark: SparkSession, dir: String, maxDist: Int = 8): DataFrame =
+  /** m3's default Hamming radius — shared with [[phashExactPairs]] and
+    * Verify's per-round blocking-recall probe so the probe can never
+    * drift from the gate query's definition. */
+  val phashMaxDist: Int = 8
+
+  def phashPairs(spark: SparkSession, dir: String, maxDist: Int = phashMaxDist): DataFrame =
     Dedup.chunkedHammingPairs(
         mediaPhash(spark, dir)
           .select(col("media_id").as("doc_id"), col("phash").as("simhash"),
-            (col("media_id") % 3).as("kind")),
+            phashKind(col("media_id")).as("kind")),
         maxDist, bits = 60, blockCols = Seq("kind"))
       .select(col("id_a"), col("id_b"), col("hamming"))
+
+  /** The blocking key [[phashPairs]] folds into the bucket join —
+    * media_id-derived, matching [[mediaTable]]'s kind round-robin. One
+    * definition, shared with the exact sweep. */
+  private def phashKind(mediaId: Column): Column = mediaId % 3
+
+  /** Exact same-kind all-pairs Hamming sweep over the SAME Spark-side
+    * hashes and kind derivation as [[phashPairs]] — the recall ground
+    * truth Verify's m3 probe compares the chunk-blocked join against
+    * each round (pigeonhole says they are always set-equal; the probe
+    * turns that theorem plus the hash-parity preconditions into a
+    * mechanical per-corpus check). O(n²) — probe/spec scale only. */
+  def phashExactPairs(spark: SparkSession, dir: String,
+                      maxDist: Int = phashMaxDist): DataFrame = {
+    val ph = mediaPhash(spark, dir)
+    val a = ph.select(col("media_id").as("id_a"), col("phash").as("ph_a"))
+    val b = ph.select(col("media_id").as("id_b"), col("phash").as("ph_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b") &&
+        phashKind(col("id_a")) === phashKind(col("id_b")))
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_features" -> mediaFeatures,

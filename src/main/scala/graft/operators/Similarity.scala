@@ -143,21 +143,12 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
     val cents = centsFor(spark, dir, nClusters, iters, trainFraction)
     val corpusAssign = emb.withColumn("cid", assignCol(cents, col("embedding")))
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // probe: top-nprobe centroids per query via the fused
     // top_centroid_idxs (same ordering as the former
     // sort_array(struct(−cos, cid)) + slice probe: cos desc, cid asc,
     // NaN last — one literal-matrix expression instead of nClusters
-    // cosine subtrees)
-    val flatCents = cents.flatMap(_._2.map(_.toDouble)).toArray
-    val centIds = cents.map(_._1).toArray
-    val probes = queries
-      .select(col("query_id"), col("q_emb"),
-        explode(graft.functions.TopCentroidIdxs.top_centroid_idxs(
-          col("q_emb"), typedLit(flatCents), lit(cents.size), lit(nprobe))).as("cidx"))
-      .select(col("query_id"), col("q_emb"),
-        element_at(typedLit(centIds), col("cidx") + 1).as("cid"))
+    // cosine subtrees); construction shared with v9 (ivfProbes)
+    val probes = ivfProbes(emb, cents, nQueries, nprobe)
     val cand = probes.join(corpusAssign, "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))

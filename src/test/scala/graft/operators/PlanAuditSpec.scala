@@ -49,16 +49,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     Set("t19_unigram_logprob", "t22_bigram_logprob", "t23_bm25")
 
   test("no undocumented nested-loop or cartesian join in any gate query") {
+    def count(hay: String, needle: String): Int =
+      hay.sliding(needle.length).count(_ == needle)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // sparkPlan (pre-AQE) shows the static join strategy; building it
         // does not run the query, so the whole surface audits in seconds
         val plan = fn(spark, sf).queryExecution.sparkPlan.toString
-        val looped = plan.contains("BroadcastNestedLoopJoin") ||
-          plan.contains("CartesianProduct")
-        if (looped && !allPairsBaselines(name) && !scalarBroadcasts(name))
-          Some(name)
-        else None
+        val bnlj = count(plan, "BroadcastNestedLoopJoin")
+        val cart = count(plan, "CartesianProduct")
+        val ok =
+          if (allPairsBaselines(name)) true
+          // scalar-broadcast queries are licensed for EXACTLY the one
+          // single-row-build BNLJ the docs describe — a second loop join
+          // (dropped equi-key regression) must still fail the audit
+          else if (scalarBroadcasts(name)) bnlj <= 1 && cart == 0
+          else bnlj == 0 && cart == 0
+        if (ok) None else Some(name)
     }
     assert(offenders.isEmpty,
       s"queries planning nested-loop/cartesian joins: ${offenders.mkString(", ")}")
