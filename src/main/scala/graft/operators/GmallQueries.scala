@@ -479,6 +479,44 @@ object GmallQueries {
         round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
         round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
 
+  /** q33: sampled percentiles — the 100 TB shape for q19: exact
+    * percentiles need a per-group global sort, so at scale you estimate
+    * from a bounded deterministic sample. The sample is the
+    * bottom-`sampleK` orders by md5(o_orderkey) per group (t14's
+    * reproducible-sample machinery — content-independent,
+    * engine-independent, stable under reshuffling), and the estimate is
+    * percentile_disc over the sample (the ceil(p·n)-th smallest,
+    * integer-cents exact). Every value is portable, so the whole
+    * ESTIMATOR sits under the value-level gate — the q16-vs-q22 trade
+    * solved the same way: a deterministic portable construction instead
+    * of an opaque engine sketch (t-digest), whose merge order no SQL
+    * can replay. Spec bounds the estimate against the exact q19
+    * percentiles.
+    *
+    * Scale shape: the md5 ranking is narrow; per-group bottom-k is a
+    * WindowGroupLimit (per-partition limit precedes the shuffle); the
+    * final aggregate holds ≤ sampleK cents per group. */
+  def sampledPercentiles(spark: SparkSession, dir: String,
+                         sampleK: Int = 500): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("rk_key"), col("o_orderkey"))
+    val sample = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("c"),
+        md5(col("o_orderkey").cast("string").cast("binary")).as("rk_key"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= sampleK)
+    def pDisc(p: Double) =
+      element_at(col("sorted"), ceil(lit(p) * col("n_sample")).cast("int"))
+    sample.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_sample"),
+        sort_array(collect_list(col("c"))).as("sorted"))
+      .select(col("o_orderstatus"), col("n_sample"),
+        dollars(pDisc(0.25)).as("p25"),
+        dollars(pDisc(0.5)).as("p50"),
+        dollars(pDisc(0.95)).as("p95"))
+  }
+
   /** Set operations (completing the relational surface — the reference
     * has none): high-value customers = (bought at 'F' status) ∩ (bought
     * at 'O' status) minus anyone with a 'P' order; plus the union-all
@@ -1055,6 +1093,28 @@ object GmallQueries {
         |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O'
         |EXCEPT
         |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='P'""".stripMargin,
+    // q33: the identical deterministic sample (bottom-500 by md5 key per
+    // group) and the identical disc-percentile arithmetic over integer
+    // cents — value-exact on both sides
+    "q33_sampled_percentiles" ->
+      """WITH s AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+        |         md5(CAST(o_orderkey AS VARCHAR)) AS rk_key
+        |  FROM orders),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |                               ORDER BY rk_key, o_orderkey) AS rk
+        |  FROM s),
+        |g AS (
+        |  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_sample,
+        |         list(c ORDER BY c) AS sorted
+        |  FROM r WHERE rk <= 500 GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n_sample,
+        |       sorted[CAST(ceil(0.25 * n_sample) AS INTEGER)] / 100.0 AS p25,
+        |       sorted[CAST(ceil(0.5 * n_sample) AS INTEGER)] / 100.0 AS p50,
+        |       sorted[CAST(ceil(0.95 * n_sample) AS INTEGER)] / 100.0 AS p95
+        |FROM g""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1089,5 +1149,6 @@ object GmallQueries {
     "q30_cdc_apply" -> cdcApply,
     "q31_delta_agg" -> ((s, d) => deltaAgg(s, d)),
     "q32_temporal_join" -> temporalJoin,
+    "q33_sampled_percentiles" -> ((s, d) => sampledPercentiles(s, d)),
   )
 }

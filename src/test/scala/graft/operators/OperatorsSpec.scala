@@ -1023,6 +1023,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.unpersist()
   }
 
+  test("sampled_percentiles: estimates land within rank tolerance of the true quantiles") {
+    // the estimator is deterministic on the pinned corpus, so this is a
+    // fixed number, not a flaky draw; 0.1 is ~1.6x the DKW 95% bound at
+    // K=500 (and the sf0.001 groups are smaller than K → exact there)
+    val est = GmallQueries.sampledPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(
+        0.25 -> r.getDouble(2), 0.5 -> r.getDouble(3), 0.95 -> r.getDouble(4)))
+    assert(est.nonEmpty)
+    val all = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_totalprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    for ((grp, ps) <- est; (p, v) <- ps) {
+      val vals = all(grp)
+      val rank = vals.count(_ <= v + 1e-9).toDouble / vals.length
+      assert(math.abs(rank - p) <= 0.1,
+        s"group $grp p$p estimate $v has empirical rank $rank")
+    }
+    // with sampleK >= every group, the sample IS the group and the
+    // estimate degenerates to the exact disc quantile (non-default
+    // param, not gate-covered)
+    val maxGroup = all.values.map(_.length).max
+    val estFull = GmallQueries.sampledPercentiles(spark, sf, sampleK = maxGroup)
+      .collect().map(r => r.getString(0) -> Seq(
+        0.25 -> r.getDouble(2), 0.5 -> r.getDouble(3), 0.95 -> r.getDouble(4)))
+    for ((grp, ps) <- estFull; (p, v) <- ps) {
+      val vals = all(grp)
+      val exact = vals(math.ceil(p * vals.length).toInt - 1)
+      assert(math.abs(v - exact) < 1e-9, s"group $grp p$p: $v != exact disc $exact")
+    }
+  }
+
   test("delta_agg: incremental merge equals full recompute at any cutoff") {
     def direct(cutoff: String) = {
       val o = Tables.orders(spark, sf)
