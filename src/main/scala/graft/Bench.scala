@@ -57,6 +57,24 @@ object Bench {
       }
     }
     spark.catalog.clearCache() // drop warm-up persists
+    // CALIBRATION ANCHOR: a fixed CPU-bound reference job, timed like
+    // the queries (min of 2). The within-run spread guard catches
+    // BURSTY noise, but SUSTAINED host load (VM neighbors for minutes)
+    // shifts every number uniformly with no spread — measured: whole
+    // runs 1.4× slower on queries, 6× on stream rates, guards silent.
+    // query_time / calib_sec is load-normalized for CPU-bound work, so
+    // rounds stay comparable across host weather.
+    val calibSec: Double = try {
+      import org.apache.spark.sql.functions.{col, pmod, lit, sum, xxhash64}
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        // pmod keeps the ANSI-mode sum far from Long overflow
+        spark.range(0L, 200000000L, 1L, 32)
+          .select(pmod(xxhash64(col("id")), lit(1000000L)).as("h"))
+          .agg(sum(col("h"))).head
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    } catch { case _: Throwable => -1.0 }
     // two independent timed passes per query, report the per-query MIN:
     // single-shot timings at this scale carry ±20% of GC/page-cache/JIT
     // noise, which would otherwise dominate round-over-round comparisons
@@ -345,7 +363,8 @@ object Bench {
       s""""stream_dau_rocksdb_rows_per_sec":${streamRateRocks.toLong},""" +
       s""""stream_join_rows_per_sec":${streamJoinRate.toLong},""" +
       s""""stream_cdc_apply_rows_per_sec":${streamCdcRate.toLong},""" +
-      s""""stream_heavy_hitters_rocksdb_rows_per_sec":${streamHhRate.toLong},"sf":"$sfDir"}"""
+      s""""stream_heavy_hitters_rocksdb_rows_per_sec":${streamHhRate.toLong},""" +
+      s""""calib_sec":$calibSec,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: sbt prefixes stdout with [info] and appends its
     // own trailer lines, which can defeat a last-line JSON parse — leave
