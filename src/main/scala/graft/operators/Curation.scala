@@ -50,4 +50,53 @@ object Curation {
       "curated_written" -> spark.read.parquet(outDir).count())
       .toDF("stage", "n_docs")
   }
+
+  /** The FULL training-data recipe — [[curate]]'s filter ∩ dedup ∩
+    * decontaminate composition extended through selection and
+    * materialization: the per-language quality-quantile band (t15)
+    * joins the decision set; the stratified sample (t14's core) then
+    * draws `quota` docs per language FROM THE CURATED SET (sampling
+    * after filtering, so strata fill with surviving docs); and the
+    * final selection is packed into fixed-token-budget training
+    * sequences (t16's core) — the relation a trainer actually reads.
+    * Writes the packed assignment to `outDir` range-clustered by
+    * (grp, bin) so a trainer's sequence reader slices bins for free;
+    * returns the funnel summary.
+    *
+    * Scale shape: unchanged from the parts — decision sets are id-only
+    * relations combined by semi-joins; the sample is a per-stratum
+    * WindowGroupLimit over the curated ids; only the final ≤
+    * strata × quota selection carries text into the packing windows. */
+  def curateFull(spark: SparkSession, dir: String, outDir: String,
+                 evalN: Long = 50, keepFrac: Double = 0.5,
+                 quota: Int = 20, budget: Int = 512,
+                 nGroups: Int = 8): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val quality = TextOps.filterDecision(spark, dir)
+      .filter(col("keep")).select(col("doc_id"))
+    val survivors = Dedup.keepBest(spark, dir)
+      .select(col("keep_id").as("doc_id"))
+    val clean = TextOps.decontaminate(spark, dir, evalN)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    val band = TextOps.quantileFilter(spark, dir, keepFrac)
+      .select(col("doc_id"))
+    val curated = docs
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(clean, Seq("doc_id"), "left_semi")
+      .join(band, Seq("doc_id"), "left_semi")
+    val sampled = TextOps.stratifiedSampleOf(
+      curated.select(col("doc_id"), col("lang")), quota)
+      .select(col("doc_id"))
+    val selection = docs.join(sampled, Seq("doc_id"), "left_semi")
+    val packed = TextOps.packSequencesOf(selection, budget, nGroups)
+    graft.sources.Layout.writeRangeClustered(packed, outDir, Seq("grp", "bin"))
+    Seq(
+      "total" -> docs.count(),
+      "curated" -> curated.count(),
+      "sampled" -> sampled.count(),
+      "packed_written" -> spark.read.parquet(outDir).count())
+      .toDF("stage", "n_docs")
+  }
 }

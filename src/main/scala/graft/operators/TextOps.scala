@@ -478,11 +478,17 @@ object TextOps {
     * sampling). Per-stratum top-k runs as a WindowGroupLimit (rank
     * pushed into the shuffle); at extreme stratum cardinality you'd
     * pre-filter on an md5 threshold first and rank the survivors. */
-  def stratifiedSample(spark: SparkSession, dir: String, quota: Int = 20): DataFrame = {
+  def stratifiedSample(spark: SparkSession, dir: String, quota: Int = 20): DataFrame =
+    stratifiedSampleOf(Tables.documents(spark, dir), quota)
+
+  /** [[stratifiedSample]]'s core over ANY (doc_id, lang) relation —
+    * composable on a curated subset (Curation samples AFTER filtering,
+    * so strata fill from surviving documents, not the raw corpus). */
+  def stratifiedSampleOf(docs: DataFrame, quota: Int = 20): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("rk_key"), col("doc_id"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("lang"),
         md5(col("doc_id").cast("string").cast("binary")).as("rk_key"))
       .withColumn("rk", row_number().over(w))
@@ -541,13 +547,20 @@ object TextOps {
     * The DuckDB oracle hard-codes the defaults `budget = 512`,
     * `nGroups = 8`; non-default invocations are NOT gate-checked. */
   def packSequences(spark: SparkSession, dir: String, budget: Int = 512,
-                    nGroups: Int = 8): DataFrame = {
+                    nGroups: Int = 8): DataFrame =
+    packSequencesOf(Tables.documents(spark, dir), budget, nGroups)
+
+  /** [[packSequences]]'s core over ANY (doc_id, text) relation —
+    * composable on a curated/sampled subset (Curation packs the final
+    * selection, not the raw corpus). */
+  def packSequencesOf(docs: DataFrame, budget: Int = 512,
+                      nGroups: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp"))
       .orderBy(col("rk_key"), col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), size(tokens("text")).as("n_tokens"),
         md5(col("doc_id").cast("string").cast("binary")).as("rk_key"))
       .withColumn("grp",

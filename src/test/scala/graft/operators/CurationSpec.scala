@@ -54,4 +54,43 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .distinct().count()
     assert(nFps === ids.size.toLong, "curated corpus must be content-dup-free")
   }
+
+  test("curateFull: sample ⊆ curated band, packed output covers exactly the sample") {
+    val out = java.nio.file.Files.createTempDirectory("graft-packed").toString
+    val quota = 7
+    val summary = Curation.curateFull(spark, sf, out, quota = quota,
+        budget = 64, nGroups = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val packed = spark.read.parquet(out)
+    val packedIds = packed.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // funnel: monotone, persisted truth (one packed row per sampled doc)
+    assert(summary("sampled") <= summary("curated"))
+    assert(summary("packed_written") === summary("sampled"))
+    assert(packedIds.size.toLong === summary("sampled"))
+    assert(summary("sampled") > 0)
+
+    // the sample is drawn from the curated set INCLUDING the quantile
+    // band: every packed doc passes all four decisions
+    def idsOf(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col(c)).collect().map(_.getLong(0)).toSet
+    val curated4 = idsOf(TextOps.filterDecision(spark, sf).filter(col("keep")), "doc_id") &
+      idsOf(Dedup.keepBest(spark, sf), "keep_id") &
+      idsOf(TextOps.decontaminate(spark, sf).filter(!col("contaminated")), "doc_id") &
+      idsOf(TextOps.quantileFilter(spark, sf), "doc_id")
+    assert(packedIds.subsetOf(curated4))
+    // per-language quota respected
+    val byLang = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(packedIds.groupBy(byLang).values.forall(_.size <= quota))
+
+    // packing invariants on the final selection: offsets are per-group
+    // prefix sums of token counts; bins derive from offsets
+    val rows = packed.select("grp", "n_tokens", "start_off", "bin").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sum === g.map(r => r._3 + r._2).max)
+    }
+    assert(rows.forall { case (_, _, off, bin) => bin === (off / 64).toInt })
+  }
 }
