@@ -63,8 +63,11 @@ object Bench {
     // shifts every number uniformly with no spread — measured: whole
     // runs 1.4× slower on queries, 6× on stream rates, guards silent.
     // query_time / calib_sec is load-normalized for CPU-bound work, so
-    // rounds stay comparable across host weather.
-    val calibSec: Double = try {
+    // rounds stay comparable across host weather. Measured TWICE — once
+    // here and once after the stream sections (`calib_end_sec`) — so
+    // load that starts mid-run (invisible to a single up-front anchor)
+    // shows up as drift between the two.
+    def calibrate(): Double = try {
       import org.apache.spark.sql.functions.{col, pmod, lit, sum, xxhash64}
       (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -75,6 +78,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
     } catch { case _: Throwable => -1.0 }
+    val calibSec: Double = calibrate()
     // two independent timed passes per query, report the per-query MIN:
     // single-shot timings at this scale carry ±20% of GC/page-cache/JIT
     // noise, which would otherwise dominate round-over-round comparisons
@@ -120,14 +124,19 @@ object Bench {
       // trainers to the pass suffices: timedPass runs names SORTED, and
       // every trainer sorts before its dependents (d7<d8, v4<v4_prod,
       // v4/v8<v9*). Trainer timings from this pass are discarded below
-      // unless the trainer itself disagreed.
-      val memoDeps: Map[String, Seq[String]] = Map(
-        "d8_keep_best" -> Seq("d7_near_dup_clusters"),
-        "v4_ann_ivf_prod" -> Seq("v4_ann_ivf"),
-        "v8_ann_pq_prod" -> Seq("v8_ann_pq"),
-        "v9_ann_ivfpq" -> Seq("v4_ann_ivf", "v8_ann_pq"),
-        "v9_ann_ivfpq_prod" -> Seq("v4_ann_ivf", "v8_ann_pq"),
-      )
+      // unless the trainer itself disagreed. The pairs are declared by
+      // the memo owners (Dedup/Similarity, next to the memos) — a new
+      // memo-sharing query registers its dependency there, not here.
+      val memoDeps: Map[String, Seq[String]] =
+        operators.Dedup.memoDeps ++ operators.Similarity.memoDeps
+      val knownTrainers =
+        operators.Dedup.memoTrainers ++ operators.Similarity.memoTrainers
+      for ((dep, trainers) <- memoDeps; t <- trainers) {
+        require(t < dep, s"memo trainer $t must sort before dependent $dep " +
+          "(timedPass runs names sorted; rename one or warm memos explicitly)")
+        require(knownTrainers(t), s"$t is named as a trainer for $dep but " +
+          "not declared in its owner's memoTrainers")
+      }
       val third =
         (disagree.flatMap(n => memoDeps.getOrElse(n, Nil)) ++ disagree).distinct
       val p3 = timedPass(third).toMap
@@ -352,6 +361,10 @@ object Bench {
         }
       }
     } catch { case _: Throwable => -1.0 }
+    // second anchor: sustained load that began after the first
+    // calibration (mid-queries or mid-streams) is only visible here —
+    // compare calib_end_sec to calib_sec before trusting a slow run
+    val calibEndSec: Double = calibrate()
     def jsonArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"failed":$failed,""" +
@@ -364,7 +377,7 @@ object Bench {
       s""""stream_join_rows_per_sec":${streamJoinRate.toLong},""" +
       s""""stream_cdc_apply_rows_per_sec":${streamCdcRate.toLong},""" +
       s""""stream_heavy_hitters_rocksdb_rows_per_sec":${streamHhRate.toLong},""" +
-      s""""calib_sec":$calibSec,"sf":"$sfDir"}"""
+      s""""calib_sec":$calibSec,"calib_end_sec":$calibEndSec,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: sbt prefixes stdout with [info] and appends its
     // own trailer lines, which can defeat a last-line JSON parse — leave

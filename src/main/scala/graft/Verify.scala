@@ -88,8 +88,12 @@ object Verify {
     val m3Trusted = try {
       // the exact sweep shares the operator's hash, kind derivation and
       // default radius (Multimodal.phashExactPairs) — the probe cannot
-      // drift from the gate query's definition
+      // drift from the gate query's definition. Persisted: the two
+      // exceptAll actions below would otherwise each re-run the O(n²)
+      // cross-join + feature extraction from scratch (the clearCache()
+      // after the diff releases it).
       val exact = operators.Multimodal.phashExactPairs(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val blocked = spark.read.parquet(s"$outDir/m3_phash_pairs")
       val diff = blocked.exceptAll(exact).count() + exact.exceptAll(blocked).count()
       spark.catalog.clearCache()

@@ -81,22 +81,30 @@ object Curation {
       .filter(!col("contaminated")).select(col("doc_id"))
     val band = TextOps.quantileFilter(spark, dir, keepFrac)
       .select(col("doc_id"))
-    val curated = docs
+    // the 4-decision composition is the expensive part of the recipe;
+    // persist its (doc_id, lang) projection so the funnel counts, the
+    // sample, and the packed write all read ONE evaluation of it
+    // (id+lang only — tiny relative to corpus bytes). Explicit persist
+    // rather than ScratchCache.arm: this method runs several actions
+    // over the relation, and arm() sweeps after the first.
+    val curatedIds = docs.select(col("doc_id"), col("lang"))
       .join(quality, Seq("doc_id"), "left_semi")
       .join(survivors, Seq("doc_id"), "left_semi")
       .join(clean, Seq("doc_id"), "left_semi")
       .join(band, Seq("doc_id"), "left_semi")
-    val sampled = TextOps.stratifiedSampleOf(
-      curated.select(col("doc_id"), col("lang")), quota)
-      .select(col("doc_id"))
-    val selection = docs.join(sampled, Seq("doc_id"), "left_semi")
-    val packed = TextOps.packSequencesOf(selection, budget, nGroups)
-    graft.sources.Layout.writeRangeClustered(packed, outDir, Seq("grp", "bin"))
-    Seq(
-      "total" -> docs.count(),
-      "curated" -> curated.count(),
-      "sampled" -> sampled.count(),
-      "packed_written" -> spark.read.parquet(outDir).count())
-      .toDF("stage", "n_docs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sampled = TextOps.stratifiedSampleOf(curatedIds, quota)
+        .select(col("doc_id"))
+      val selection = docs.join(sampled, Seq("doc_id"), "left_semi")
+      val packed = TextOps.packSequencesOf(selection, budget, nGroups)
+      graft.sources.Layout.writeRangeClustered(packed, outDir, Seq("grp", "bin"))
+      Seq(
+        "total" -> docs.count(),
+        "curated" -> curatedIds.count(),
+        "sampled" -> sampled.count(),
+        "packed_written" -> spark.read.parquet(outDir).count())
+        .toDF("stage", "n_docs")
+    } finally curatedIds.unpersist(blocking = false)
   }
 }

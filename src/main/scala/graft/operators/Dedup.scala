@@ -484,6 +484,18 @@ object Dedup {
     * in place — memo entries assume session-immutable inputs). */
   def invalidateClusterMemo(): Unit = clusterMemo.clear()
 
+  /** Memo contract for Bench's partial re-time pass, declared HERE so
+    * the knowledge lives next to the memo it describes: gate queries
+    * whose timing depends on [[clusterMemo]] being warm → the queries
+    * that train it. A new memo-sharing query in [[queries]] must add
+    * its pair here, or Bench's third pass re-times it memo-cold and
+    * structurally includes training cost. */
+  val memoDeps: Map[String, Seq[String]] = Map(
+    "d8_keep_best" -> Seq("d7_near_dup_clusters"))
+
+  /** Gate queries that TRAIN [[clusterMemo]] (see [[memoDeps]]). */
+  val memoTrainers: Set[String] = Set("d7_near_dup_clusters")
+
   private[graft] def clusterMemoSize: Int = clusterMemo.size
 
   /** Join a driver-held (doc_id → cluster_id) label table back over the

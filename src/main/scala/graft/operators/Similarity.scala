@@ -192,6 +192,22 @@ object Similarity {
     * place, or to time a cold train — see Bench/TimeQ). */
   def invalidateModelMemo(): Unit = { centsMemo.clear(); booksMemo.clear() }
 
+  /** Memo contract for Bench's partial re-time pass, declared HERE next
+    * to the memo it describes (same shape as `Dedup.memoDeps`): gate /
+    * production queries whose timing depends on [[centsMemo]] /
+    * [[booksMemo]] being warm → the queries that train them. A new
+    * model-sharing query in SparkEntry must add its pair here, or
+    * Bench's third pass re-times it memo-cold and structurally includes
+    * training cost. */
+  val memoDeps: Map[String, Seq[String]] = Map(
+    "v4_ann_ivf_prod"   -> Seq("v4_ann_ivf"),
+    "v8_ann_pq_prod"    -> Seq("v8_ann_pq"),
+    "v9_ann_ivfpq"      -> Seq("v4_ann_ivf", "v8_ann_pq"),
+    "v9_ann_ivfpq_prod" -> Seq("v4_ann_ivf", "v8_ann_pq"))
+
+  /** Gate queries that TRAIN the model memos (see [[memoDeps]]). */
+  val memoTrainers: Set[String] = Set("v4_ann_ivf", "v8_ann_pq")
+
   /** Coarse-quantizer training (Lloyd) shared by [[annIvf]] and
     * [[annIvfPq]]. The MODEL (≤ nClusters × dim floats) lives on the
     * driver and enters plans as literals — the MLlib KMeans pattern. The

@@ -292,13 +292,25 @@ object Pipelines {
       state: GroupState[SampleState]): Iterator[SampleRow] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val cur = state.getOption.getOrElse(SampleState(0, Nil))
-    // merge-then-truncate keeps exactly the quota smallest (rk_key,
+    // bounded bottom-k merge: keep exactly the quota smallest (rk_key,
     // doc_id) pairs — same ordering as the batch window (rk_key asc,
     // doc_id asc), so membership equals the batch sample over the
-    // union of everything seen
-    val merged = (cur.members.map(m => (m.rk_key, m.doc_id)) ++
-        rows.map(r => (r._3, r._2))).distinct
-      .sorted.take(quota)
+    // union of everything seen. A TreeSet capped at quota keeps the
+    // per-batch working memory O(quota) even when one micro-batch
+    // delivers millions of rows for a stratum (buffering + sorting the
+    // whole batch would scale with batch size, not with the documented
+    // O(strata × quota) bound).
+    val merged: List[(String, Long)] = if (quota <= 0) Nil else {
+      val set = scala.collection.mutable.TreeSet.empty[(String, Long)]
+      cur.members.foreach(m => set += ((m.rk_key, m.doc_id)))
+      rows.foreach { r =>
+        val cand = (r._3, r._2)
+        if (set.size < quota) set += cand
+        else if (Ordering[(String, Long)].lt(cand, set.last) && set.add(cand))
+          set -= set.last
+      }
+      set.toList
+    }
     val next = SampleState(cur.ver + 1,
       merged.map { case (k, id) => SampleMember(k, id) })
     state.update(next)

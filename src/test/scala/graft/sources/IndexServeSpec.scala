@@ -38,7 +38,9 @@ class IndexServeSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.collect()
       df.queryExecution.executedPlan.collectLeaves()
         .filter(_.toString.contains("codes"))
-        .flatMap(_.metrics.get("numOutputRows").map(_.value)).max
+        .flatMap(_.metrics.get("numOutputRows").map(_.value))
+        .maxOption.getOrElse(fail("no plan leaf reads a `codes` column — " +
+          "index scan not found in executed plan"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
