@@ -578,6 +578,67 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** v10: semantic deduplication — the SemDeDup recipe (Abbas et al.
+    * 2023, arXiv:2303.09540): restrict the quadratic embedding near-dup
+    * sweep to CLUSTERS, then within each cluster drop every item whose
+    * cosine similarity to some earlier-ordered member exceeds `minCos`
+    * (the paper's upper-triangular similarity-matrix pruning — an item
+    * is dropped iff ANY earlier item is τ-similar, independent of that
+    * item's own fate; the within-cluster order is a dial, here the
+    * portable vec_id ascending). Emits EVERY vec with its kept/dropped
+    * decision — no float columns, so the DuckDB oracle hashes exactly.
+    *
+    * Scale shape: the only quadratic work is an equi-join on the
+    * cluster key with the similarity test as a residual — Σ|cluster|²
+    * instead of |corpus|², which is the entire point of SemDeDup at
+    * 100 TB (nClusters grows with the corpus so clusters stay bounded;
+    * inside an oversized cluster fold the cluster id into
+    * [[nearDupLsh]]'s hyperplane-bucket key — the m3 blockCols
+    * pattern). The dropped set then re-attaches as a broadcast-sized
+    * flag join. The gate query uses the corpus's curated `label` column
+    * as the cluster assignment (portable SQL); [[semDedupTrained]]
+    * derives it from the memoized Lloyd centroids when no curated
+    * clustering exists. */
+  def semDedup(spark: SparkSession, dir: String, minCos: Double = 0.4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    semDedupOf(emb.select(col("vec_id"), col("label").as("cluster"), col("embedding")), minCos)
+  }
+
+  /** [[semDedup]] with the cluster assignment DERIVED from the
+    * session-memoized IVF coarse quantizer (train once, serve — the
+    * FAISS shape): the production path for corpora without a curated
+    * cluster column. Assignment is the same narrow per-row argmax as
+    * [[annIvf]]'s; determinism is the trainer's. */
+  def semDedupTrained(spark: SparkSession, dir: String, minCos: Double = 0.4,
+                      nClusters: Int = 16, iters: Int = 2,
+                      trainFraction: Double = 1.0): DataFrame = {
+    val cents = centsFor(spark, dir, nClusters, iters, trainFraction)
+    val emb = Tables.embeddings(spark, dir)
+    // cid → int so both variants share one output schema (cids are the
+    // nClusters lowest seed vec_ids — far below Int range here; guarded)
+    require(cents.forall(_._1 <= Int.MaxValue),
+      "centroid cids exceed Int range — widen the cluster column")
+    semDedupOf(emb.select(col("vec_id"),
+      assignCol(cents, col("embedding")).cast("int").as("cluster"), col("embedding")), minCos)
+  }
+
+  /** Shared core: greedy earlier-wins pruning within a cluster column.
+    * Input must carry (vec_id, cluster, embedding). */
+  private def semDedupOf(base: DataFrame, minCos: Double): DataFrame = {
+    val earlier = base.select(col("cluster").as("cl_b"),
+      col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    // semi-join: each vec survives at most once regardless of how many
+    // earlier near-dups it has — the fan-out collapses inside the join
+    val dropped = base.join(earlier,
+        col("cluster") === col("cl_b") && col("id_b") < col("vec_id") &&
+          cosine(col("embedding"), col("e_b")) > minCos, "left_semi")
+      .select(col("vec_id"), lit(true).as("is_dup"))
+    base.select(col("vec_id"), col("cluster"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(!col("is_dup"), lit(true)).as("kept"))
+  }
+
   /** v6: symmetric int8 quantization per embedding — the standard
     * vector-store compression (scale = max|x|/127, q_i = round(x_i /
     * scale) ∈ [−127, 127]). Fully narrow per-row: scale is materialized
@@ -664,6 +725,10 @@ object Similarity {
     "v1_ann_bruteforce" -> ((s, d) => annBruteForce(s, d)),
     "v2_ann_lsh" -> ((s, d) => annLsh(s, d, nPlanes = 2, tables = 20)),
     "v3_near_dup_pairs" -> ((s, d) => nearDupPairs(s, d)),
+    // v10's gate clusters by the curated label column so the greedy
+    // kept/dropped decision is portable SQL; semDedupTrained is the
+    // production path (spec'd deterministic + variant-equal semantics)
+    "v10_semdedup" -> ((s, d) => semDedup(s, d)),
     // v4 gate profile: the cheapest recall-complete nprobe on the pinned
     // corpora, found by tools/ProbeIvf (nprobe=12 misses neighbors;
     // 14 is complete at sf0.001 AND sf0.01, and no slower at sf0.1 —
@@ -753,6 +818,19 @@ object Similarity {
     "v9_ann_ivfpq" -> exactAnnSql,
     "v3_near_dup_pairs" -> exactNearDupSql,
     "v5_near_dup_lsh" -> exactNearDupSql,
+    // boolean/integer output only — the cosine appears solely inside
+    // the threshold comparison, computed in double on both engines
+    "v10_semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dup AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM e a JOIN e b ON a.label = b.label AND b.vec_id < a.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |          / (sqrt(list_dot_product(a.v, a.v))
+        |           * sqrt(list_dot_product(b.v, b.v))) > 0.4)
+        |SELECT e.vec_id, e.label AS cluster, d.vec_id IS NULL AS kept
+        |FROM e LEFT JOIN dup d ON e.vec_id = d.vec_id""".stripMargin,
   )
 
   /** Exact top-k sweep (v1's semantics) — also v2's oracle under the

@@ -1133,4 +1133,56 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cmp.filter(col("last_active_day") =!= col("want")).count() === 0L)
     g.unpersist()
   }
+
+  // v10 semDedup: brute-force double-precision reference for the greedy
+  // earlier-wins decision — drop iff ANY earlier same-cluster item is
+  // τ-similar, independent of that item's own kept/dropped fate
+  private def semDedupReference(rows: Array[(Long, Int, Array[Double])],
+                                minCos: Double): Set[(Long, Int, Boolean)] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.map { case (id, cl, v) =>
+      val dup = rows.exists { case (id2, cl2, v2) =>
+        cl2 == cl && id2 < id && cos(v2, v) > minCos }
+      (id, cl, !dup)
+    }.toSet
+  }
+
+  test("semDedup: label-clustered decision equals the brute-force reference") {
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray.map(_.toDouble)))
+    val got = Similarity.semDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(got === semDedupReference(rows, 0.4))
+    // every vec decided exactly once; the first member of each cluster
+    // has no earlier neighbor, so it is always kept
+    assert(got.size === rows.length)
+    val firstIds = rows.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    assert(got.filter(r => firstIds(r._1)).forall(_._3))
+  }
+
+  test("semDedup: trained-cluster variant obeys the same invariant on its own assignment") {
+    val out = Similarity.semDedupTrained(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    assert(out.length === emb.size)
+    // recompute the greedy decision from the output's OWN cluster
+    // assignment — the trained path must apply the identical pruning rule
+    val byId = out.map { case (id, cl, _) => (id, cl, emb(id)) }
+    assert(out.toSet === semDedupReference(byId, 0.4))
+    // deterministic across invocations (memo hit AND cold retrain)
+    Similarity.invalidateModelMemo()
+    val again = Similarity.semDedupTrained(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
 }
