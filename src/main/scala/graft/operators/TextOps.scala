@@ -700,7 +700,39 @@ object TextOps {
       .select(col("rank"), col("doc_id"), col("n_terms"), col("bm25"))
   }
 
+  /** t24: source novelty scoring — for each document, the fraction of
+    * its DISTINCT k-grams that first appear in the corpus at this doc
+    * (first owner = min doc_id). The marginal-contribution metric crawl
+    * curation ranks sources/snapshots by: a doc whose grams all exist
+    * in earlier docs adds nothing; novelty ≈ 1 marks genuinely new
+    * content. Complements d11 (which flags SHARED grams symmetrically —
+    * here ownership is asymmetric in corpus order, so re-crawls score
+    * near 0 while their originals stay high).
+    *
+    * Scale shape: one shuffle of distinct (doc, gram) pairs keyed by
+    * gram (the window computes the per-gram min in the same exchange),
+    * then a map-side-combined per-doc count agg — the inverted-index
+    * build shape, never all-pairs. At 100 TB the gram key is the
+    * natural partitioner and long-tail grams (seen once) never skew.
+    *
+    * Float parity: novelty = long/long division rounded to 6 dp —
+    * identical IEEE doubles on both engines (the t19 precedent). */
+  def ngramNovelty(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens("text").as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(tokenWindows(col("toks"), k, 1))).as("gram"))
+    val w = Window.partitionBy(col("gram"))
+    grams.withColumn("first_doc", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("doc_id") === col("first_doc"), 1)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_grams"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),
     "t23_bm25" -> ((s, d) => bm25(s, d)),
     "t15_quantile_filter" -> ((s, d) => quantileFilter(s, d)),
     "t18_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
@@ -775,6 +807,26 @@ object TextOps {
        |  FROM toks)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // t24: same trigram construction as t5/t6's oracles (slice windows
+    // over whitespace split); counts via FILTER so both engines emit
+    // BIGINT (DuckDB's SUM(int) would widen to HUGEINT)
+    "t24_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |           UNNEST([array_to_string(array_slice(t, i+1, i+3), ' ')
+        |                   FOR i IN range(0, GREATEST(LEN(t)-3, 0) + 1)]) AS gram
+        |    FROM toks)),
+        |f AS (
+        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
+        |  FROM grams)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |       COUNT(*) FILTER (WHERE doc_id = first_doc) AS n_novel,
+        |       round(COUNT(*) FILTER (WHERE doc_id = first_doc)
+        |             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        |FROM f GROUP BY doc_id""".stripMargin,
     // t23: DuckDB recomputes the identical Okapi BM25 terms (Lucene idf
     // variant, k1=1.2, b=0.75, query = hash/join/scan) and ranks the
     // same (score DESC, doc_id) — both sides round the per-doc sum to

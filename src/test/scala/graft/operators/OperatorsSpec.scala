@@ -1134,6 +1134,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     g.unpersist()
   }
 
+  test("ngramNovelty: equals the per-doc first-owner reference; totals close") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // same window construction as tokenWindows(k=3, stride=1): one
+    // window per start 0..max(len-3,0), tail windows shorter
+    def grams(text: String): Set[String] = {
+      val toks = text.trim.split("\\s+")
+      (0 to math.max(toks.length - 3, 0))
+        .map(i => toks.slice(i, math.min(i + 3, toks.length)).mkString(" "))
+        .toSet
+    }
+    val byDoc = docs.map { case (id, t) => id -> grams(t) }
+    val firstOwner = byDoc.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).min }
+    val want = byDoc.map { case (id, gs) =>
+      id -> (gs.size.toLong, gs.count(g => firstOwner(g) == id).toLong)
+    }.toMap
+    val got = TextOps.ngramNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet === want.keySet)
+    for ((id, (n, nov)) <- want) {
+      assert(got(id)._1 === n, s"doc $id n_grams")
+      assert(got(id)._2 === nov, s"doc $id n_novel")
+      assert(math.abs(got(id)._3 - nov.toDouble / n) < 1e-6, s"doc $id novelty")
+    }
+    // every distinct gram is novel exactly once, and the earliest doc
+    // introduces everything it contains
+    assert(got.values.map(_._2).sum === firstOwner.size.toLong)
+    assert(got(docs.map(_._1).min)._3 === 1.0)
+  }
+
   // v10 semDedup: brute-force double-precision reference for the greedy
   // earlier-wins decision — drop iff ANY earlier same-cluster item is
   // τ-similar, independent of that item's own kept/dropped fate
