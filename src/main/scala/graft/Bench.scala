@@ -231,11 +231,24 @@ object Bench {
     // branch and skip the state store entirely). The reference's
     // envelope is "fits a 5 s trigger on 4 cores" (BASELINE.md);
     // rows/sec makes that comparable.
+    //
+    // INPUT SIZING (round 6): the sf0.1 events table is ~100k rows —
+    // one micro-batch whose wall is dominated by fixed startup (plan
+    // compile + first state-store open, ~1-3 s), so the reported "rate"
+    // swung 4× between idle runs with IDENTICAL CPU calibrations
+    // (r5's dau-HDFS 29.7k and an r6 repro both trace to this, not to
+    // contention or a store regression — see tools/ProfileStreamIo:
+    // fsync latency flat, warm walls converge once input is ×10).
+    // Each single-batch section therefore replicates its input with an
+    // EXPANDED key space (real state growth, not re-dedup of the same
+    // keys) until sustained throughput dominates the fixed cost.
+    val dauRep = 10
     def dauRate(name: String): Double = {
-      val n = Tables.events(spark, sfDir).count()
+      val n = Tables.events(spark, sfDir).count() * dauRep
       guardedRate(name) { () =>
         val ev = Tables.normalizeEventTs(streamOf("events"))
-          .selectExpr("cast(user_id as string) as mid", "ts")
+          .selectExpr("*", s"explode(sequence(0, ${dauRep - 1})) as r")
+          .selectExpr("concat(cast(user_id as string), '#', r) as mid", "ts")
         val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt").toString
         val sec = timedStream(partitions = 8) { () =>
           streaming.Pipelines.dauFirstVisits(ev)
@@ -313,9 +326,16 @@ object Bench {
     // flatMapGroupsWithState over the full events stream — the
     // last-writer-wins state-update path with one state row per key.
     val streamCdcRate: Double = try {
-      val n = Tables.events(spark, sfDir).count()
+      // ×10 with an expanded user key space (the dau sizing rationale):
+      // 10× state rows, 10× update traffic through the keyed state path
+      val cdcRep = 10
+      val n = Tables.events(spark, sfDir).count() * cdcRep
       guardedRate("stream_cdc_apply") { () =>
         val ev = Tables.normalizeEventTs(streamOf("events"))
+          .selectExpr("*", s"explode(sequence(0, ${cdcRep - 1})) as r")
+          .selectExpr(
+            "event_id * 10 + r as event_id", "user_id * 10 + r as user_id",
+            "ts", "event_type", "value", "props")
         // processed-rows guard (the join bench's accumulator pattern): an
         // empty/misconfigured stream must report the -1 sentinel, not an
         // inflated n/sec over near-zero wall time
@@ -340,13 +360,20 @@ object Bench {
     // emitted windows — zero emissions = misconfigured watermark, -1).
     val streamHhRate: Double = try {
       import org.apache.spark.sql.functions._
+      // ×4 via a window shift (the dau sizing rationale): 4× gram rows
+      // AND 4× (window, gram) state keys — replicas land in disjoint
+      // 1-minute windows, so this grows state, not per-key counts
+      val hhRep = 4
       val nGrams = spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(explode(operators.TextOps.tokens(col("text")))).count()
+        .select(explode(operators.TextOps.tokens(col("text")))).count() * hhRep
       withRocks {
         guardedRate("stream_heavy_hitters_rocksdb") { () =>
-          val grams = streamOf("documents").select(
-            explode(operators.TextOps.tokens(col("text"))).as("gram"),
-            timestamp_seconds(lit(1700000000L) + col("doc_id") % 300).as("ts"))
+          val grams = streamOf("documents")
+            .selectExpr("*", s"explode(sequence(0, ${hhRep - 1})) as r")
+            .select(
+              explode(operators.TextOps.tokens(col("text"))).as("gram"),
+              timestamp_seconds(lit(1700000000L) + col("doc_id") % 300 +
+                col("r") * 300).as("ts"))
           val acc = spark.sparkContext.longAccumulator("graft-bench-hh")
           val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-hckpt").toString
           val sec = timedStream(partitions = 8) { () =>
