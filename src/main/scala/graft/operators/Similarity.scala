@@ -639,6 +639,44 @@ object Similarity {
         coalesce(!col("is_dup"), lit(true)).as("kept"))
   }
 
+  /** v11: semantic decontamination — flag every train vector whose
+    * cosine to ANY eval-set vector reaches `minCos`: d12's lexical
+    * decontamination recipe lifted to embedding space, catching the
+    * paraphrased/translated eval leakage n-gram overlap cannot see
+    * (eval = vec_id < evalN, the held-out benchmark; train = the
+    * rest). Emits one row per flagged train vec with the match count,
+    * max cosine, and the best-matching eval vec (cos desc, id asc —
+    * d12's deterministic argmax).
+    *
+    * Scale shape: eval sets are tiny by construction (benchmarks vs a
+    * 100 TB corpus), so the eval side BROADCASTS and the train side is
+    * one narrow scan — the corpus never shuffles; the ≤ evalN per-vec
+    * fan-out collapses in a map-side-combined agg (the flagged subset
+    * alone reaches the tiny argmax window). An eval set too big to
+    * broadcast routes both sides through [[nearDupLsh]]'s hyperplane
+    * buckets instead (the v5 scale path). Cosine rides the fused
+    * native expression; the raw double matches DuckDB's
+    * list_dot_product (the v1/v3 precedent). */
+  def semDecontaminate(spark: SparkSession, dir: String, evalN: Long = 50,
+                       minCos: Double = 0.4): DataFrame = {
+    require(minCos > 0 && minCos <= 1, s"minCos must be in (0, 1], got $minCos")
+    val emb = Tables.embeddings(spark, dir)
+    val evalSide = emb.filter(col("vec_id") < evalN)
+      .select(col("vec_id").as("id_eval"), col("embedding").as("e_e"))
+    val hits = emb.filter(col("vec_id") >= evalN)
+      .join(broadcast(evalSide))
+      .withColumn("cos", cosine(col("embedding"), col("e_e")))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_id"), col("id_eval"), col("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("id_eval").asc)
+    hits.withColumn("rn", row_number().over(w))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max(col("cos")).as("max_cos"),
+        min(when(col("rn") === 1, col("id_eval"))).as("best_eval_id"))
+  }
+
   /** v6: symmetric int8 quantization per embedding — the standard
     * vector-store compression (scale = max|x|/127, q_i = round(x_i /
     * scale) ∈ [−127, 127]). Fully narrow per-row: scale is materialized
@@ -707,6 +745,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v11_sem_decontaminate" -> ((s, d) => semDecontaminate(s, d)),
     "v7_centroid_outliers" -> ((s, d) => centroidOutliers(s, d)),
     "v6_quantize_int8" -> quantizeInt8Rows,
     // v2/v5 gate profiles: the CHEAPEST recall-complete settings on the
@@ -820,6 +859,25 @@ object Similarity {
     "v5_near_dup_lsh" -> exactNearDupSql,
     // boolean/integer output only — the cosine appears solely inside
     // the threshold comparison, computed in double on both engines
+    // cross join + threshold + d12's argmax, all in doubles both
+    // engines compute identically (in-order dot product, IEEE division)
+    "v11_sem_decontaminate" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT t.vec_id, ev.vec_id AS id_eval,
+        |         list_dot_product(t.v, ev.v)
+        |           / (sqrt(list_dot_product(t.v, t.v))
+        |            * sqrt(list_dot_product(ev.v, ev.v))) AS cos
+        |  FROM e t JOIN e ev ON ev.vec_id < 50 AND t.vec_id >= 50),
+        |m AS (SELECT * FROM p WHERE cos >= 0.4),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                               ORDER BY cos DESC, id_eval) AS rn
+        |  FROM m)
+        |SELECT vec_id, COUNT(*) AS n_eval_matches, MAX(cos) AS max_cos,
+        |       MIN(CASE WHEN rn = 1 THEN id_eval END) AS best_eval_id
+        |FROM r GROUP BY vec_id""".stripMargin,
     "v10_semdedup" ->
       """WITH e AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

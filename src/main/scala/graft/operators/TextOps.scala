@@ -731,7 +731,63 @@ object TextOps {
       .withColumn("novelty", round(col("n_novel") / col("n_grams"), 6))
   }
 
+  /** t25: domain mixture sampling — resample the corpus toward
+    * temperature-flattened per-source weights under an EXACT total
+    * budget: the LM-mixture recipe (alpha-sampling, XLM-R-style
+    * p_s ∝ mass_s^0.5) that keeps token-heavy domains from drowning
+    * small ones. Weight mass = per-source TOKEN count (the measure
+    * mixtures balance, and non-degenerate even when doc counts are
+    * uniform), flattened by integer sqrt; quotas are q4's
+    * largest-remainder apportionment in PURE INTEGER arithmetic
+    * (base = budget·w div Σw, spill = budget − Σbase handed out by
+    * remainder desc, source asc) so both engines compute identical
+    * quotas — no float normalization whose summation order could
+    * flip a boundary. Selection within a source is t14's
+    * deterministic bottom-quota by md5(doc_id). A source smaller
+    * than its quota contributes everything it has and the total
+    * undershoots; stealing the shortfall from other sources would
+    * silently break the target mixture, so it is surfaced, not
+    * patched.
+    *
+    * Scale shape: token counting is one narrow map + a #sources-row
+    * agg; all quota arithmetic lives on that tiny relation (the
+    * unpartitioned windows hold #sources rows — nothing big moves);
+    * the sample is one per-source WindowGroupLimit, t14's shape. */
+  def domainMix(spark: SparkSession, dir: String, budget: Int = 100): DataFrame =
+    domainMixOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(tokens("text")).as("n_toks")),
+      budget)
+
+  /** [[domainMix]]'s core over ANY (doc_id, source, n_toks) relation —
+    * composable on a curated subset (the stratifiedSampleOf pattern),
+    * and the spec's entry for skewed mixtures the uniform synthetic
+    * corpus cannot produce. */
+  def domainMixOf(docs: DataFrame, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val all = Window.partitionBy() // #sources rows — single partition is the point
+    val quotas = docs.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("mass"))
+      .withColumn("wt", floor(sqrt(col("mass").cast("double"))))
+      .withColumn("base", expr(s"(${budget}L * wt) div sum(wt) over ()"))
+      .withColumn("rem", expr(s"(${budget}L * wt) % sum(wt) over ()"))
+      .withColumn("spill", lit(budget.toLong) - sum(col("base")).over(all))
+      .withColumn("rrank", row_number().over(
+        Window.orderBy(col("rem").desc, col("source").asc)))
+      .withColumn("quota",
+        col("base") + when(col("rrank") <= col("spill"), 1L).otherwise(0L))
+      .select(col("source"), col("quota"))
+    val w = Window.partitionBy(col("source")).orderBy(col("rk_key"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string").cast("binary")).as("rk_key"))
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(quotas), "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk"), col("quota"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_domain_mix" -> ((s, d) => domainMix(s, d)),
     "t24_ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),
     "t23_bm25" -> ((s, d) => bm25(s, d)),
     "t15_quantile_filter" -> ((s, d) => quantileFilter(s, d)),
@@ -807,6 +863,40 @@ object TextOps {
        |  FROM toks)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // t25: integer quota arithmetic reproduced verbatim (div/% on
+    // BIGINT; window SUMs cast back down — DuckDB widens to HUGEINT);
+    // token mass via t2's whitespace split, ranking via t14's md5
+    "t25_domain_mix" ->
+      """WITH mass AS (
+        |  SELECT source,
+        |         SUM(LEN(string_split_regex(TRIM(text), '\s+'))) AS mass
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT source,
+        |         CAST(FLOOR(SQRT(CAST(mass AS DOUBLE))) AS BIGINT) AS wt
+        |  FROM mass),
+        |q AS (
+        |  SELECT source, wt,
+        |         (100 * wt) // CAST(SUM(wt) OVER () AS BIGINT) AS base,
+        |         (100 * wt) % CAST(SUM(wt) OVER () AS BIGINT) AS rem
+        |  FROM w),
+        |q2 AS (
+        |  SELECT source, base, rem,
+        |         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rrank,
+        |         100 - CAST(SUM(base) OVER () AS BIGINT) AS spill
+        |  FROM q),
+        |quota AS (
+        |  SELECT source,
+        |         base + CASE WHEN rrank <= spill THEN 1 ELSE 0 END AS quota
+        |  FROM q2),
+        |r AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, r.rk, quota.quota
+        |FROM r JOIN quota USING (source)
+        |WHERE rk <= quota""".stripMargin,
     // t24: same trigram construction as t5/t6's oracles (slice windows
     // over whitespace split); counts via FILTER so both engines emit
     // BIGINT (DuckDB's SUM(int) would widen to HUGEINT)

@@ -1217,4 +1217,84 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
     assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
+
+  test("semDecontaminate: equals the brute-force cross reference at default and shifted params") {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    def reference(evalN: Long, minCos: Double): Set[(Long, Long, Double, Long)] = {
+      val evals = emb.filter(_._1 < evalN)
+      emb.filter(_._1 >= evalN).flatMap { case (id, v) =>
+        val hits = evals.map { case (e, ve) => (e, cos(v, ve)) }
+          .filter(_._2 >= minCos)
+        if (hits.isEmpty) None
+        else {
+          val best = hits.minBy { case (e, c) => (-c, e) }
+          Some((id, hits.size.toLong, hits.map(_._2).max, best._1))
+        }
+      }.toSet
+    }
+    def run(evalN: Long, minCos: Double) =
+      Similarity.semDecontaminate(spark, sf, evalN, minCos).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    // exact equality incl. the cosine: both sides accumulate the same
+    // doubles in array order (the v1/v3 cross-engine precedent)
+    val got = run(50L, 0.4)
+    assert(got === reference(50L, 0.4))
+    assert(got.nonEmpty, "default gate profile must flag something")
+    // shifted eval boundary and threshold exercise the non-default path
+    assert(run(20L, 0.35) === reference(20L, 0.35))
+  }
+
+  test("domainMix: integer largest-remainder quotas on a skewed mixture; undershoot surfaced") {
+    import spark.implicits._
+    // masses: a = 200×50 = 10000 (isqrt 100), b = 100×10 = 1000 (31),
+    // c = 4×4 = 16 (4) — quotas must tilt toward a but keep b and c
+    val docs = (
+      (1 to 200).map(i => (i.toLong, "a", 50)) ++
+      (201 to 300).map(i => (i.toLong, "b", 10)) ++
+      (301 to 304).map(i => (i.toLong, "c", 4))).toDF("doc_id", "source", "n_toks")
+    val avail = Map("a" -> 200L, "b" -> 100L, "c" -> 4L)
+    def refQuota(budget: Long): Map[String, Long] = {
+      val wt = Map("a" -> 100L, "b" -> 31L, "c" -> 4L)
+      val s = wt.values.sum
+      val base = wt.map { case (k, w) => k -> budget * w / s }
+      val rem = wt.map { case (k, w) => k -> budget * w % s }
+      val spill = budget - base.values.sum
+      val bumped = rem.toSeq.sortBy { case (k, r) => (-r, k) }
+        .take(spill.toInt).map(_._1).toSet
+      base.map { case (k, q) => k -> (q + (if (bumped(k)) 1L else 0L)) }
+    }
+    // budget 200 pushes c's quota (200·4/135 = 5) past its 4 docs —
+    // the undershoot branch actually triggers
+    for (budget <- Seq(37, 200)) {
+      val quota = refQuota(budget)
+      assert(quota.values.sum === budget.toLong, "apportionment must be exact")
+      val got = TextOps.domainMixOf(docs, budget).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      val bySrc = got.groupBy(_._2)
+      for ((s, q) <- quota) {
+        assert(got.filter(_._2 == s).forall(_._4 == q), s"quota column for $s")
+        // a source smaller than its quota contributes all it has — the
+        // total undershoots rather than silently re-weighting
+        assert(bySrc.get(s).map(_.length.toLong).getOrElse(0L) ===
+          math.min(q, avail(s)), s"sample size for $s at budget $budget")
+      }
+      // ranks are the md5 bottom-k: contiguous from 1 within each source
+      for ((s, rows) <- bySrc)
+        assert(rows.map(_._3).sorted === (1 to rows.length).toArray.toSeq, s"ranks for $s")
+      assert(got.map(_._1).distinct.length === got.length)
+    }
+    // deterministic: same sample on re-run
+    val a = TextOps.domainMixOf(docs, 37).collect().map(_.toSeq).toSet
+    assert(a === TextOps.domainMixOf(docs, 37).collect().map(_.toSeq).toSet)
+  }
 }

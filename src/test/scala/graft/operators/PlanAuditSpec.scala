@@ -35,9 +35,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     * one-sided smallness by construction (Similarity scaladoc). v8's
     * ADC stage is the same shape ON PURPOSE — every compressed code row
     * scores against the broadcast query set (a linear scan of the
-    * 2-byte-code relation, not of the vectors). */
+    * 2-byte-code relation, not of the vectors). v11's eval side is a
+    * benchmark set (tiny by construction, broadcast); the corpus side
+    * is one narrow scan — the documented scale escape for an
+    * un-broadcastable eval set is routing through nearDupLsh's buckets. */
   private val allPairsBaselines =
-    Set("v1_ann_bruteforce", "v3_near_dup_pairs", "v8_ann_pq")
+    Set("v1_ann_bruteforce", "v3_near_dup_pairs", "v8_ann_pq",
+      "v11_sem_decontaminate")
 
   /** Scalar broadcasts: a ONE-ROW aggregate (corpus token total / |V| /
     * (N, avgdl)) cross-joined broadcast into the scoring join —
