@@ -637,7 +637,71 @@ object Dedup {
         min(when(col("rn") === 1, col("id_eval"))).as("best_eval_id"))
   }
 
+  /** d13: corpus-overlap diagnostics — exact k-gram-set Jaccard between
+    * every pair of sources that share at least one gram. The
+    * before-you-merge question every corpus intake answers ("how much
+    * of crawl B is already in crawl A?"), and the source-level rollup
+    * of d2's doc-level signal. Output is one row per overlapping
+    * unordered pair with both set sizes, the intersection, and the
+    * Jaccard.
+    *
+    * Scale shape: the shuffled relation is DISTINCT (source, gram) —
+    * bounded by |vocab|×|sources|, not corpus size; the gram-keyed
+    * self-join fans out at most (#sources choose 2) per gram, and the
+    * pair aggregate map-side-combines. Sources (feeds/crawls/domains)
+    * number thousands at most. At 100 TB, replace the exact join with
+    * d6's per-source minhash UNION sketch (element-wise min — mergeable
+    * at any fan-in) and estimate J from signature agreement; the exact
+    * form here is the oracle-able baseline that gates that estimate. */
+  def sourceOverlap(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val grams = ScratchCache.arm( // feeds sizes + both sides of the self-join
+      Tables.documents(spark, dir)
+        .select(col("source"), tokens(col("text")).as("toks"))
+        .select(col("source"),
+          explode(array_distinct(tokenWindows(col("toks"), k, 1))).as("gram"))
+        .distinct())
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    grams.select(col("source").as("source_a"), col("gram"))
+      .join(grams.select(col("source").as("source_b"), col("gram")), "gram")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_grams").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_grams").as("n_b"))), "source_b")
+      .withColumn("jaccard", round(col("n_shared") /
+        (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"), col("jaccard"))
+  }
+
+  /** d14: leakage-safe train/val/test split — t9's deterministic md5
+    * split applied to the CLUSTER, not the document: every member of a
+    * d7 near-dup cluster rides its representative's bucket, so
+    * near-duplicates can never straddle train and eval — the
+    * contamination a per-doc split silently permits (a doc and its
+    * 0.9-Jaccard re-crawl landing on opposite sides of the boundary).
+    * Bucket arithmetic and 80/10/10 bands are t9's exactly, applied to
+    * the cluster id (= min member doc_id, d7's label); singleton
+    * clusters therefore get t9's very split.
+    *
+    * Scale shape: d7's clustering (memoized — free if already run this
+    * session) + one narrow map; no new shuffle. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    nearDupClusters(spark, dir)
+      .withColumn("bucket",
+        (conv(substring(md5(col("cluster_id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long") % 100).cast("int"))
+      .select(col("doc_id"), col("cluster_id"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_leakage_safe_split" -> ((s, d) => leakageSafeSplit(s, d)),
+    "d13_source_overlap" -> ((s, d) => sourceOverlap(s, d)),
     "d12_fuzzy_decontaminate" -> ((s, d) => fuzzyDecontaminate(s, d)),
     "d11_exact_substring" -> ((s, d) => exactSubstring(s, d)),
     "d7_near_dup_clusters" -> ((s, d) => nearDupClusters(s, d)),
@@ -707,6 +771,41 @@ object Dedup {
        |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // d14: d7's recursive-CTE closure + t9's bucket arithmetic verbatim,
+    // applied to the cluster id
+    "d14_leakage_safe_split" ->
+      s"""$clustersSqlPrefix
+         |SELECT doc_id, cluster_id,
+         |       CAST(CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket,
+         |       CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+         |            WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM clusters""".stripMargin,
+    // d13: t24's gram construction keyed by source; Jaccard =
+    // BIGINT counts with one 6-dp-rounded double division (t19 parity)
+    "d13_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, string_split_regex(TRIM(text), '\s+') AS t FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source, gram FROM (
+        |    SELECT source,
+        |           UNNEST([array_to_string(array_slice(t, i+1, i+3), ' ')
+        |                   FOR i IN range(0, GREATEST(LEN(t)-3, 0) + 1)]) AS gram
+        |    FROM toks)),
+        |sizes AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, sa.n_grams AS n_a, sb.n_grams AS n_b,
+        |       n_shared,
+        |       ROUND(n_shared / CAST(sa.n_grams + sb.n_grams - n_shared
+        |                             AS DOUBLE), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.source = source_a
+        |JOIN sizes sb ON sb.source = source_b""".stripMargin,
     "d12_fuzzy_decontaminate" ->
       s"""WITH $shingleCte,
          |inv AS (

@@ -677,6 +677,57 @@ object Similarity {
         min(when(col("rn") === 1, col("id_eval"))).as("best_eval_id"))
   }
 
+  /** v12: margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    * LASER/CCMatrix recipe): score every (src, tgt) candidate by RATIO
+    * margin — cosine normalized by the mean of both sides' average
+    * top-k neighborhood cosines — and emit each src vector's best tgt
+    * with a mined flag at `minMargin`. The margin cancels hubness (a
+    * tgt that is everyone's neighbor has a high nn_tgt, deflating its
+    * margins), which raw cosine thresholds cannot. Sides here are the
+    * deterministic vec_id parity split (src even / tgt odd — the
+    * corpus has no language column); real corpora pass language
+    * relations. Argmax is deterministic: ROUNDED margin desc, tgt_id
+    * asc (the d12 convention).
+    *
+    * Scale shape: the exact all-pairs form below is the oracle-able
+    * baseline (tgt side broadcast — the v1/v3 pattern). At 100 TB both
+    * the candidate pairs AND the top-k neighborhood statistics come
+    * from the ANN index ([[annIvfPq]]'s cell-routed candidates), so
+    * nothing quadratic materializes — margins are then computed on
+    * candidates only, exactly as FAISS-based CCMatrix mines. The
+    * neighborhood joins are keyed equi-joins on vector id; the pair
+    * relation never re-shuffles whole embeddings, only (id, id, cos)
+    * scalars. */
+  def bitextMargin(spark: SparkSession, dir: String, k: Int = 4,
+                   minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val emb = Tables.embeddings(spark, dir)
+    val src = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("src_id"), col("embedding").as("src_emb"))
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("tgt_emb"))
+    val pairs = graft.ScratchCache.arm( // feeds both nn aggs + the scoring join
+      src.crossJoin(broadcast(tgt))
+        .withColumn("cos", cosine(col("src_emb"), col("tgt_emb")))
+        .select(col("src_id"), col("tgt_id"), col("cos")))
+    def nnAvg(keyCol: String, otherCol: String, outCol: String) = {
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col("cos").desc, col(otherCol).asc)
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy(col(keyCol)).agg(avg(col("cos")).as(outCol))
+    }
+    val scored = pairs
+      .join(nnAvg("src_id", "tgt_id", "nn_src"), "src_id")
+      .join(nnAvg("tgt_id", "src_id", "nn_tgt"), "tgt_id")
+      .withColumn("margin",
+        round(col("cos") / ((col("nn_src") + col("nn_tgt")) / 2), 6))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cos"), col("margin"),
+        (col("margin") >= minMargin).as("mined"))
+  }
+
   /** v6: symmetric int8 quantization per embedding — the standard
     * vector-store compression (scale = max|x|/127, q_i = round(x_i /
     * scale) ∈ [−127, 127]). Fully narrow per-row: scale is materialized
@@ -745,6 +796,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v12_bitext_margin" -> ((s, d) => bitextMargin(s, d)),
     "v11_sem_decontaminate" -> ((s, d) => semDecontaminate(s, d)),
     "v7_centroid_outliers" -> ((s, d) => centroidOutliers(s, d)),
     "v6_quantize_int8" -> quantizeInt8Rows,
@@ -859,6 +911,39 @@ object Similarity {
     "v5_near_dup_lsh" -> exactNearDupSql,
     // boolean/integer output only — the cosine appears solely inside
     // the threshold comparison, computed in double on both engines
+    // v12: identical pair cosines (in-order dot product); the top-k
+    // neighborhood AVG is a 4-value double mean rounded only inside the
+    // 6-dp margin (the t19 float-parity pattern); argmax on the ROUNDED
+    // margin so both engines rank identically
+    "v12_bitext_margin" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+        |         list_dot_product(s.v, t.v)
+        |           / (sqrt(list_dot_product(s.v, s.v))
+        |            * sqrt(list_dot_product(t.v, t.v))) AS cos
+        |  FROM e s JOIN e t ON s.vec_id % 2 = 0 AND t.vec_id % 2 = 1),
+        |nx AS (
+        |  SELECT src_id, AVG(cos) AS nn_src FROM (
+        |    SELECT src_id, cos, ROW_NUMBER() OVER (PARTITION BY src_id
+        |      ORDER BY cos DESC, tgt_id) AS rn FROM p)
+        |  WHERE rn <= 4 GROUP BY src_id),
+        |ny AS (
+        |  SELECT tgt_id, AVG(cos) AS nn_tgt FROM (
+        |    SELECT tgt_id, cos, ROW_NUMBER() OVER (PARTITION BY tgt_id
+        |      ORDER BY cos DESC, src_id) AS rn FROM p)
+        |  WHERE rn <= 4 GROUP BY tgt_id),
+        |m AS (
+        |  SELECT p.src_id, p.tgt_id, p.cos,
+        |         ROUND(p.cos / ((nx.nn_src + ny.nn_tgt) / 2), 6) AS margin
+        |  FROM p JOIN nx USING (src_id) JOIN ny USING (tgt_id)),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+        |    ORDER BY margin DESC, tgt_id) AS rn FROM m)
+        |SELECT src_id, tgt_id, cos, margin,
+        |       margin >= CAST(1.0 AS DOUBLE) AS mined
+        |FROM r WHERE rn = 1""".stripMargin,
     // cross join + threshold + d12's argmax, all in doubles both
     // engines compute identically (in-order dot product, IEEE division)
     "v11_sem_decontaminate" ->

@@ -786,7 +786,54 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("rk"), col("quota"))
   }
 
+  /** t26: hybrid retrieval via reciprocal-rank fusion — the standard
+    * two-tower search recipe (Cormack et al. 2009; every production
+    * hybrid store): fuse the LEXICAL ranking (t23's BM25 over the query
+    * terms) with the SEMANTIC ranking (cosine to a query embedding,
+    * v1's exact form) by rrf = Σ 1/(rrfK + rank), using the doc_id ↔
+    * vec_id correspondence. A doc absent from one list simply
+    * contributes nothing from it — no score normalization across
+    * incommensurable scales, which is the point of RRF. Ranks, not raw
+    * scores, cross the fusion boundary, so the only floats are
+    * 1/(rrfK+rank) on exact integers — bit-identical on any engine.
+    *
+    * Scale shape: each leg is its own already-scaled operator (t23's
+    * df-filtered scoring; the vector leg is one narrow corpus scan
+    * against the broadcast single query vec — swap in [[Similarity
+    * .annIvfPq]]'s index serve at 100 TB); the fusion full-outer join
+    * holds ≤ nLex + nVec rows. */
+  def hybridRrf(spark: SparkSession, dir: String,
+                queryTerms: Seq[String] = Seq("hash", "join", "scan"),
+                queryVecId: Long = 0L, nLex: Int = 50, nVec: Int = 50,
+                rrfK: Int = 60, topK: Int = 20): DataFrame = {
+    require(rrfK >= 1 && topK >= 1 && nLex >= 1 && nVec >= 1)
+    val lex = bm25(spark, dir, queryTerms, topK = nLex)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val wv = Window.orderBy(col("cos").desc, col("vec_id").asc)
+    val vec = emb.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+      .withColumn("vec_rank", row_number().over(wv))
+      .filter(col("vec_rank") <= nVec)
+      .select(col("vec_id").as("doc_id"), col("vec_rank"))
+    // written lex-term-first: the same two-term addition order as the
+    // oracle, so the rounded double cannot drift
+    val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)), 6))
+    val w = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("doc_id"), col("lex_rank"), col("vec_rank"),
+        col("rrf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "t25_domain_mix" -> ((s, d) => domainMix(s, d)),
     "t24_ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),
     "t23_bm25" -> ((s, d) => bm25(s, d)),
@@ -863,6 +910,54 @@ object TextOps {
        |  FROM toks)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // t26: lex leg = t23's BM25 CTEs verbatim (rank <= nLex); vec leg =
+    // v11's double cosine; fusion arithmetic is 1/(60+rank) on exact
+    // integer ranks, summed lex-term-first exactly as the operator does
+    "t26_hybrid_rrf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |stats AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |qtf AS (SELECT * FROM tf WHERE tok IN ('hash', 'join', 'scan')),
+        |dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM qtf GROUP BY tok),
+        |scored AS (
+        |  SELECT q.doc_id,
+        |         ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+        |         (q.tf * 2.2) /
+        |         (q.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS sc
+        |  FROM qtf q JOIN dfq d USING (tok) JOIN dl l USING (doc_id)
+        |  CROSS JOIN stats s),
+        |lagg AS (SELECT doc_id, ROUND(SUM(sc), 6) AS bm25 FROM scored GROUP BY doc_id),
+        |lsel AS (
+        |  SELECT doc_id, lex_rank FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        |    FROM lagg) WHERE lex_rank <= 50),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qv AS (SELECT v FROM e WHERE vec_id = 0),
+        |vcos AS (
+        |  SELECT e.vec_id,
+        |         list_dot_product(e.v, qv.v)
+        |           / (sqrt(list_dot_product(e.v, e.v))
+        |            * sqrt(list_dot_product(qv.v, qv.v))) AS cos
+        |  FROM e CROSS JOIN qv WHERE e.vec_id <> 0),
+        |vsel AS (
+        |  SELECT doc_id, vec_rank FROM (
+        |    SELECT vec_id AS doc_id,
+        |           ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS vec_rank
+        |    FROM vcos) WHERE vec_rank <= 50),
+        |f AS (
+        |  SELECT doc_id, lex_rank, vec_rank,
+        |         ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
+        |             + COALESCE(CAST(1 AS DOUBLE) / (60 + vec_rank), 0), 6) AS rrf
+        |  FROM lsel FULL JOIN vsel USING (doc_id))
+        |SELECT * FROM (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank,
+        |         doc_id, lex_rank, vec_rank, rrf
+        |  FROM f) WHERE rank <= 20""".stripMargin,
     // t25: integer quota arithmetic reproduced verbatim (div/% on
     // BIGINT; window SUMs cast back down — DuckDB widens to HUGEINT);
     // token mass via t2's whitespace split, ranking via t14's md5

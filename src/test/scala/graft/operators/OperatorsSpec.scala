@@ -1218,6 +1218,98 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
 
+  test("sourceOverlap: equals the driver-side exact pair Jaccard, symmetric and bounded") {
+    val grams = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .groupBy(_._1)
+      .map { case (s, rows) =>
+        s -> rows.flatMap { case (_, text) =>
+          val t = text.trim.split("\\s+")
+          // same window rule as tokenWindows(k=3, stride=1): one window
+          // per start, the tail window clamps
+          (0 to math.max(t.length - 3, 0)).map(i => t.slice(i, i + 3).mkString(" "))
+        }.toSet
+      }
+    val expected = (for {
+      (a, ga) <- grams; (b, gb) <- grams if a < b
+      inter = (ga & gb).size if inter > 0
+    } yield (a, b, ga.size.toLong, gb.size.toLong, inter.toLong,
+      BigDecimal(inter.toDouble / (ga.size + gb.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val got = Dedup.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "synthetic sources share vocabulary — overlap must exist")
+    // unordered pairs appear exactly once, a < b
+    assert(got.forall { case (a, b, _, _, _, _) => a < b })
+  }
+
+  test("leakageSafeSplit: co-clustered docs share a split; singletons get t9's split") {
+    val split = Dedup.leakageSafeSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    val docs = Tables.documents(spark, sf).count()
+    assert(split.length === docs, "every doc is assigned")
+    // the leakage guarantee: one split per cluster
+    for ((_, members) <- split.groupBy(_._2))
+      assert(members.map(_._4).distinct.length === 1)
+    // singleton clusters (cluster_id == doc_id) must agree with t9's
+    // per-doc split — same hash, same bands
+    val t9 = TextOps.hashSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val singletons = split.filter { case (d, c, _, _) => d == c }
+    assert(singletons.nonEmpty)
+    for ((d, _, _, s) <- singletons) assert(s === t9(d), s"doc $d")
+    // all three bands are populated at this corpus size
+    assert(split.map(_._4).distinct.sorted === Seq("test", "train", "val"))
+  }
+
+  test("bitextMargin: equals the driver-side margin reference at default and shifted params") {
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    def reference(k: Int, minMargin: Double): Set[(Long, Long, Double, Double, Boolean)] = {
+      val src = emb.filter(_._1 % 2 == 0); val tgt = emb.filter(_._1 % 2 == 1)
+      val cos = (for ((s, vs) <- src; (t, vt) <- tgt)
+        yield (s, t) -> cosD(vs, vt)).toMap
+      def topAvg(pairs: Seq[(Long, Double)]): Double = {
+        val top = pairs.sortBy { case (o, c) => (-c, o) }.take(k).map(_._2)
+        top.sum / top.length
+      }
+      val nnS = src.map { case (s, _) =>
+        s -> topAvg(tgt.map { case (t, _) => (t, cos((s, t))) }.toSeq) }.toMap
+      val nnT = tgt.map { case (t, _) =>
+        t -> topAvg(src.map { case (s, _) => (s, cos((s, t))) }.toSeq) }.toMap
+      src.map { case (s, _) =>
+        val best = tgt.map { case (t, _) =>
+          (t, cos((s, t)), r6(cos((s, t)) / ((nnS(s) + nnT(t)) / 2))) }
+          .minBy { case (t, _, m) => (-m, t) }
+        (s, best._1, best._2, best._3, best._3 >= minMargin)
+      }.toSet
+    }
+    def run(k: Int, minMargin: Double) =
+      Similarity.bitextMargin(spark, sf, k, minMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getBoolean(4))).toSet
+    val got = run(4, 1.0)
+    assert(got === reference(4, 1.0))
+    // one row per src vector, and the flag splits at the default dials
+    assert(got.size === emb.count(_._1 % 2 == 0))
+    assert(got.exists(_._5) && got.exists(!_._5),
+      "minMargin=1.0 must separate mined from unmined on this corpus")
+    assert(run(2, 1.02) === reference(2, 1.02))
+  }
+
   test("semDecontaminate: equals the brute-force cross reference at default and shifted params") {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -1252,6 +1344,54 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty, "default gate profile must flag something")
     // shifted eval boundary and threshold exercise the non-default path
     assert(run(20L, 0.35) === reference(20L, 0.35))
+  }
+
+  test("hybridRrf: equals driver-side fusion of the two rank lists at default and shifted params") {
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    def reference(terms: Seq[String], qv: Long, nLex: Int, nVec: Int,
+                  rrfK: Int, topK: Int): Seq[(Int, Long, Option[Int], Option[Int], Double)] = {
+      // lex leg: the bm25 operator itself (value-gated by its own
+      // oracle/spec) — this spec pins the FUSION, not the scorer
+      val lex = TextOps.bm25(spark, sf, terms, topK = nLex).collect()
+        .map(r => r.getLong(1) -> r.getInt(0)).toMap
+      val q = emb.find(_._1 == qv).get._2
+      val vec = emb.filter(_._1 != qv)
+        .map { case (id, v) => (id, cosD(v, q)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }
+        .filter(_._2 <= nVec).toMap
+      (lex.keySet ++ vec.keySet).toSeq.map { id =>
+        val rrf = BigDecimal(
+          lex.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0) +
+            vec.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, lex.get(id), vec.get(id), rrf)
+      }.sortBy { case (id, _, _, rrf) => (-rrf, id) }
+        .zipWithIndex.collect { case ((id, l, v, rrf), i) if i < topK =>
+          (i + 1, id, l, v, rrf) }
+    }
+    def run(terms: Seq[String], qv: Long, nLex: Int, nVec: Int,
+            rrfK: Int, topK: Int) =
+      TextOps.hybridRrf(spark, sf, terms, qv, nLex, nVec, rrfK, topK).collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          if (r.isNullAt(3)) None else Some(r.getInt(3)),
+          r.getDouble(4)))
+    val got = run(Seq("hash", "join", "scan"), 0L, 50, 50, 60, 20)
+    assert(got.toSeq === reference(Seq("hash", "join", "scan"), 0L, 50, 50, 60, 20))
+    // both legs must actually contribute at the default profile
+    assert(got.exists(_._3.isDefined) && got.exists(_._4.isDefined))
+    val shifted = run(Seq("sort", "merge"), 7L, 30, 40, 10, 15)
+    assert(shifted.toSeq === reference(Seq("sort", "merge"), 7L, 30, 40, 10, 15))
   }
 
   test("domainMix: integer largest-remainder quotas on a skewed mixture; undershoot surfaced") {

@@ -41,16 +41,20 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     * un-broadcastable eval set is routing through nearDupLsh's buckets. */
   private val allPairsBaselines =
     Set("v1_ann_bruteforce", "v3_near_dup_pairs", "v8_ann_pq",
-      "v11_sem_decontaminate")
+      "v11_sem_decontaminate", "v12_bitext_margin")
 
   /** Scalar broadcasts: a ONE-ROW aggregate (corpus token total / |V| /
     * (N, avgdl)) cross-joined broadcast into the scoring join —
     * t19/t22/t23's in-plan replacement for a driver round-trip. A
     * nested-loop join whose build side is a single broadcast row is the
     * optimal scalar-distribution plan (each probe row "loops" over one
-    * row), not an all-pairs risk. */
-  private val scalarBroadcasts =
-    Set("t19_unigram_logprob", "t22_bigram_logprob", "t23_bm25")
+    * row), not an all-pairs risk. Value = the number of licensed
+    * single-row-build loop joins (t26 fuses t23's stats row AND the
+    * single query vector — two); one more than licensed must still
+    * fail the audit. */
+  private val scalarBroadcasts = Map(
+    "t19_unigram_logprob" -> 1, "t22_bigram_logprob" -> 1,
+    "t23_bm25" -> 1, "t26_hybrid_rrf" -> 2)
 
   test("no undocumented nested-loop or cartesian join in any gate query") {
     def count(hay: String, needle: String): Int =
@@ -67,7 +71,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
           // scalar-broadcast queries are licensed for EXACTLY the one
           // single-row-build BNLJ the docs describe — a second loop join
           // (dropped equi-key regression) must still fail the audit
-          else if (scalarBroadcasts(name)) bnlj <= 1 && cart == 0
+          else if (scalarBroadcasts.contains(name))
+            bnlj <= scalarBroadcasts(name) && cart == 0
           else bnlj == 0 && cart == 0
         if (ok) None else Some(name)
     }
