@@ -699,7 +699,40 @@ object Dedup {
           .when(col("bucket") < 90, "val")
           .otherwise("test").as("split"))
 
+  /** d15: [[sourceOverlap]]'s 100 TB scale path made real — per-source
+    * minhash UNION sketches (element-wise min of d6's per-doc md5
+    * signatures; min-of-mins == minhash of the union, so the sketch is
+    * mergeable at ANY fan-in — per-file, per-partition, per-day) and
+    * the pairwise Jaccard ESTIMATE = signature agreement rate. The
+    * corpus-sized work is d6's narrow signature pass plus one
+    * map-side-combinable (source, perm) min agg; the estimate join
+    * touches only |sources|×numHashes sketch rows. Emits every
+    * unordered pair (zero-agreement pairs included — absence of
+    * overlap is the answer intake wants).
+    *
+    * Deterministic end to end (md5, no sampling), so the estimate is
+    * value-ORACLED — the gate pins the construction; the ESTIMATOR's
+    * accuracy vs exact d13 is spec-pinned separately (±1/√numHashes
+    * scale), and the merge property is spec'd associative. */
+  def sourceOverlapMinhash(spark: SparkSession, dir: String,
+                           numHashes: Int = portablePerms): DataFrame = {
+    val docSource = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val srcSig = ScratchCache.arm( // both sides of the sketch self-join
+      minhashSigPortable(spark, dir, numHashes)
+        .join(docSource, "doc_id")
+        .groupBy(col("source"), col("perm")).agg(min(col("minhash")).as("mh")))
+    srcSig.select(col("source").as("source_a"), col("perm"), col("mh").as("mh_a"))
+      .join(srcSig.select(col("source").as("source_b"), col("perm"),
+        col("mh").as("mh_b")), Seq("perm"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(when(col("mh_a") === col("mh_b"), 1)).as("n_agree"))
+      .withColumn("est_jaccard",
+        round(col("n_agree") / lit(numHashes).cast("double"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_source_overlap_minhash" -> ((s, d) => sourceOverlapMinhash(s, d)),
     "d14_leakage_safe_split" -> ((s, d) => leakageSafeSplit(s, d)),
     "d13_source_overlap" -> ((s, d) => sourceOverlap(s, d)),
     "d12_fuzzy_decontaminate" -> ((s, d) => fuzzyDecontaminate(s, d)),
@@ -771,6 +804,25 @@ object Dedup {
        |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // d15: d6's signature arithmetic grouped by source (min over the
+    // source's whole shingle multiset == min of per-doc mins), then
+    // per-pair agreement over the perm axis — deterministic md5
+    // construction, so the ESTIMATE itself is value-checkable
+    "d15_source_overlap_minhash" ->
+      s"""WITH $shingleCte,
+         |srcsig AS (
+         |  SELECT d.source, perm, MIN(md5(perm::VARCHAR || '|' || s)) AS mh
+         |  FROM (SELECT doc_id, UNNEST(shingles) AS s FROM sh)
+         |  CROSS JOIN (SELECT UNNEST(range(0, $portablePerms)) AS perm)
+         |  JOIN documents d USING (doc_id)
+         |  GROUP BY d.source, perm)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       CAST(COUNT(*) FILTER (WHERE a.mh = b.mh) AS BIGINT) AS n_agree,
+         |       ROUND(COUNT(*) FILTER (WHERE a.mh = b.mh)
+         |             / CAST($portablePerms AS DOUBLE), 6) AS est_jaccard
+         |FROM srcsig a JOIN srcsig b
+         |  ON a.perm = b.perm AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
     // d14: d7's recursive-CTE closure + t9's bucket arithmetic verbatim,
     // applied to the cluster id
     "d14_leakage_safe_split" ->

@@ -1246,6 +1246,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall { case (a, b, _, _, _, _) => a < b })
   }
 
+  test("sourceOverlapMinhash: union sketch merges associatively; estimate tracks exact Jaccard") {
+    // merge property: the per-source sketch equals the element-wise min
+    // of sketches over ANY doc partition — computed driver-side from
+    // the per-doc d6 signatures (the relation a per-file/per-day
+    // pipeline would actually merge)
+    val docSigs = Dedup.minhashSigPortable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sketch(docs: Set[Long]): Map[Int, String] =
+      docSigs.filter(t => docs(t._1)).groupBy(_._2)
+        .map { case (p, rows) => p -> rows.map(_._3).min }
+    val bySrc = srcOf.keySet.groupBy(srcOf)
+    for ((s, docs) <- bySrc) {
+      val (lo, hi) = docs.partition(_ % 2 == 0)
+      val merged = (sketch(lo).toSeq ++ sketch(hi).toSeq)
+        .groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).min }
+      assert(merged === sketch(docs), s"merge mismatch for $s")
+    }
+    // estimator accuracy at 32 perms vs the exact d13 Jaccard: per-pair
+    // std is sqrt(J(1-J)/32) <= 0.089, so mean |err| ~0.07 and a 190-pair
+    // max ~3.5 sigma — bounds set with slack above both
+    val exact = Dedup.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    val est = Dedup.sourceOverlapMinhash(spark, sf, numHashes = 32).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(est.keySet.size ===
+      bySrc.size * (bySrc.size - 1) / 2, "every unordered pair emitted")
+    val errs = est.map { case (k, e) => math.abs(e - exact.getOrElse(k, 0.0)) }
+    assert(errs.sum / errs.size <= 0.12,
+      s"mean |est-exact| ${errs.sum / errs.size} too high")
+    assert(errs.max <= 0.40, s"max |est-exact| ${errs.max} too high")
+  }
+
   test("leakageSafeSplit: co-clustered docs share a split; singletons get t9's split") {
     val split = Dedup.leakageSafeSplit(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
