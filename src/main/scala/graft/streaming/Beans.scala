@@ -100,6 +100,18 @@ final case class SampleMember(rk_key: String, doc_id: Long)
   * version. */
 final case class SampleState(ver: Int, members: Seq[SampleMember])
 
+/** Streaming source-sketch output: one permutation slot of a source's
+  * CURRENT minhash union sketch (operators/Dedup.sourceOverlapMinhash's
+  * srcSig relation, maintained incrementally). `ver` increments per
+  * state update; downstream keeps the rows of max(ver) per source (the
+  * cdcApplyStream "latest wins" convention). */
+final case class SketchRow(source: String, ver: Int, perm: Int, mh: String)
+
+/** Keyed state for the streaming source sketch: the element-wise
+  * minimum md5 digest per permutation (bounded: numHashes 32-char
+  * strings per source — constant per key, mergeable by min). */
+final case class SketchState(ver: Int, mins: Seq[String])
+
 /** Streaming CDC-apply state AND output: the key's current row under
   * last-writer-wins (one scalar record per key — O(keys) state).
   * `is_deleted` = the latest op is a tombstone; the key stays in state

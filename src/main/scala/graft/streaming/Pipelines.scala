@@ -319,6 +319,64 @@ object Pipelines {
       SampleRow(lang, next.ver, id, i + 1) }
   }
 
+  /** Streaming source-overlap sketches — the incremental form of batch
+    * [[graft.operators.Dedup.sourceOverlapMinhash]]'s per-source union
+    * sketch: as documents arrive, fold their d6 md5 minhash signatures
+    * (same fused expression, same values as the batch path) into a
+    * per-source element-wise minimum. Min is associative/commutative/
+    * idempotent, so the sketch is a deterministic function of the SET
+    * of documents seen — any feed order, any batching, even re-delivery
+    * converges to exactly the batch sketch (spec-pinned). Each batch
+    * that touches a source re-emits its CURRENT sketch under an
+    * incremented `ver`; downstream keeps max(ver) per source and joins
+    * sketch pairs exactly as the batch estimator does.
+    *
+    * This is the shape a continuous-intake corpus monitor runs at
+    * 100 TB: O(sources × numHashes) state, one scalar row per
+    * (source, perm) out, no corpus retention — the crawl flows through,
+    * only sketches persist. Input needs (source, text) columns. */
+  def sourceSketchStream(docs: DataFrame,
+                         numHashes: Int = graft.operators.Dedup.portablePerms,
+                         stateTtlMs: Long = 0L): Dataset[SketchRow] = {
+    import docs.sparkSession.implicits._
+    val sigs = docs
+      .withColumn("toks", graft.operators.TextOps.tokens(col("text")))
+      .withColumn("shingles",
+        array_distinct(graft.operators.TextOps.tokenWindows(col("toks"), 3, 1)))
+      .select(col("source"), graft.functions.Md5MinHashSigs
+        .md5_minhash_sigs(col("shingles"), lit(numHashes)).as("sigs"))
+      .filter(col("sigs").isNotNull)
+      .as[(String, Seq[String])]
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    sigs.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        sketchGroup(stateTtlMs))
+  }
+
+  private[streaming] def sketchGroup(stateTtlMs: Long)(
+      source: String, rows: Iterator[(String, Seq[String])],
+      state: GroupState[SketchState]): Iterator[SketchRow] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var mins: Array[String] = state.getOption.map(_.mins.toArray).orNull
+    rows.foreach { case (_, sig) =>
+      if (mins == null) mins = sig.toArray
+      else {
+        var i = 0
+        while (i < mins.length) {
+          if (sig(i) < mins(i)) mins(i) = sig(i); i += 1
+        }
+      }
+    }
+    if (mins == null) return Iterator.empty // timeout-only invocation
+    val ver = state.getOption.map(_.ver).getOrElse(0) + 1
+    state.update(SketchState(ver, mins.toSeq))
+    if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+    mins.iterator.zipWithIndex.map { case (mh, p) =>
+      SketchRow(source, ver, p, mh) }
+  }
+
   /** Streaming near-dup candidate detection — the incremental form of
     * batch MinHash-LSH (operators/Dedup.minhashLsh): as documents
     * arrive, band their minhash signatures (same fused expressions, same

@@ -235,6 +235,41 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("sourceSketchStream: final sketch == batch union sketch on an unordered feed with re-delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+      .sortBy { case (_, t) => t.hashCode * 2654435761L % 1000003 }
+    val mem = MemoryStream[(String, String)]
+    val q = Pipelines.sourceSketchStream(mem.toDF().toDF("source", "text"))
+      .writeStream.format("memory").queryName("sketch_out")
+      .outputMode("append").start()
+    try {
+      val chunks = all.grouped((all.length + 2) / 3).toSeq
+      chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      // re-deliver the first chunk: min is idempotent, the sketch must
+      // not move (ver does — state updates on every touched batch)
+      mem.addData(chunks.head.toSeq); q.processAllAvailable()
+      val rows = spark.table("sketch_out").as[SketchRow].collect()
+      val lastVer = rows.groupBy(_.source).view.mapValues(_.map(_.ver).max).toMap
+      val got = rows.filter(r => r.ver == lastVer(r.source))
+        .map(r => (r.source, r.perm, r.mh)).toSet
+      // batch expectation: d6 per-doc signatures folded per source —
+      // the same relation sourceOverlapMinhash aggregates
+      val srcOf = graft.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)].collect().toMap
+      val want = graft.operators.Dedup.minhashSigPortable(spark, sf).collect()
+        .map(r => (srcOf(r.getLong(0)), r.getInt(1), r.getString(2)))
+        .groupBy { case (s, p, _) => (s, p) }
+        .map { case ((s, p), vs) => (s, p, vs.map(_._3).min) }.toSet
+      assert(got === want)
+      assert(rows.map(_.ver).max > 1, "sketch evolved across batches")
+    } finally q.stop()
+  }
+
   test("cdcApplyStream: final snapshot == batch cdcApply on an UNORDERED feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
