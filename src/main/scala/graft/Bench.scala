@@ -214,8 +214,20 @@ object Bench {
     // drop was unjudgeable because the rates were single-guarded). A
     // crash counts as -1 for that attempt only.
     val suspectStreams = scala.collection.mutable.ListBuffer.empty[String]
+    // LOUD CRASHES (round 7): r6 shipped rc:0 / failed:[] while both DAU
+    // sections were dead (-1 from every attempt, no message — the NTZ
+    // regression went invisible). Any section whose every attempt threw
+    // now lands in `failed_streams` with its exception, so a dead
+    // section can never again ship as a quiet sentinel.
+    val failedStreams = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def recordStreamFailure(name: String, e: Throwable): Unit = {
+      val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        .replaceAll("\\s+", " ").take(300)
+      failedStreams(name) = s"${e.getClass.getSimpleName}: $msg"
+    }
     def guardedRate(name: String)(run: () => Double): Double = {
-      def one(): Double = try run() catch { case _: Throwable => -1.0 }
+      var lastErr: Throwable = null
+      def one(): Double = try run() catch { case e: Throwable => lastErr = e; -1.0 }
       def spread(xs: Seq[Double]): Double = {
         val ok = xs.filter(_ > 0).sorted(Ordering[Double].reverse)
         if (ok.size < 2) 1.0 else ok.head / ok(1)
@@ -223,8 +235,14 @@ object Bench {
       var rs = Seq(one(), one())
       if (spread(rs) > 3.0) rs = rs :+ one()
       if (spread(rs) > 3.0) suspectStreams += name
+      if (rs.max <= 0 && lastErr != null) recordStreamFailure(name, lastErr)
       rs.max
     }
+    // outer wrapper for each stream section: setup code outside
+    // guardedRate (counts, schema reads) can also throw — same rule,
+    // named + messaged, never a bare -1
+    def streamSection(name: String)(body: => Double): Double =
+      try body catch { case e: Throwable => recordStreamFailure(name, e); -1.0 }
     // streaming throughput: the DAU pipeline through a REAL streaming
     // query — file-stream source → watermark → state-store dedup → noop
     // sink (a batch DataFrame would take Pipelines' non-streaming
@@ -259,7 +277,7 @@ object Bench {
         n / sec
       }
     }
-    val streamRate = try dauRate("stream_dau") catch { case _: Throwable => -1.0 }
+    val streamRate = streamSection("stream_dau") { dauRate("stream_dau") }
     // the RocksDB state store — the provider the engine would run on at
     // 1e9-key scale (GraftSession.streamingTune default for the drive
     // mains); benchmark both so a store-side regression is visible.
@@ -277,9 +295,9 @@ object Bench {
         case None => spark.conf.unset(key)
       }
     }
-    val streamRateRocks =
-      try withRocks(dauRate("stream_dau_rocksdb"))
-      catch { case _: Throwable => -1.0 }
+    val streamRateRocks = streamSection("stream_dau_rocksdb") {
+      withRocks(dauRate("stream_dau_rocksdb"))
+    }
     // stream-stream interval join throughput (the reference's DWS core,
     // J1/W1): lineitem+orders as two file streams through
     // Pipelines.orderWideJoin. The corpus's synthetic ship/order dates
@@ -289,7 +307,7 @@ object Bench {
     // with the real 1:N key distribution; only the timestamps are
     // manufactured. Rows/sec over total input rows; joined-row count is
     // accumulated and a zero-match run reports -1 instead of a rate.
-    val streamJoinRate: Double = try {
+    val streamJoinRate: Double = streamSection("stream_join") {
       import org.apache.spark.sql.functions._
       val nIn = spark.read.parquet(s"$sfDir/lineitem.parquet").count() +
         spark.read.parquet(s"$sfDir/orders.parquet").count()
@@ -321,11 +339,11 @@ object Bench {
         }
         if (acc.value == 0L) -1.0 else nIn / sec
       }
-    } catch { case _: Throwable => -1.0 }
+    }
     // streaming CDC apply (q30's incremental twin): keyed
     // flatMapGroupsWithState over the full events stream — the
     // last-writer-wins state-update path with one state row per key.
-    val streamCdcRate: Double = try {
+    val streamCdcRate: Double = streamSection("stream_cdc_apply") {
       // ×10 with an expanded user key space (the dau sizing rationale):
       // 10× state rows, 10× update traffic through the keyed state path
       val cdcRep = 10
@@ -351,14 +369,14 @@ object Bench {
         }
         if (acc.value == 0L) -1.0 else n / sec
       }
-    } catch { case _: Throwable => -1.0 }
+    }
     // streaming heavy hitters on RocksDB: the windowed (window, gram)
     // count state is exactly what grows at 1e9-key scale — documents
     // exploded to a gram stream (the t18 vocabulary) with synthetic
     // event time spreading docs across five 1-minute windows; rate over
     // input GRAM rows. Output is the aggregate relation (guard counts
     // emitted windows — zero emissions = misconfigured watermark, -1).
-    val streamHhRate: Double = try {
+    val streamHhRate: Double = streamSection("stream_heavy_hitters_rocksdb") {
       import org.apache.spark.sql.functions._
       // ×4 via a window shift (the dau sizing rationale): 4× gram rows
       // AND 4× (window, gram) state keys — replicas land in disjoint
@@ -387,18 +405,30 @@ object Bench {
           if (acc.value == 0L) -1.0 else nGrams / sec
         }
       }
-    } catch { case _: Throwable => -1.0 }
+    }
     // second anchor: sustained load that began after the first
     // calibration (mid-queries or mid-streams) is only visible here —
     // compare calib_end_sec to calib_sec before trusting a slow run
     val calibEndSec: Double = calibrate()
     def jsonArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jsonStr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val failedStreamsJson = failedStreams
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString("{", ",", "}")
+    // calibration-normalized totals (round 7): raw seconds ÷ the mean CPU
+    // calibration anchor — a machine-speed-independent number, so
+    // round-over-round comparison needs no judge arithmetic. Only
+    // meaningful when both calibrations succeeded.
+    val calibMean = (calibSec + calibEndSec) / 2
+    def norm(x: Double): Double =
+      if (calibSec > 0 && calibEndSec > 0) math.round(x / calibMean * 1000) / 1000.0 else -1.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"failed":$failed,""" +
       s""""prod_queries":$prodQs,"prod_total":$prodTotal,""" +
+      s""""total_per_calib":${norm(total)},"prod_total_per_calib":${norm(prodTotal)},""" +
       s""""load_suspect":${suspectQueries.nonEmpty || suspectStreams.nonEmpty},""" +
       s""""suspect_queries":${jsonArr(suspectQueries)},""" +
       s""""suspect_streams":${jsonArr(suspectStreams.toSeq)},""" +
+      s""""failed_streams":$failedStreamsJson,""" +
       s""""stream_dau_rows_per_sec":${streamRate.toLong},""" +
       s""""stream_dau_rocksdb_rows_per_sec":${streamRateRocks.toLong},""" +
       s""""stream_join_rows_per_sec":${streamJoinRate.toLong},""" +

@@ -12,7 +12,11 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    // TESTDATA events.parquet uses TIMESTAMP(NANOS); see Tables.events.
+    // Older TESTDATA corpora wrote events.ts as TIMESTAMP(NANOS), which
+    // Spark 4 reads only with this flag (as Long). The current corpus
+    // writes TIMESTAMP(MICROS, NTZ), which the flag doesn't touch —
+    // Tables.normalizeEventTs handles BOTH encodings; the flag stays so
+    // either corpus vintage loads.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 

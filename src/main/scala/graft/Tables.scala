@@ -24,16 +24,26 @@ object Tables {
   def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** `events.parquet` stores TIMESTAMP(NANOS) which Spark 4 only reads
-    * via `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * [[GraftSession]]); convert the raw nanos back to a timestamp. The
-    * corpus has microsecond-resolution values, so `div 1000` is
-    * lossless. Shared by the batch loader and streaming readers
-    * (Bench). */
+  /** Normalize `events.ts` to a plain session-TZ TIMESTAMP regardless of
+    * how the corpus parquet encodes it. The testdata generator has
+    * shipped two encodings so far:
+    *   - TIMESTAMP(NANOS): Spark 4 reads it only as Long via
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    *     [[GraftSession]]); the corpus values are micro-resolution, so
+    *     `div 1000` is lossless.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *     TIMESTAMP_NTZ, which `withWatermark` REJECTS at analysis
+    *     ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]) — cast to the
+    *     session-TZ type (sessions run UTC, so the instant is
+    *     unchanged).
+    * Every reader — batch loader, Bench stream sections, drive mains —
+    * must go through here so a corpus re-encode can't strand one path. */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
 

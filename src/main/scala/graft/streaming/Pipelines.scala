@@ -21,7 +21,17 @@ object Pipelines {
     * TTL. `dedupDelay` mirrors the reference's 24 h key expiry. */
   def dauFirstVisits(startLogs: DataFrame, tsCol: String = "ts",
                      dedupDelay: String = "24 hours"): DataFrame = {
-    val withDt = startLogs
+    // Defensive: withWatermark rejects TIMESTAMP_NTZ at analysis
+    // ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); parquet written without
+    // isAdjustedToUTC (the current testdata encoding) arrives as NTZ, so
+    // coerce to the session-TZ type here rather than trusting every
+    // caller to have routed through Tables.normalizeEventTs.
+    val tsFixed = startLogs.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        startLogs.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => startLogs
+    }
+    val withDt = tsFixed
       .withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
       .withColumn("hr", date_format(col(tsCol), "HH"))
     if (withDt.isStreaming)
