@@ -1344,6 +1344,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(2, 1.02) === reference(2, 1.02))
   }
 
+  test("bitextMarginAnn: set-equal to exact bitextMargin under the probed gate dial") {
+    // the v5/ProbeLsh pattern: candidate pruning only affects recall,
+    // the rescore is exact — at the ProbeBitext-verified
+    // recall-complete dial the ANN output must be IDENTICAL to the
+    // all-pairs baseline, margins, argmax, flag and all. Verify
+    // re-probes this per run; here it gates sbt test too.
+    val exact = Similarity.bitextMargin(spark, sf).collect()
+      .map(_.mkString("|")).toSet
+    val ann = Similarity.bitextMarginAnn(spark, sf, nprobe = 16, rerank = 250)
+      .collect().map(_.mkString("|")).toSet
+    assert(ann === exact)
+    // shifted params flow through the ANN form identically
+    val exactShift = Similarity.bitextMargin(spark, sf, k = 2, minMargin = 1.02)
+      .collect().map(_.mkString("|")).toSet
+    val annShift = Similarity.bitextMarginAnn(spark, sf, k = 2, minMargin = 1.02,
+      nprobe = 16, rerank = 250).collect().map(_.mkString("|")).toSet
+    assert(annShift === exactShift)
+  }
+
+  test("bitextMarginAnn: production dials prune but keep schema and per-src uniqueness") {
+    // throughput dials (nprobe=4, rerank=64): recall is corpus-dependent
+    // (near-random embeddings are the worst case) — assert structure,
+    // not set equality: one row per surviving src, exact-rescored cos,
+    // margins positive, src/tgt from the right parity sides
+    val out = Similarity.bitextMarginAnn(spark, sf).collect()
+    assert(out.nonEmpty)
+    val srcIds = out.map(_.getLong(0))
+    assert(srcIds.distinct.length === srcIds.length, "one row per src")
+    assert(out.forall(r => r.getLong(0) % 2 == 0 && r.getLong(1) % 2 == 1))
+    assert(out.forall(_.getDouble(3) > 0))
+  }
+
   test("semDecontaminate: equals the brute-force cross reference at default and shifted params") {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
