@@ -79,4 +79,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(offenders.isEmpty,
       s"queries planning nested-loop/cartesian joins: ${offenders.mkString(", ")}")
   }
+
+  test("global top-k rank windows keep their partial-limit pushdown") {
+    // t23/t26/q33 rank with an UNPARTITIONED window (global top-k): safe
+    // only because Spark pushes a partial limit below the single-partition
+    // sort — TakeOrderedAndProject for a bare rank-filter, WindowGroupLimit
+    // when other window columns survive. If a query edit or a Spark
+    // upgrade silently loses that rewrite, the whole corpus funnels
+    // through ONE partition at the final sort — a scale cliff the bench
+    // at sf0.1 would underreport. Fail loudly at plan time instead.
+    for (name <- Seq("t23_bm25", "t26_hybrid_rrf", "q33_sampled_percentiles")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(plan.contains("WindowGroupLimit") ||
+          plan.contains("TakeOrderedAndProject"),
+        s"$name lost its rank-limit pushdown (no WindowGroupLimit/" +
+          s"TakeOrderedAndProject in the physical plan) — its global " +
+          s"top-k window now sorts everything in one partition")
+    }
+  }
 }
