@@ -945,16 +945,17 @@ object Similarity {
     "v12_bitext_margin" -> ((s, d) => bitextMargin(s, d)),
     // v12 ANN gate profile: the cheapest recall-complete (nprobe,
     // rerank) on the pinned corpora, found by tools/ProbeBitext
-    // (16:192 and 14:250 both lose pairs; 16:250 is complete at
+    // (16:224 and 14:250 both lose pairs; 16:232 is complete at
     // sf0.001 AND sf0.01). Mining completeness is stricter than plain
     // ANN top-k — the candidate set must also contain each src's
     // argmax-by-MARGIN pair, whose ordering depends on every
     // candidate's hubness stats — so on these near-random embeddings
-    // the gate dial is exhaustive at the gate SFs (the v9 precedent;
-    // at sf0.1+ the same dial does prune: rerank 250 of 1000/side).
-    // The production dials (nprobe=4, rerank=64) are the bench's prod
-    // line. Verify's probe re-checks per run and auto-demotes.
-    "v12_bitext_margin_ann" -> ((s, d) => bitextMarginAnn(s, d, nprobe = 16, rerank = 250)),
+    // the gate dial is near-exhaustive at the gate SFs (232 of the
+    // 250/side — the v9 precedent; at sf0.1+ the same dial prunes
+    // harder: 232 of 1000/side). The production dials (nprobe=4,
+    // rerank=64) are the bench's prod line. Verify's probe re-checks
+    // per run and auto-demotes.
+    "v12_bitext_margin_ann" -> ((s, d) => bitextMarginAnn(s, d, nprobe = 16, rerank = 232)),
     "v11_sem_decontaminate" -> ((s, d) => semDecontaminate(s, d)),
     "v7_centroid_outliers" -> ((s, d) => centroidOutliers(s, d)),
     "v6_quantize_int8" -> quantizeInt8Rows,

@@ -1352,14 +1352,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // re-probes this per run; here it gates sbt test too.
     val exact = Similarity.bitextMargin(spark, sf).collect()
       .map(_.mkString("|")).toSet
-    val ann = Similarity.bitextMarginAnn(spark, sf, nprobe = 16, rerank = 250)
+    val ann = Similarity.bitextMarginAnn(spark, sf, nprobe = 16, rerank = 232)
       .collect().map(_.mkString("|")).toSet
     assert(ann === exact)
     // shifted params flow through the ANN form identically
     val exactShift = Similarity.bitextMargin(spark, sf, k = 2, minMargin = 1.02)
       .collect().map(_.mkString("|")).toSet
     val annShift = Similarity.bitextMarginAnn(spark, sf, k = 2, minMargin = 1.02,
-      nprobe = 16, rerank = 250).collect().map(_.mkString("|")).toSet
+      nprobe = 16, rerank = 232).collect().map(_.mkString("|")).toSet
     assert(annShift === exactShift)
   }
 
