@@ -832,7 +832,79 @@ object TextOps {
         col("rrf"))
   }
 
+  /** t27: BPE tokenizer training (Sennrich et al. 2016 — the standard
+    * subword vocabulary learner every LLM data pipeline runs before
+    * tokenizing): learn `nMerges` byte-pair merges over the corpus and
+    * emit the ordered merge table (rank, left, right, merged,
+    * pair_count) — the artifact a tokenizer ships.
+    *
+    * Scale split (how HF/SentencePiece train on TB corpora): the only
+    * corpus-scale stage is the WORD HISTOGRAM — one hash shuffle,
+    * output bounded by |distinct words|, which is vocabulary-bounded
+    * (~1e7 for web text) regardless of corpus bytes. The merge loop
+    * then runs on the HISTOGRAM (weighted by word count, never
+    * re-touching the corpus): driver-side here, guarded by
+    * `maxDistinctWords` with a loud failure (the d7 driverMaxEdges
+    * pattern). Per-iteration cost is one scan of the word table
+    * (O(words × avgLen)); an incremental pair-index (the tokenizers
+    * crate's structure) is the documented constant-factor upgrade —
+    * the asymptotics and the distribution boundary are already right.
+    *
+    * Determinism: argmax pair by (count desc, left asc, right asc);
+    * loop stops early when the best pair count < 2 (a merge seen once
+    * generalizes nothing). Rows-only at the gate BY DESIGN: the merge
+    * recurrence (each iteration re-segments against all prior merges)
+    * has no portable-SQL expression — semantics are pinned by
+    * OperatorsSpec's independent reference implementation (the
+    * d4/t21 precedent). */
+  def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 40,
+                maxDistinctWords: Int = 2000000): DataFrame = {
+    require(nMerges >= 1 && maxDistinctWords >= 1)
+    val hist = Tables.documents(spark, dir)
+      .select(explode(tokens("text")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val rows = hist.limit(maxDistinctWords + 1).collect()
+    require(rows.length <= maxDistinctWords,
+      s"corpus has > $maxDistinctWords distinct words; raise maxDistinctWords " +
+        "(the histogram stays cluster-side until this bounded collect)")
+    // words as symbol sequences with the end-of-word marker
+    var words: Array[(Array[String], Long)] = rows.map { r =>
+      (r.getString(0).map(_.toString).toArray :+ "</w>", r.getLong(1))
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 0
+    var continue = true
+    while (rank < nMerges && continue) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, n) <- words; i <- 0 until syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + n
+      }
+      val best = pairCounts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= 2 =>
+          rank += 1
+          merges += ((rank, l, r, l + r, c))
+          words = words.map { case (syms, n) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += l + r; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, n)
+          }
+        case _ => continue = false
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "t26_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "t25_domain_mix" -> ((s, d) => domainMix(s, d)),
     "t24_ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),

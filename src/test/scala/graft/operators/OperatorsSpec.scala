@@ -1344,6 +1344,54 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(2, 1.02) === reference(2, 1.02))
   }
 
+  test("bpeMerges: equals an independent driver-side BPE reference on the real corpus") {
+    // independent re-implementation (different data structures and
+    // segmentation mechanism — List + sliding pair counts + recursive
+    // rewrite) of Sennrich-style BPE over the same word histogram
+    def reference(nMerges: Int): Seq[(Int, String, String, String, Long)] = {
+      val hist = Tables.documents(spark, sf)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      var words: Map[List[String], Long] = hist.toSeq
+        .map { case (w, n) => (w.toList.map(_.toString) :+ "</w>") -> n }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      def segment(syms: List[String], l: String, r: String): List[String] = syms match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: segment(rest, l, r)
+        case a :: rest => a :: segment(rest, l, r)
+        case Nil => Nil
+      }
+      (1 to nMerges).iterator.map { rank =>
+        val counts = words.toSeq.flatMap { case (syms, n) =>
+          syms.sliding(2).collect { case List(a, b) => ((a, b), n) }
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        if (counts.isEmpty) None
+        else {
+          val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+          if (c < 2) None
+          else {
+            words = words.toSeq.map { case (syms, n) => segment(syms, l, r) -> n }
+              .groupMapReduce(_._1)(_._2)(_ + _)
+            Some((rank, l, r, l + r, c))
+          }
+        }
+      }.takeWhile(_.isDefined).flatten.toSeq
+    }
+    val got = TextOps.bpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got === reference(40))
+    // structural invariants: consecutive ranks, generalizing merges only
+    assert(got.map(_._1) === (1 to got.length))
+    assert(got.forall { case (_, l, r, m, c) => m == l + r && c >= 2 })
+    // shifted param flows through (prefix property: BPE is greedy, so
+    // fewer merges = a prefix of the same table)
+    val short = TextOps.bpeMerges(spark, sf, nMerges = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    assert(short === got.take(5))
+  }
+
   test("bitextMarginAnn: set-equal to exact bitextMargin under the probed gate dial") {
     // the v5/ProbeLsh pattern: candidate pruning only affects recall,
     // the rescore is exact — at the ProbeBitext-verified

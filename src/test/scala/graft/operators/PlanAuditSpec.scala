@@ -88,7 +88,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // upgrade silently loses that rewrite, the whole corpus funnels
     // through ONE partition at the final sort — a scale cliff the bench
     // at sf0.1 would underreport. Fail loudly at plan time instead.
-    for (name <- Seq("t23_bm25", "t26_hybrid_rrf", "q33_sampled_percentiles")) {
+    // v12_ann's per-query shortlist windows (rank <= rerank over the ADC
+    // candidates) are the same cliff at mining fan-outs
+    for (name <- Seq("t23_bm25", "t26_hybrid_rrf", "q33_sampled_percentiles",
+        "v12_bitext_margin_ann")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.sparkPlan.toString
       assert(plan.contains("WindowGroupLimit") ||
