@@ -88,7 +88,8 @@ object Bench {
     // trainer-before-dependent contract once v12_bitext_margin_ann
     // (sorts before v4/v8) joined the ANN-model dependents
     val passTrainers: Set[String] =
-      operators.Dedup.memoTrainers ++ operators.Similarity.memoTrainers
+      operators.Dedup.memoTrainers ++ operators.Similarity.memoTrainers ++
+        operators.TextOps.memoTrainers
     def passSorted(names: Seq[String]): Seq[String] =
       names.sortBy(n => (if (passTrainers(n)) 0 else 1, n))
     def timedPass(names: Seq[String]): Seq[(String, Double)] = {
@@ -99,6 +100,7 @@ object Bench {
       // real pipeline gets (dedup labels once; ANN trains models once)
       operators.Dedup.invalidateClusterMemo()
       operators.Similarity.invalidateModelMemo()
+      operators.TextOps.invalidateBpeMemo()
       passSorted(names).map { name =>
         val fn = allQs(name)
         val t0 = System.nanoTime()
@@ -138,7 +140,8 @@ object Bench {
       // to the memos) — a new memo-sharing query registers its
       // dependency there, not here.
       val memoDeps: Map[String, Seq[String]] =
-        operators.Dedup.memoDeps ++ operators.Similarity.memoDeps
+        operators.Dedup.memoDeps ++ operators.Similarity.memoDeps ++
+          operators.TextOps.memoDeps
       for ((dep, trainers) <- memoDeps; t <- trainers) {
         require(passTrainers(t), s"$t is named as a trainer for $dep but " +
           "not declared in its owner's memoTrainers (passSorted would not " +

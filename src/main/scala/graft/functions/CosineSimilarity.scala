@@ -188,5 +188,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         checkArity("bloom_might_contain_long", 2, exprs)
         BloomMightContainLong(exprs.head, exprs(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("bpe_segment"),
+      new ExpressionInfo(classOf[BpeSegment].getName, "bpe_segment"),
+      (exprs: Seq[Expression]) => {
+        checkArity("bpe_segment", 3, exprs)
+        BpeSegment(exprs.head, exprs(1), exprs(2))
+      }))
   }
 }

@@ -859,52 +859,106 @@ object TextOps {
     * d4/t21 precedent). */
   def bpeMerges(spark: SparkSession, dir: String, nMerges: Int = 40,
                 maxDistinctWords: Int = 2000000): DataFrame = {
-    require(nMerges >= 1 && maxDistinctWords >= 1)
-    val hist = Tables.documents(spark, dir)
-      .select(explode(tokens("text")).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("n"))
-    val rows = hist.limit(maxDistinctWords + 1).collect()
-    require(rows.length <= maxDistinctWords,
-      s"corpus has > $maxDistinctWords distinct words; raise maxDistinctWords " +
-        "(the histogram stays cluster-side until this bounded collect)")
-    // words as symbol sequences with the end-of-word marker
-    var words: Array[(Array[String], Long)] = rows.map { r =>
-      (r.getString(0).map(_.toString).toArray :+ "</w>", r.getLong(1))
-    }
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    var rank = 0
-    var continue = true
-    while (rank < nMerges && continue) {
-      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      for ((syms, n) <- words; i <- 0 until syms.length - 1) {
-        val p = (syms(i), syms(i + 1))
-        pairCounts(p) = pairCounts.getOrElse(p, 0L) + n
-      }
-      val best = pairCounts.toSeq
-        .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
-      best match {
-        case Some(((l, r), c)) if c >= 2 =>
-          rank += 1
-          merges += ((rank, l, r, l + r, c))
-          words = words.map { case (syms, n) =>
-            val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-                out += l + r; i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            (out.toArray, n)
-          }
-        case _ => continue = false
-      }
-    }
     import spark.implicits._
-    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+    trainBpe(spark, dir, nMerges, maxDistinctWords)
+      .toDF("rank", "left", "right", "merged", "pair_count")
   }
+
+  /** Driver-held BPE model memo (the Similarity centsFor pattern):
+    * training is a deterministic function of (corpus, params), so
+    * t27 trains once per session and t28's tokenization serves the
+    * memoized table. Keyed by applicationId — a new session never
+    * sees a stale model; [[invalidateBpeMemo]] for in-place rewrites
+    * and Bench's cold-pass contract. */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Int), Seq[(Int, String, String, String, Long)]]()
+
+  def invalidateBpeMemo(): Unit = bpeMemo.clear()
+
+  private def trainBpe(spark: SparkSession, dir: String, nMerges: Int,
+                       maxDistinctWords: Int): Seq[(Int, String, String, String, Long)] =
+    bpeMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir, nMerges, maxDistinctWords), _ => {
+        require(nMerges >= 1 && maxDistinctWords >= 1)
+        val hist = Tables.documents(spark, dir)
+          .select(explode(tokens("text")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        val rows = hist.limit(maxDistinctWords + 1).collect()
+        require(rows.length <= maxDistinctWords,
+          s"corpus has > $maxDistinctWords distinct words; raise maxDistinctWords " +
+            "(the histogram stays cluster-side until this bounded collect)")
+        // words as symbol sequences with the end-of-word marker
+        var words: Array[(Array[String], Long)] = rows.map { r =>
+          (r.getString(0).map(_.toString).toArray :+ "</w>", r.getLong(1))
+        }
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+        var rank = 0
+        var continue = true
+        while (rank < nMerges && continue) {
+          val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          for ((syms, n) <- words; i <- 0 until syms.length - 1) {
+            val p = (syms(i), syms(i + 1))
+            pairCounts(p) = pairCounts.getOrElse(p, 0L) + n
+          }
+          val best = pairCounts.toSeq
+            .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+          best match {
+            case Some(((l, r), c)) if c >= 2 =>
+              rank += 1
+              merges += ((rank, l, r, l + r, c))
+              words = words.map { case (syms, n) =>
+                val out = scala.collection.mutable.ArrayBuffer.empty[String]
+                var i = 0
+                while (i < syms.length) {
+                  if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                    out += l + r; i += 2
+                  } else { out += syms(i); i += 1 }
+                }
+                (out.toArray, n)
+              }
+            case _ => continue = false
+          }
+        }
+        merges.toSeq
+      })
+
+  /** t28: tokenize the corpus with the learned BPE merges — the apply
+    * side of t27, closing the loop a real pipeline runs (train the
+    * vocab, then tokenize everything with it). The merge table rides
+    * the plan as two parallel string-array LITERALS into the native
+    * `bpe_segment` expression (functions.BpeSegment — the
+    * nearest_centroid_idx driver-held-model pattern), so tokenization
+    * is a NARROW map-only scan: no shuffle, no UDF SerDe, per-row cost
+    * O(merges × chars). Emits per-doc subword counts plus the
+    * whitespace token count for the compression-ratio reading
+    * (subwords/word — the metric tokenizer teams track). Rows-only at
+    * the gate (inherits t27's no-portable-SQL reason); semantics pinned
+    * by OperatorsSpec: segmenting the training corpus reproduces the
+    * trainer's final word states exactly, and detokenization
+    * round-trips. */
+  def bpeTokenize(spark: SparkSession, dir: String, nMerges: Int = 40,
+                  maxDistinctWords: Int = 2000000): DataFrame = {
+    val model = trainBpe(spark, dir, nMerges, maxDistinctWords)
+    val lefts = typedLit(model.map(_._2))
+    val rights = typedLit(model.map(_._3))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.BpeSegment.bpe_segment(col("text"), lefts, rights).as("toks"),
+        size(tokens("text")).as("n_words"))
+      .select(col("doc_id"), size(col("toks")).as("n_bpe_tokens"), col("n_words"),
+        round(size(col("toks")).cast("double") /
+          greatest(col("n_words"), lit(1)), 4).as("subwords_per_word"))
+  }
+
+  /** Bench memo contract (the Similarity memoDeps shape): t28 serves
+    * the BPE model t27 trains. */
+  val memoDeps: Map[String, Seq[String]] = Map(
+    "t28_bpe_tokenize" -> Seq("t27_bpe_merges"))
+  val memoTrainers: Set[String] = Set("t27_bpe_merges")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t27_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
+    "t28_bpe_tokenize" -> ((s, d) => bpeTokenize(s, d)),
     "t26_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "t25_domain_mix" -> ((s, d) => domainMix(s, d)),
     "t24_ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),

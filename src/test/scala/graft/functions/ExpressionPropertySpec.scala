@@ -340,4 +340,60 @@ object ExpressionPropertySpec extends Properties("expressions") {
 
   property("deflate_len: null in, null out") =
     Prop(DeflateLen(Literal.create(null, StringType)).eval(null) == null)
+
+  // --- bpe_segment ----------------------------------------------------
+  private def segOf(text: String, merges: Seq[(String, String)]): Seq[String] =
+    BpeSegment(
+      Literal.create(UTF8String.fromString(text), StringType),
+      stringArray(merges.map(_._1)), stringArray(merges.map(_._2)))
+      .eval(null).asInstanceOf[ArrayData]
+      .toObjectArray(StringType).map(_.toString).toSeq
+
+  // reference: recursive list rewrite (the OperatorsSpec bpe reference
+  // mechanism), applied merge-by-merge in rank order
+  private def refSegment(text: String, merges: Seq[(String, String)]): Seq[String] = {
+    def rewrite(syms: List[String], l: String, r: String): List[String] = syms match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: rewrite(rest, l, r)
+      case a :: rest => a :: rewrite(rest, l, r)
+      case Nil => Nil
+    }
+    text.trim.split("\\s+").toSeq.flatMap { w =>
+      merges.foldLeft(w.toList.map(_.toString) :+ "</w>") {
+        case (syms, (l, r)) => rewrite(syms, l, r)
+      }
+    }
+  }
+
+  private val bpeInputs: Gen[(String, Seq[(String, String)])] = for {
+    nWords <- Gen.choose(1, 6)
+    words <- Gen.listOfN(nWords, Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    nMerges <- Gen.choose(0, 6)
+    // merges over the same tiny alphabet (+ composites) so they actually fire
+    merges <- Gen.listOfN(nMerges, for {
+      l <- Gen.oneOf("a", "b", "c", "ab", "bc", "aa")
+      r <- Gen.oneOf("a", "b", "c", "</w>", "ab")
+    } yield (l, r))
+  } yield (words.mkString(" "), merges)
+
+  property("bpe_segment == rank-ordered recursive-rewrite reference") =
+    Prop.forAll(bpeInputs) { case (text, merges) =>
+      segOf(text, merges) == refSegment(text, merges)
+    }
+
+  property("bpe_segment with no merges = chars + </w> markers") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf('x', 'y')).map(_.mkString)) { w =>
+      segOf(w, Nil) == (w.map(_.toString) :+ "</w>")
+    }
+
+  property("bpe_segment: detokenization round-trips (strip </w> = original words)") =
+    Prop.forAll(bpeInputs) { case (text, merges) =>
+      val detok = segOf(text, merges).mkString
+        .replace("</w>", " ").trim.split("\\s+").toSeq
+      detok == text.trim.split("\\s+").toSeq
+    }
+
+  property("bpe_segment nulls on mismatched merge arrays") =
+    Prop(BpeSegment(
+      Literal.create(UTF8String.fromString("ab"), StringType),
+      stringArray(Seq("a")), stringArray(Nil)).eval(null) == null)
 }

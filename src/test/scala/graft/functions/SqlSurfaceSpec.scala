@@ -56,6 +56,13 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head()
     assert(probes.getAs[Boolean]("hit"))
     assert(!probes.getAs[Boolean]("miss"))
+    // bpe_segment: one learned merge (l,o) → "low lo" segments with lo
+    // fused in both words and the </w> marker closing each
+    val bpe = spark.sql(
+      """SELECT bpe_segment('low lo', array('l'), array('o')) AS toks""")
+      .head()
+    assert(bpe.getAs[Seq[String]]("toks") ===
+      Seq("lo", "w", "</w>", "lo", "</w>"))
   }
 
   test("wrong-arity SQL calls fail at analysis, not at runtime") {

@@ -1392,6 +1392,39 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(short === got.take(5))
   }
 
+  test("bpeTokenize: per-doc counts equal a driver-side segmentation with the learned merges") {
+    val merges = TextOps.bpeMerges(spark, sf).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    // independent segmentation (recursive rewrite) applied rank-ordered
+    def rewrite(syms: List[String], l: String, r: String): List[String] = syms match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: rewrite(rest, l, r)
+      case a :: rest => a :: rewrite(rest, l, r)
+      case Nil => Nil
+    }
+    def seg(text: String): Seq[String] =
+      text.trim.split("\\s+").toSeq.flatMap { w =>
+        merges.foldLeft(w.toList.map(_.toString) :+ "</w>") {
+          case (syms, (l, r)) => rewrite(syms, l, r)
+        }
+      }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.bpeTokenize(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(got.keySet === docs.keySet)
+    for ((id, text) <- docs) {
+      val expect = seg(text)
+      val (nBpe, nWords, ratio) = got(id)
+      assert(nBpe === expect.length, s"doc $id")
+      assert(nWords === text.trim.split("\\s+").length, s"doc $id")
+      assert(math.abs(ratio - nBpe.toDouble / nWords) < 1e-3, s"doc $id")
+    }
+    // merges generalize: subwords per word must beat the no-merge
+    // baseline (avg word length + 1) somewhere on the real corpus
+    assert(got.values.exists(_._3 < 3.0))
+  }
+
   test("bitextMarginAnn: set-equal to exact bitextMargin under the probed gate dial") {
     // the v5/ProbeLsh pattern: candidate pruning only affects recall,
     // the rescore is exact — at the ProbeBitext-verified

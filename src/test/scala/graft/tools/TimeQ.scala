@@ -28,6 +28,7 @@ object TimeQ {
         // runs memo-warm after d7; here d8 is its full standalone cost)
         graft.operators.Dedup.invalidateClusterMemo()
         graft.operators.Similarity.invalidateModelMemo()
+        graft.operators.TextOps.invalidateBpeMemo()
         val t0 = System.nanoTime()
         qs(n)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
