@@ -692,14 +692,12 @@ object Similarity {
     * asc (the d12 convention).
     *
     * Scale shape: the exact all-pairs form below is the oracle-able
-    * baseline (tgt side broadcast — the v1/v3 pattern). At 100 TB both
+    * baseline (tgt side broadcast — the v1/v3 pattern). The 100 TB
+    * path is [[bitextMarginAnn]] (the v3→v5 twin relationship): both
     * the candidate pairs AND the top-k neighborhood statistics come
-    * from the ANN index ([[annIvfPq]]'s cell-routed candidates), so
-    * nothing quadratic materializes — margins are then computed on
-    * candidates only, exactly as FAISS-based CCMatrix mines. The
-    * neighborhood joins are keyed equi-joins on vector id; the pair
-    * relation never re-shuffles whole embeddings, only (id, id, cos)
-    * scalars. */
+    * from IVF×PQ cell-routed search, so nothing quadratic
+    * materializes — margins are computed on candidates only, exactly
+    * as FAISS-based CCMatrix mines. */
   def bitextMargin(spark: SparkSession, dir: String, k: Int = 4,
                    minMargin: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
