@@ -45,6 +45,7 @@ object Bench {
     "v8_ann_pq_prod" -> ((s, d) => operators.Similarity.annPq(s, d)),
     "v9_ann_ivfpq_prod" -> ((s, d) => operators.Similarity.annIvfPq(s, d)),
     "v12_bitext_margin_ann_prod" -> ((s, d) => operators.Similarity.bitextMarginAnn(s, d)),
+    "v13_knn_graph_prod" -> ((s, d) => operators.Similarity.knnGraph(s, d)),
   )
 
   def main(args: Array[String]): Unit = {

@@ -114,7 +114,23 @@ object Verify {
       (if (lshTrusted("v9_ann_ivfpq", "v1_ann_bruteforce")) Nil else Seq("v9_ann_ivfpq")) ++
       (if (lshTrusted("v5_near_dup_lsh", "v3_near_dup_pairs")) Nil else Seq("v5_near_dup_lsh")) ++
       (if (lshTrusted("v12_bitext_margin_ann", "v12_bitext_margin")) Nil
-       else Seq("v12_bitext_margin_ann"))
+       else Seq("v12_bitext_margin_ann")) ++
+      // v13's exact counterpart is not a gate query — compute the
+      // all-pairs sweep inline for the probe (the m3 pattern)
+      (if (try {
+        val exact = operators.Similarity.knnGraphExact(spark, sfDir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val got = spark.read.parquet(s"$outDir/v13_knn_graph")
+        val diff = got.exceptAll(exact).count() + exact.exceptAll(got).count()
+        spark.catalog.clearCache()
+        if (diff != 0)
+          System.err.println(s"[verify] v13_knn_graph demoted to rows-only: ANN " +
+            s"graph differs from the exact sweep by $diff rows on this corpus")
+        diff == 0
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] v13 precondition probe failed: ${e.getMessage}")
+        true
+      }) Nil else Seq("v13_knn_graph"))
     val oracles = SparkEntry.oracleSql -- demoted
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

@@ -205,7 +205,9 @@ object Similarity {
     "v9_ann_ivfpq"      -> Seq("v4_ann_ivf", "v8_ann_pq"),
     "v9_ann_ivfpq_prod" -> Seq("v4_ann_ivf", "v8_ann_pq"),
     "v12_bitext_margin_ann"      -> Seq("v4_ann_ivf", "v8_ann_pq"),
-    "v12_bitext_margin_ann_prod" -> Seq("v4_ann_ivf", "v8_ann_pq"))
+    "v12_bitext_margin_ann_prod" -> Seq("v4_ann_ivf", "v8_ann_pq"),
+    "v13_knn_graph"      -> Seq("v4_ann_ivf", "v8_ann_pq"),
+    "v13_knn_graph_prod" -> Seq("v4_ann_ivf", "v8_ann_pq"))
 
   /** Gate queries that TRAIN the model memos (see [[memoDeps]]). */
   val memoTrainers: Set[String] = Set("v4_ann_ivf", "v8_ann_pq")
@@ -741,7 +743,8 @@ object Similarity {
   private def annCandidates(queries: DataFrame, corpus: DataFrame,
                             cents: Seq[(Long, Array[Float])],
                             codebooks: Seq[Seq[Array[Float]]], subDim: Int,
-                            nprobe: Int, rerank: Int): DataFrame = {
+                            nprobe: Int, rerank: Int,
+                            excludeSelf: Boolean = false): DataFrame = {
     val m = codebooks.size
     val nCodes = codebooks.head.size
     // index side (narrow, computed once per corpus row): coarse cell +
@@ -784,7 +787,11 @@ object Similarity {
     val adcDot = (0 until m).map(s =>
       element_at(element_at(col("luts"), s + 1), element_at(col("codes"), s + 1) + 1))
       .reduce(_ + _)
-    val cand = index.join(probes, "cid")
+    val joined = index.join(probes, "cid")
+    // self-match removed BEFORE the shortlist window (the ivfPqAnswer
+    // convention) so it cannot occupy a rerank slot when query and
+    // corpus are the same relation (knnGraph)
+    val cand = (if (excludeSelf) joined.filter(col("id") =!= col("qid")) else joined)
       .withColumn("acos",
         when(col("qnorm") * col("cnorm") === 0, lit(0.0))
           .otherwise(adcDot / (col("qnorm") * col("cnorm"))))
@@ -795,6 +802,58 @@ object Similarity {
     shortlist.join(corpus, "id")
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
       .select(col("qid"), col("id"), col("cos"))
+  }
+
+  /** v13 exact baseline: the full k-NN GRAPH — every vector's top-k
+    * cosine neighbors (not just a query subset like [[annBruteForce]]).
+    * The graph is the substrate of embedding-space curation: SemDeDup
+    * beyond label clusters, connected-component near-dup clustering,
+    * UMAP/graph-layout inputs, kNN-classifier label spreading. Exact
+    * all-pairs form for the oracle and the Verify probe; the 100 TB
+    * path is [[knnGraph]] (the v1→v9 twin relationship). */
+  def knnGraphExact(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val b = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val scored = a.join(broadcast(b), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** v13: the k-NN graph through the IVF×PQ index — [[annCandidates]]
+    * with the whole corpus as the query side: cell-route every vector,
+    * ADC-score only its probed cells' 2-byte codes via the per-query
+    * lookup tables, exact-rescore only the per-vector shortlist, keep
+    * top-k by exact cosine (ties on neighbor id — [[annBruteForce]]'s
+    * convention).
+    *
+    * Scale shape: identical to v12_ann's candidate stage — the cid
+    * equi-join pairs each vector only with ~nprobe/nClusters of the
+    * corpus on compressed codes; full vectors are touched for
+    * rerank×|corpus| rows instead of |corpus|²; the shortlist window
+    * rides WindowGroupLimit. Under a recall-complete (nprobe, rerank)
+    * dial — probed per run by Verify against the exact sweep,
+    * auto-demoting — the graph is identical to [[knnGraphExact]]. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
+               nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4,
+               m: Int = 4, nCodes: Int = 16, rerank: Int = 64): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need 1 <= k <= rerank, got k=$k rerank=$rerank")
+    val emb = Tables.embeddings(spark, dir)
+    val dim = embDim(emb)
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val subDim = dim / m
+    val cents = centsFor(spark, dir, nClusters, iters, trainFraction = 1.0)
+    val codebooks = booksFor(spark, dir, m, nCodes, iters)
+    val all = emb.select(col("vec_id").as("id"), col("embedding"))
+    val queries = all.select(col("id").as("qid"), col("embedding").as("q_emb"))
+    val cands = annCandidates(queries, all, cents, codebooks, subDim,
+      nprobe, rerank, excludeSelf = true)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("id").as("neighbor_id"), col("cos"))
   }
 
   /** v12 scale path: margin-based bitext mining with candidates AND
@@ -954,6 +1013,17 @@ object Similarity {
     // rerank=64) are the bench's prod line. Verify's probe re-checks
     // per run and auto-demotes.
     "v12_bitext_margin_ann" -> ((s, d) => bitextMarginAnn(s, d, nprobe = 16, rerank = 232)),
+    // v13 gate profile (ProbeKnn): completeness here is the MAX over
+    // every vector's top-k recall, and on these structureless
+    // embeddings ADC ordering is nearly uninformative (v8 needed a
+    // 272-of-500 shortlist for just 10 queries), so the only complete
+    // dial at the gate SFs is the exhaustive shortlist (16:499 —
+    // 16:480 still misses one edge at 0.999 recall). The gate buys
+    // the value oracle through the real candidate machinery; at
+    // sf0.1 the same dial prunes 4× (499 of 1999), and the
+    // production dials (4:64) are the bench's prod line. Verify
+    // re-checks per run against the exact sweep and auto-demotes.
+    "v13_knn_graph" -> ((s, d) => knnGraph(s, d, nprobe = 16, rerank = 499)),
     "v11_sem_decontaminate" -> ((s, d) => semDecontaminate(s, d)),
     "v7_centroid_outliers" -> ((s, d) => centroidOutliers(s, d)),
     "v6_quantize_int8" -> quantizeInt8Rows,
@@ -1077,6 +1147,8 @@ object Similarity {
     // confirms the ANN output equals the exact all-pairs form, the
     // exact oracle applies verbatim (demoted to rows-only otherwise)
     "v12_bitext_margin_ann" -> exactBitextSql,
+    // v13 under the same precondition (probed vs knnGraphExact inline)
+    "v13_knn_graph" -> exactKnnSql,
     "v12_bitext_margin" -> exactBitextSql,
     // cross join + threshold + d12's argmax, all in doubles both
     // engines compute identically (in-order dot product, IEEE division)
@@ -1121,6 +1193,23 @@ object Similarity {
       |           / (sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))
       |            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS cos
       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** v13's exact oracle: every vector's top-k neighbors over the full
+    * all-pairs sweep — [[exactAnnSql]] without the query-subset
+    * predicate. */
+  private lazy val exactKnnSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |scored AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |         list_dot_product(a.v, b.v)
+      |           / (sqrt(list_dot_product(a.v, a.v))
+      |            * sqrt(list_dot_product(b.v, b.v))) AS cos
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
       |ranked AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
       |  FROM scored)

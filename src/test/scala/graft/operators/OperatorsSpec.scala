@@ -1444,6 +1444,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(annShift === exactShift)
   }
 
+  test("knnGraph: set-equal to the exact all-pairs graph under the probed gate dial") {
+    val exact = Similarity.knnGraphExact(spark, sf).collect()
+      .map(_.mkString("|")).toSet
+    val ann = Similarity.knnGraph(spark, sf, nprobe = 16, rerank = 499)
+      .collect().map(_.mkString("|")).toSet
+    assert(ann === exact)
+    // graph shape: one top-k block per vector, ranks 1..k, no self-loops
+    val n = Tables.embeddings(spark, sf).count()
+    assert(exact.size === n * 5)
+    val rows = Similarity.knnGraph(spark, sf, nprobe = 16, rerank = 499).collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    assert(rows.groupBy(_.getLong(0)).forall { case (_, g) =>
+      g.map(_.getInt(1)).sorted.toSeq == (1 to 5) })
+  }
+
+  test("knnGraph: production dials keep structure (ranks consecutive, no self-loops)") {
+    val rows = Similarity.knnGraph(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    assert(rows.groupBy(_.getLong(0)).forall { case (_, g) =>
+      val ranks = g.map(_.getInt(1)).sorted.toSeq
+      ranks == (1 to ranks.length)
+    })
+  }
+
   test("bitextMarginAnn: production dials prune but keep schema and per-src uniqueness") {
     // throughput dials (nprobe=4, rerank=64): recall is corpus-dependent
     // (near-random embeddings are the worst case) — assert structure,

@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+
+/** Dev probe for the v13 k-NN-graph gate profile (the ProbeBitext
+  * pattern): for each (nprobe, rerank), check `knnGraph` is
+  * output-identical to the exact all-pairs `knnGraphExact` on the
+  * pinned sf0.001 and sf0.01 corpora (every vector's top-k must be
+  * recall-complete — stricter than v9's 10-query check), and time
+  * complete dials at sf0.1 min-of-2. The cheapest complete pair
+  * becomes the gate profile in `Similarity.queries`.
+  *
+  * `Test/runMain graft.tools.ProbeKnn [nprobe:rerank ...]`
+  */
+object ProbeKnn {
+  private val gateSfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+  private val benchSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local("graft-probe-knn")
+    import graft.operators.Similarity
+
+    def setOf(df: DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+
+    val exact = gateSfs.map(sf => sf -> setOf(Similarity.knnGraphExact(spark, sf))).toMap
+
+    val cands: Seq[(Int, Int)] =
+      if (args.nonEmpty) args.map { a =>
+        val Array(np, r) = a.split(":"); (np.toInt, r.toInt)
+      }.toSeq
+      else for (np <- Seq(14, 16); r <- Seq(248, 272, 300, 350, 400))
+        yield (np, r)
+    for ((np, r) <- cands) {
+      val rec = gateSfs.map { sf =>
+        val got = setOf(Similarity.knnGraph(spark, sf, nprobe = np, rerank = r))
+        val want = exact(sf)
+        (got == want, (want.size - (want -- got).size).toDouble / want.size)
+      }
+      val ok = rec.forall(_._1)
+      val minRecall = rec.map(_._2).min
+      val t = if (!ok) -1.0 else (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        Similarity.knnGraph(spark, benchSf, nprobe = np, rerank = r).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }.min
+      println(f"PROBE nprobe=$np%-3d rerank=$r%-4d complete=$ok%-5s minRecall=$minRecall%5.3f t=$t%6.2fs")
+    }
+    spark.stop()
+  }
+}
