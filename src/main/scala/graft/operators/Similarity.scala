@@ -316,11 +316,20 @@ object Similarity {
   /** The query side of IVF routing: (query_id, q_emb, cid) — one row
     * per probed cell per query, via the fused top-centroid expression. */
   private def ivfProbes(emb: DataFrame, cents: Seq[(Long, Array[Float])],
-                        nQueries: Int, nprobe: Int): DataFrame = {
+                        nQueries: Int, nprobe: Int): DataFrame =
+    ivfProbesOf(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      cents, nprobe)
+
+  /** [[ivfProbes]] for an arbitrary (query_id, q_emb) relation —
+    * shared with the serving paths, where queries arrive from a caller
+    * (or a stream micro-batch) instead of a corpus-prefix subset. */
+  private def ivfProbesOf(queries: DataFrame, cents: Seq[(Long, Array[Float])],
+                          nprobe: Int): DataFrame = {
     val flatCents = cents.flatMap(_._2.map(_.toDouble)).toArray
     val centIds = cents.map(_._1).toArray
-    emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    queries
       .select(col("query_id"), col("q_emb"),
         explode(graft.functions.TopCentroidIdxs.top_centroid_idxs(
           col("q_emb"), typedLit(flatCents), lit(cents.size), lit(nprobe))).as("cidx"))
@@ -390,12 +399,29 @@ object Similarity {
                     nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4,
                     m: Int = 4, nCodes: Int = 16, rerank: Int = 64): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    annIvfPqServeQueries(spark, dir, indexPath,
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      k, nClusters, iters, nprobe, m, nCodes, rerank)
+  }
+
+  /** [[annIvfPqServe]] for an arbitrary BATCH of queries (query_id,
+    * q_emb) — the online-serving entry point: callers (including the
+    * streaming `annServe` pipeline's foreachBatch) bring their own
+    * query relation; the probed cell set of THIS batch becomes the
+    * static partition filter, so each batch opens only its own cells'
+    * files. */
+  def annIvfPqServeQueries(spark: SparkSession, dir: String, indexPath: String,
+                           queries: DataFrame, k: Int = 5,
+                           nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4,
+                           m: Int = 4, nCodes: Int = 16, rerank: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
     val dim = embDim(emb)
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
     val subDim = dim / m
     val cents = centsFor(spark, dir, nClusters, iters, trainFraction = 1.0)
     val codebooks = booksFor(spark, dir, m, nCodes, iters)
-    val probes = ivfProbes(emb, cents, nQueries, nprobe)
+    val probes = ivfProbesOf(queries, cents, nprobe)
     val cids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
     val index = spark.read.parquet(indexPath)
       .filter(col("cid").isin(cids: _*))

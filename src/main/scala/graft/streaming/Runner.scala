@@ -218,4 +218,40 @@ object Runner {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("5 seconds"))
       .start()
+
+  /** Online ANN serving: a STREAM of (query_id, q_emb) answered per
+    * micro-batch against the at-rest IVF×PQ index
+    * (`Similarity.writeAnnIndex` output) — the online half of the
+    * FAISS train-offline/search-online deployment split, on Spark's
+    * own micro-batch runtime. Each batch routes its queries to their
+    * probed cells, and THAT BATCH's cell set becomes the static
+    * partition filter on the index read (the annIvfPqServe pruning,
+    * re-derived per batch), so a trigger touches only the index files
+    * its queries probe. Answers land as parquet partitioned by
+    * `batch_id` with dynamic partition OVERWRITE — a replayed batch
+    * rewrites its own partition instead of duplicating it (the K5
+    * idempotent-sink recipe, partition-keyed). Model training is
+    * memoized across batches (the serving session trains once — in
+    * production the model ships with the index). */
+  def annServeQuery(spark: SparkSession, dir: String, indexPath: String,
+                    queryStream: DataFrame, outDir: String, checkpoint: String,
+                    k: Int = 5, nprobe: Int = 4, rerank: Int = 64): StreamingQuery =
+    queryStream
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try graft.operators.Similarity
+          .annIvfPqServeQueries(spark, dir, indexPath, batch,
+            k = k, nprobe = nprobe, rerank = rerank)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      .start()
 }

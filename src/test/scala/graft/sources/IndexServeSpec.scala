@@ -44,6 +44,41 @@ class IndexServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("streaming serve: per-batch answers equal the batch serve, replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-sidx").toString
+    Similarity.writeAnnIndex(spark, sf, idx)
+    // query stream: the first 10 corpus vectors, split across two
+    // micro-batches (5 + 5) — the same set annIvfPqServe(nQueries=10)
+    // answers in one batch
+    val qs = graft.Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val out = java.nio.file.Files.createTempDirectory("graft-ann-sout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-sckpt").toString
+    val q = graft.streaming.Runner.annServeQuery(spark, sf, idx,
+      mem.toDS().toDF("query_id", "q_emb"), out, ckpt)
+    try {
+      mem.addData(qs.take(5)); q.processAllAvailable()
+      mem.addData(qs.drop(5)); q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: DataFrame) = df.collect().map(_.mkString("|")).toSet
+    val served = spark.read.parquet(out)
+      .select("query_id", "rank", "neighbor_id", "cos")
+    assert(canon(served) === canon(Similarity.annIvfPqServe(spark, sf, idx)))
+    // answers landed partitioned by batch id (the replay-idempotent
+    // dynamic-overwrite sink) — two batches, disjoint query sets
+    val byBatch = spark.read.parquet(out)
+      // partition-path columns infer as int — normalize before reading
+      .select(col("batch_id").cast("long").as("batch_id"), col("query_id"))
+      .groupBy("batch_id").agg(countDistinct(col("query_id")).as("nq"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBatch.keySet === Set(0L, 1L))
+    assert(byBatch.values.toSeq.sorted === Seq(5L, 5L))
+  }
+
   test("serve from the at-rest index == in-session operator; scan reads only probed cells") {
     val out = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
     Similarity.writeAnnIndex(spark, sf, out)
