@@ -385,6 +385,30 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cid").parquet(out)
   }
 
+  /** Incremental index maintenance — the FAISS `add()` analog: encode
+    * NEW vectors (vec_id, embedding) with the SAME deterministic model
+    * the base index was built with (memoized per session; in
+    * production the model ships with the index) and APPEND them to the
+    * cid-partitioned parquet. No rebuild, no touch of existing
+    * partitions beyond appending files into the affected cells;
+    * serving picks the new vectors up on the next read. Periodic
+    * retraining (model drift as the corpus distribution moves) is a
+    * rebuild via [[writeAnnIndex]] — the standard IVF practice. */
+  def appendAnnIndex(spark: SparkSession, dir: String, indexPath: String,
+                     newVectors: DataFrame,
+                     nClusters: Int = 16, iters: Int = 2,
+                     m: Int = 4, nCodes: Int = 16): Unit = {
+    val dim = embDim(Tables.embeddings(spark, dir))
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val subDim = dim / m
+    val cents = centsFor(spark, dir, nClusters, iters, trainFraction = 1.0)
+    val codebooks = booksFor(spark, dir, m, nCodes, iters)
+    newVectors.select(col("vec_id"),
+        assignCol(cents, col("embedding")).as("cid"),
+        array(pqCodeCols(codebooks, subDim): _*).as("codes"))
+      .write.mode("append").partitionBy("cid").parquet(indexPath)
+  }
+
   /** Serve IVF×PQ queries from a [[writeAnnIndex]] index on disk. The
     * probed cell set (≤ queries × nprobe ids — driver-bounded, the
     * model-collect pattern) becomes a STATIC partition filter on the
@@ -410,17 +434,26 @@ object Similarity {
     * streaming `annServe` pipeline's foreachBatch) bring their own
     * query relation; the probed cell set of THIS batch becomes the
     * static partition filter, so each batch opens only its own cells'
-    * files. */
+    * files.
+    *
+    * `modelDir` (default: `dir`) pins the MODEL corpus separately from
+    * the rescore corpus: after [[appendAnnIndex]] grows the corpus,
+    * serving reads full vectors from the grown `dir` while the coarse
+    * centroids / codebooks stay those of the build-time corpus — the
+    * production contract (the model ships with the index; it does NOT
+    * retrain because the corpus grew). */
   def annIvfPqServeQueries(spark: SparkSession, dir: String, indexPath: String,
                            queries: DataFrame, k: Int = 5,
                            nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4,
-                           m: Int = 4, nCodes: Int = 16, rerank: Int = 64): DataFrame = {
+                           m: Int = 4, nCodes: Int = 16, rerank: Int = 64,
+                           modelDir: String = null): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val dim = embDim(emb)
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
     val subDim = dim / m
-    val cents = centsFor(spark, dir, nClusters, iters, trainFraction = 1.0)
-    val codebooks = booksFor(spark, dir, m, nCodes, iters)
+    val mDir = Option(modelDir).getOrElse(dir)
+    val cents = centsFor(spark, mDir, nClusters, iters, trainFraction = 1.0)
+    val codebooks = booksFor(spark, mDir, m, nCodes, iters)
     val probes = ivfProbesOf(queries, cents, nprobe)
     val cids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
     val index = spark.read.parquet(indexPath)

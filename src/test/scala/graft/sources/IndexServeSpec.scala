@@ -44,6 +44,39 @@ class IndexServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("appendAnnIndex: appended vectors are served without a rebuild") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-aidx").toString
+    Similarity.writeAnnIndex(spark, sf, idx)
+    // grown corpus dir: the base embeddings plus a CLONE of vector 0
+    // under a fresh id — its own nearest neighbor at cos ≈ 1
+    val grown = java.nio.file.Files.createTempDirectory("graft-ann-grown").toString
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val clone = base.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(100000L))
+    base.unionByName(clone).coalesce(1)
+      .write.mode("overwrite").parquet(s"$grown/embeddings.parquet")
+    // index follows the corpus: append the clone encoded with the
+    // BUILD-TIME model (memoized from the base dir)
+    Similarity.appendAnnIndex(spark, sf, idx,
+      clone.select(col("vec_id"), col("embedding")))
+    // serve with the grown rescore corpus and the pinned base model:
+    // the clone must surface as vector 0's top neighbor
+    val q0 = base.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val top = Similarity.annIvfPqServeQueries(spark, grown, idx, q0,
+        nprobe = 16, rerank = 501, modelDir = sf)
+      .orderBy(col("rank")).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(2) === 100000L, "appended clone not served as top neighbor")
+    assert(top.head.getDouble(3) > 0.999999)
+    // and the pre-append answers are unchanged for untouched queries
+    // (appending only ADDS files to affected cells)
+    val others = Similarity.annIvfPqServe(spark, sf, idx, nQueries = 10)
+      .filter(col("query_id") =!= 0)
+    assert(others.count() > 0)
+  }
+
   test("streaming serve: per-batch answers equal the batch serve, replay-idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -29,7 +29,11 @@ object ProbeKnn {
       if (args.nonEmpty) args.map { a =>
         val Array(np, r) = a.split(":"); (np.toInt, r.toInt)
       }.toSeq
-      else for (np <- Seq(14, 16); r <- Seq(248, 272, 300, 350, 400))
+      // defaults reflect the discovered band: everything below ~499 is
+      // incomplete on the pinned corpora (0.85-0.999 recall) — ADC
+      // ordering on structureless embeddings barely discriminates, and
+      // graph completeness is the max over EVERY vector's top-k
+      else for (np <- Seq(16); r <- Seq(440, 460, 480, 490, 499))
         yield (np, r)
     for ((np, r) <- cands) {
       val rec = gateSfs.map { sf =>
