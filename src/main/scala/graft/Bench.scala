@@ -46,6 +46,7 @@ object Bench {
     "v9_ann_ivfpq_prod" -> ((s, d) => operators.Similarity.annIvfPq(s, d)),
     "v12_bitext_margin_ann_prod" -> ((s, d) => operators.Similarity.bitextMarginAnn(s, d)),
     "v13_knn_graph_prod" -> ((s, d) => operators.Similarity.knnGraph(s, d)),
+    "v14_embed_clusters_prod" -> ((s, d) => operators.Similarity.embeddingClusters(s, d, lsh = true)),
   )
 
   def main(args: Array[String]): Unit = {

@@ -356,17 +356,36 @@ object Dedup {
     * memoized (its result is corpus-sized, not driver-bounded). */
   def nearDupClusters(spark: SparkSession, dir: String, minJ: Double = ngramMinJ,
                       maxIters: Int = 20,
-                      driverMaxEdges: Int = 100000): DataFrame = {
-    val memoKey = (spark.sparkContext.applicationId, dir, minJ)
+                      driverMaxEdges: Int = 100000): DataFrame =
+    componentsOf(spark,
+      () => {
+        val (pairsRaw, scratch) = ngramJaccardScratch(spark, dir, minJ)
+        (pairsRaw.select(col("id_a"), col("id_b")), scratch)
+      },
+      Tables.documents(spark, dir).select(col("doc_id")),
+      maxIters, driverMaxEdges,
+      (spark.sparkContext.applicationId, dir, "ngram", minJ))
+
+  /** Connected components over an arbitrary undirected PAIR graph — the
+    * engine behind [[nearDupClusters]] (d7, n-gram pairs) and
+    * `Similarity.embeddingClusters` (v14, cosine pairs). `pairsWithScratch`
+    * is a THUNK so a memo hit never builds the pair graph at all;
+    * `allIds` supplies the id universe as a single `doc_id` column
+    * (rename at the call site); `memoKey._3` tags the pair SOURCE so
+    * different graphs over the same dir don't collide in the memo. */
+  private[operators] def componentsOf(spark: SparkSession,
+      pairsWithScratch: () => (DataFrame, Seq[DataFrame]),
+      allIds: DataFrame, maxIters: Int, driverMaxEdges: Int,
+      memoKey: (String, String, String, Double)): DataFrame = {
     if (driverMaxEdges > 0) {
       val hit = clusterMemo.get(memoKey)
-      if (hit != null) return labelsToDf(spark, dir, hit)
+      if (hit != null) return labelsFor(spark, allIds, hit)
     }
     // unarmed variant: the fast-path probe collect below is an ACTION
     // referencing this scratch — armed, the sweep would unpersist it
     // before the distributed fall-through materializes pairs fully
-    val (pairsRaw, scratch) = ngramJaccardScratch(spark, dir, minJ)
-    val pairs = pairsRaw.select(col("id_a"), col("id_b"))
+    val (pairsRaw, scratch) = pairsWithScratch()
+    val pairs = pairsRaw
       .persist() // consumed twice on the fast path, per-round on the slow
     // SMALL-GRAPH FAST PATH: the near-dup PAIR graph of a real corpus is
     // minuscule relative to the corpus (it is the output of a J ≥ minJ
@@ -406,7 +425,7 @@ object Dedup {
         pairs.unpersist()
         scratch.foreach(_.unpersist()) // fast-path result doesn't read them
         clusterMemo.put(memoKey, labels)
-        return labelsToDf(spark, dir, labels)
+        return labelsFor(spark, allIds, labels)
       }
     }
     // DISTRIBUTED PATH: min-label propagation to a fixpoint.
@@ -465,7 +484,7 @@ object Dedup {
     ScratchCache.arm(pairs)
     ScratchCache.arm(cached)
     val touched = labels
-    val untouched = Tables.documents(spark, dir).select(col("doc_id"))
+    val untouched = allIds
       .join(touched.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
     val all = touched.union(untouched)
@@ -473,12 +492,12 @@ object Dedup {
     all
   }
 
-  /** Fast-path cluster-label memo — see [[nearDupClusters]]. Values are
+  /** Fast-path cluster-label memo — see [[componentsOf]]. Values are
     * bounded (≤ 2 × driverMaxEdges entries, longs only) and there is at
-    * most one entry per (app, dir, minJ) actually queried, so this
-    * cannot grow past a handful of bounded tables per session. */
+    * most one entry per (app, dir, source, threshold) actually queried,
+    * so this cannot grow past a handful of bounded tables per session. */
   private val clusterMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Double), Seq[(Long, Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, Double), Seq[(Long, Long)]]()
 
   /** Drop memoized cluster labels (call after rewriting input parquet
     * in place — memo entries assume session-immutable inputs). */
@@ -499,12 +518,12 @@ object Dedup {
   private[graft] def clusterMemoSize: Int = clusterMemo.size
 
   /** Join a driver-held (doc_id → cluster_id) label table back over the
-    * corpus; unlabeled docs are singletons labeling themselves. */
-  private def labelsToDf(spark: SparkSession, dir: String,
-                         labels: Seq[(Long, Long)]): DataFrame = {
+    * id universe; unlabeled ids are singletons labeling themselves. */
+  private def labelsFor(spark: SparkSession, allIds: DataFrame,
+                        labels: Seq[(Long, Long)]): DataFrame = {
     import spark.implicits._
     val labelDf = labels.toDF("doc_id", "cluster_id")
-    Tables.documents(spark, dir).select(col("doc_id"))
+    allIds
       .join(labelDf, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

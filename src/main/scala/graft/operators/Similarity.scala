@@ -863,6 +863,40 @@ object Similarity {
       .select(col("qid"), col("id"), col("cos"))
   }
 
+  /** v14: label-free embedding clustering — connected components over
+    * the cosine near-dup pair graph (cos ≥ minCos), every vector
+    * labeled with the min vec_id reachable in its component
+    * (singletons label themselves). The d7 recipe lifted to embedding
+    * space: where v10 (SemDeDup) scopes its greedy dedup to CURATED
+    * label clusters, v14 derives the clusters from the geometry
+    * itself — the corpus-clustering stage of CCNet/SemDeDup-style
+    * pipelines when no taxonomy exists.
+    *
+    * Runs on [[Dedup.componentsOf]] — the same bounded driver
+    * union-find fast path (loud `driverMaxEdges` guard) with the
+    * distributed min-label-propagation fallback, memoized per
+    * (session, dir, "cos", minCos). Pair source: the exact sweep
+    * ([[nearDupPairs]], the oracle-able baseline) or the hyperplane-LSH
+    * bucketed path ([[nearDupLsh]], `lsh = true`) — the 100 TB
+    * candidate generator, identical output under a recall-complete
+    * dial (v5's probed precondition). */
+  def embeddingClusters(spark: SparkSession, dir: String, minCos: Double = 0.4,
+                        lsh: Boolean = false, nPlanes: Int = 6, tables: Int = 8,
+                        maxIters: Int = 20, driverMaxEdges: Int = 100000): DataFrame = {
+    val source = if (lsh) s"cos-lsh-$nPlanes-$tables" else "cos"
+    graft.operators.Dedup.componentsOf(spark,
+      () => {
+        val pairs =
+          if (lsh) nearDupLsh(spark, dir, minCos, nPlanes, tables)
+          else nearDupPairs(spark, dir, minCos)
+        (pairs.select(col("id_a"), col("id_b")), Nil)
+      },
+      Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id")),
+      maxIters, driverMaxEdges,
+      (spark.sparkContext.applicationId, dir, source, minCos))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+  }
+
   /** v13 exact baseline: the full k-NN GRAPH — every vector's top-k
     * cosine neighbors (not just a query subset like [[annBruteForce]]).
     * The graph is the substrate of embedding-space curation: SemDeDup
@@ -1083,6 +1117,9 @@ object Similarity {
     // production dials (4:64) are the bench's prod line. Verify
     // re-checks per run against the exact sweep and auto-demotes.
     "v13_knn_graph" -> ((s, d) => knnGraph(s, d, nprobe = 16, rerank = 499)),
+    // v14 gate = exact pair source (the d7 shape: the oracle closure
+    // recomputes the same graph); the LSH pair source is the prod line
+    "v14_embed_clusters" -> ((s, d) => embeddingClusters(s, d)),
     "v11_sem_decontaminate" -> ((s, d) => semDecontaminate(s, d)),
     "v7_centroid_outliers" -> ((s, d) => centroidOutliers(s, d)),
     "v6_quantize_int8" -> quantizeInt8Rows,
@@ -1208,6 +1245,26 @@ object Similarity {
     "v12_bitext_margin_ann" -> exactBitextSql,
     // v13 under the same precondition (probed vs knnGraphExact inline)
     "v13_knn_graph" -> exactKnnSql,
+    // v14: the d7 oracle shape — transitive closure (recursive CTE)
+    // over the exact cosine pair graph, min-id canonical labels
+    "v14_embed_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |          / (sqrt(list_dot_product(a.v, a.v))
+        |           * sqrt(list_dot_product(b.v, b.v))) > 0.4),
+        |edges AS (
+        |  SELECT id_a, id_b FROM p
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+        |  UNION
+        |  SELECT r.src, ed.id_b FROM reach r JOIN edges ed ON r.dst = ed.id_a)
+        |SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin,
     "v12_bitext_margin" -> exactBitextSql,
     // cross join + threshold + d12's argmax, all in doubles both
     // engines compute identically (in-order dot product, IEEE division)

@@ -1444,6 +1444,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(annShift === exactShift)
   }
 
+  test("embeddingClusters: equals driver-side union-find; LSH source equals exact at the probed dial") {
+    // independent reference: plain union-find over the collected exact
+    // pair graph (different mechanism from componentsOf's min-label
+    // propagation / min-root union)
+    val pairEdges = Similarity.nearDupPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    for ((a, b) <- pairEdges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val allIds = Tables.embeddings(spark, sf).select("vec_id").collect().map(_.getLong(0))
+    val want = allIds.map(id => id -> find(id)).toMap
+    val got = Similarity.embeddingClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // real clustering happened (some multi-member component) AND
+    // singletons label themselves
+    assert(got.exists { case (id, c) => id != c })
+    assert(got.count { case (id, c) => id == c } > 0)
+    // LSH pair source at v5's probed recall-complete dial (3 planes ×
+    // 12 tables) yields the identical clustering
+    val lsh = Similarity.embeddingClusters(spark, sf,
+      lsh = true, nPlanes = 3, tables = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lsh === got)
+  }
+
   test("knnGraph: set-equal to the exact all-pairs graph under the probed gate dial") {
     val exact = Similarity.knnGraphExact(spark, sf).collect()
       .map(_.mkString("|")).toSet

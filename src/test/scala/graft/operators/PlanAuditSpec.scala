@@ -41,7 +41,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     * un-broadcastable eval set is routing through nearDupLsh's buckets. */
   private val allPairsBaselines =
     Set("v1_ann_bruteforce", "v3_near_dup_pairs", "v8_ann_pq",
-      "v11_sem_decontaminate", "v12_bitext_margin")
+      "v11_sem_decontaminate", "v12_bitext_margin",
+      // v14's GATE pair source is v3's documented exact baseline (the
+      // oracle closure recomputes the same graph); its prod line uses
+      // the LSH bucketed source with no all-pairs join
+      "v14_embed_clusters")
 
   /** Scalar broadcasts: a ONE-ROW aggregate (corpus token total / |V| /
     * (N, avgdl)) cross-joined broadcast into the scoring join —
