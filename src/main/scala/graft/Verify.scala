@@ -116,20 +116,30 @@ object Verify {
       (if (lshTrusted("v12_bitext_margin_ann", "v12_bitext_margin")) Nil
        else Seq("v12_bitext_margin_ann")) ++
       // v13's exact counterpart is not a gate query — compute the
-      // all-pairs sweep inline for the probe (the m3 pattern)
+      // all-pairs sweep inline for the probe (the m3 pattern). Unlike
+      // the parquet-diff probes, a probe failure here DEMOTES: the
+      // live O(n²) sweep is itself the likeliest thing to break (OOM
+      // at a larger gate SF), and keeping a value oracle whose
+      // precondition could not be checked is the unsound direction.
       (if (try {
         val exact = operators.Similarity.knnGraphExact(spark, sfDir)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val got = spark.read.parquet(s"$outDir/v13_knn_graph")
-        val diff = got.exceptAll(exact).count() + exact.exceptAll(got).count()
-        spark.catalog.clearCache()
-        if (diff != 0)
-          System.err.println(s"[verify] v13_knn_graph demoted to rows-only: ANN " +
-            s"graph differs from the exact sweep by $diff rows on this corpus")
-        diff == 0
+        try {
+          val got = spark.read.parquet(s"$outDir/v13_knn_graph")
+          val diff = got.exceptAll(exact).count() + exact.exceptAll(got).count()
+          if (diff != 0)
+            System.err.println(s"[verify] v13_knn_graph demoted to rows-only: ANN " +
+              s"graph differs from the exact sweep by $diff rows on this corpus")
+          diff == 0
+        } finally {
+          // release ONLY the probe's persist — clearCache() would drop
+          // every cached DataFrame in the session, not just ours
+          exact.unpersist(); ()
+        }
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] v13 precondition probe failed: ${e.getMessage}")
-        true
+        System.err.println(s"[verify] v13_knn_graph demoted to rows-only: " +
+          s"precondition probe failed (${e.getMessage})")
+        false
       }) Nil else Seq("v13_knn_graph"))
     val oracles = SparkEntry.oracleSql -- demoted
     val json = oracles

@@ -71,6 +71,22 @@ case class BpeSegment(text: Expression, lefts: Expression, rights: Expression)
 
 object BpeSegment {
 
+  /** One symbol per Unicode CODE POINT (not UTF-16 char): supplementary
+    * characters (emoji, rare CJK) must enter BPE as whole characters —
+    * a per-char split would emit lone surrogate halves, which are not
+    * valid strings. Shared by the segmenter below AND the trainer's
+    * word derivation (TextOps.trainBpe) so the two can never drift. */
+  def codePointSymbols(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+    var i = 0
+    while (i < s.length) {
+      val n = Character.charCount(s.codePointAt(i))
+      out += s.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   /** The per-row kernel, shared by interpreted eval and codegen. A
     * mismatched or null-element merge table yields null (never a
     * silently partial segmentation). */
@@ -93,11 +109,10 @@ object BpeSegment {
     var w = 0
     while (w < words.length) {
       var syms: Array[String] = {
-        val cs = words(w)
-        val a = new Array[String](cs.length + 1)
-        var i = 0
-        while (i < cs.length) { a(i) = String.valueOf(cs.charAt(i)); i += 1 }
-        a(cs.length) = "</w>"
+        val cps = codePointSymbols(words(w))
+        val a = new Array[String](cps.length + 1)
+        System.arraycopy(cps, 0, a, 0, cps.length)
+        a(cps.length) = "</w>"
         a
       }
       var k = 0

@@ -393,20 +393,79 @@ object Similarity {
     * partitions beyond appending files into the affected cells;
     * serving picks the new vectors up on the next read. Periodic
     * retraining (model drift as the corpus distribution moves) is a
-    * rebuild via [[writeAnnIndex]] — the standard IVF practice. */
+    * rebuild via [[writeAnnIndex]] — the standard IVF practice.
+    *
+    * `modelDir` (default: `dir`) pins the BUILD-TIME model corpus (the
+    * annIvfPqServeQueries contract): training is deterministic per
+    * corpus, so a fresh session appending AFTER `dir` has grown must
+    * pass the corpus the index was built from — deriving the model
+    * from the grown `dir` would silently retrain, assigning appended
+    * vectors cells/codes inconsistent with the at-rest index (silent
+    * recall loss). Same-session appends are protected by the model
+    * memo either way.
+    *
+    * `compactTouchedCells`: repeated appends accrete one small file
+    * per touched cell per call — the classic streaming small-file
+    * problem, which at 1e9-vector scale turns a cell read into
+    * thousands of file opens. When set, each AFFECTED cell partition
+    * is compacted to one file after the append (only touched cells —
+    * untouched partitions are never read or rewritten). */
   def appendAnnIndex(spark: SparkSession, dir: String, indexPath: String,
                      newVectors: DataFrame,
                      nClusters: Int = 16, iters: Int = 2,
-                     m: Int = 4, nCodes: Int = 16): Unit = {
-    val dim = embDim(Tables.embeddings(spark, dir))
+                     m: Int = 4, nCodes: Int = 16,
+                     modelDir: String = null,
+                     compactTouchedCells: Boolean = false): Unit = {
+    val mDir = Option(modelDir).getOrElse(dir)
+    val dim = embDim(Tables.embeddings(spark, mDir))
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
     val subDim = dim / m
-    val cents = centsFor(spark, dir, nClusters, iters, trainFraction = 1.0)
-    val codebooks = booksFor(spark, dir, m, nCodes, iters)
-    newVectors.select(col("vec_id"),
+    val cents = centsFor(spark, mDir, nClusters, iters, trainFraction = 1.0)
+    val codebooks = booksFor(spark, mDir, m, nCodes, iters)
+    val encoded = newVectors.select(col("vec_id"),
         assignCol(cents, col("embedding")).as("cid"),
         array(pqCodeCols(codebooks, subDim): _*).as("codes"))
-      .write.mode("append").partitionBy("cid").parquet(indexPath)
+    encoded.write.mode("append").partitionBy("cid").parquet(indexPath)
+    if (compactTouchedCells) {
+      // bounded collect: ≤ nClusters cell ids, the probed-cells pattern
+      val touched = encoded.select(col("cid")).distinct()
+        .collect().map(_.getLong(0))
+      compactAnnCells(spark, indexPath, touched.toSeq)
+    }
+  }
+
+  /** Rewrite the given cells of a [[writeAnnIndex]] index as one file
+    * per cell — the small-file compaction behind [[appendAnnIndex]].
+    * The cell list is a static partition filter on the read (only the
+    * named cells' files are opened) and dynamic partition OVERWRITE —
+    * scoped to the write via the writer option, never a session-conf
+    * flip — replaces only those cells' directories at commit.
+    * Two-phase through a staging path: Spark (rightly) refuses an
+    * overwrite of a path it is reading, and a cache-based bypass
+    * would tie write correctness to executor storage. Cost is two
+    * writes of the TOUCHED cells only — at nClusters cells per index,
+    * a fraction the size of the corpus. */
+  def compactAnnCells(spark: SparkSession, indexPath: String,
+                      cids: Seq[Long]): Unit = {
+    if (cids.isEmpty) return
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-compact-staging").toString
+    try {
+      spark.read.parquet(indexPath)
+        .filter(col("cid").isin(cids: _*))
+        .repartition(col("cid")) // all rows of a cell in one task → one file
+        .write.mode("overwrite").partitionBy("cid").parquet(staging)
+      spark.read.parquet(staging)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid").parquet(indexPath)
+    } finally {
+      // best-effort staging cleanup (local temp dir)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(staging))
+    }
   }
 
   /** Serve IVF×PQ queries from a [[writeAnnIndex]] index on disk. The
@@ -803,7 +862,24 @@ object Similarity {
                             cents: Seq[(Long, Array[Float])],
                             codebooks: Seq[Seq[Array[Float]]], subDim: Int,
                             nprobe: Int, rerank: Int,
-                            excludeSelf: Boolean = false): DataFrame = {
+                            excludeSelf: Boolean = false): DataFrame =
+    annCandidatesOnIndex(
+      corpus.select(col("id"),
+        assignCol(cents, col("embedding")).as("cid"),
+        array(pqCodeCols(codebooks, subDim): _*).as("codes")),
+      queries, corpus, cents, codebooks, subDim, nprobe, rerank, excludeSelf)
+
+  /** [[annCandidates]] with the (id, cid, codes) index side supplied by
+    * the caller — either encoded inline from the corpus (the in-session
+    * mining path above) or READ from a [[writeAnnIndex]] parquet index
+    * (the serve-from-at-rest path, [[knnGraphServe]] /
+    * [[bitextMarginAnnServe]]). */
+  private def annCandidatesOnIndex(indexSide: DataFrame,
+                                   queries: DataFrame, corpus: DataFrame,
+                                   cents: Seq[(Long, Array[Float])],
+                                   codebooks: Seq[Seq[Array[Float]]], subDim: Int,
+                                   nprobe: Int, rerank: Int,
+                                   excludeSelf: Boolean = false): DataFrame = {
     val m = codebooks.size
     val nCodes = codebooks.head.size
     // index side (narrow, computed once per corpus row): coarse cell +
@@ -814,10 +890,7 @@ object Similarity {
       typedLit(cb.map(cw => cw.map(x => x.toDouble * x.toDouble).sum).toSeq))
     val codeNormSq = codebooks.indices.map(s =>
       element_at(codeNormLits(s), element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
-    val index = corpus.select(col("id"),
-        assignCol(cents, col("embedding")).as("cid"),
-        array(pqCodeCols(codebooks, subDim): _*).as("codes"))
-      .withColumn("cnorm", sqrt(codeNormSq))
+    val index = indexSide.withColumn("cnorm", sqrt(codeNormSq))
     val flatCents = cents.flatMap(_._2.map(_.toDouble)).toArray
     val centIds = cents.map(_._1).toArray
     // probe side (once per query row, BEFORE the cell explode): the ADC
@@ -943,10 +1016,51 @@ object Similarity {
     val queries = all.select(col("id").as("qid"), col("embedding").as("q_emb"))
     val cands = annCandidates(queries, all, cents, codebooks, subDim,
       nprobe, rerank, excludeSelf = true)
+    knnGraphTail(cands, k)
+  }
+
+  /** Shared v13 answer tail: exact-cosine top-k per query over the
+    * candidate set (ties on neighbor id — [[annBruteForce]]'s
+    * convention), WindowGroupLimit-shaped. */
+  private def knnGraphTail(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
     cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("rank"),
         col("id").as("neighbor_id"), col("cos"))
+  }
+
+  /** v13 served from the AT-REST index: [[knnGraph]] with the (cid,
+    * codes) side READ from a [[writeAnnIndex]] parquet index instead of
+    * encoded in-session — the deployment shape for mining a 100 TB
+    * corpus: the index is built offline (and grown incrementally by
+    * [[appendAnnIndex]]); a mining run re-encodes NOTHING, it reads
+    * 2-byte codes at rest. No static cell filter here (unlike
+    * [[annIvfPqServeQueries]]): the query side is the whole corpus, so
+    * every cell is probed by construction — the pruning lever for
+    * query BATCHES is moot for whole-corpus mining. `modelDir`
+    * (default: `dir`) pins the build-time model corpus — pass it when
+    * `dir` has grown past the index build (the [[appendAnnIndex]]
+    * contract). Identical output to [[knnGraph]] at the same dials
+    * (spec-pinned). */
+  def knnGraphServe(spark: SparkSession, dir: String, indexPath: String,
+                    k: Int = 5, nClusters: Int = 16, iters: Int = 2,
+                    nprobe: Int = 4, m: Int = 4, nCodes: Int = 16,
+                    rerank: Int = 64, modelDir: String = null): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need 1 <= k <= rerank, got k=$k rerank=$rerank")
+    val emb = Tables.embeddings(spark, dir)
+    val dim = embDim(emb)
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val subDim = dim / m
+    val mDir = Option(modelDir).getOrElse(dir)
+    val cents = centsFor(spark, mDir, nClusters, iters, trainFraction = 1.0)
+    val codebooks = booksFor(spark, mDir, m, nCodes, iters)
+    val indexSide = spark.read.parquet(indexPath)
+      .select(col("vec_id").as("id"), col("cid"), col("codes"))
+    val all = emb.select(col("vec_id").as("id"), col("embedding"))
+    val queries = all.select(col("id").as("qid"), col("embedding").as("q_emb"))
+    val cands = annCandidatesOnIndex(indexSide, queries, all, cents, codebooks,
+      subDim, nprobe, rerank, excludeSelf = true)
+    knnGraphTail(cands, k)
   }
 
   /** v12 scale path: margin-based bitext mining with candidates AND
@@ -999,6 +1113,54 @@ object Similarity {
       annCandidates(asQueries(src), tgt, cents, codebooks, subDim, nprobe, rerank))
     val tToS = graft.ScratchCache.arm(
       annCandidates(asQueries(tgt), src, cents, codebooks, subDim, nprobe, rerank))
+    bitextMarginTail(sToT, tToS, k, minMargin)
+  }
+
+  /** v12_ann served from the AT-REST index ([[knnGraphServe]]'s twin
+    * for bitext mining): both directions' candidates come from the
+    * [[writeAnnIndex]] parquet codes — the index side of each
+    * direction is the at-rest relation filtered to that side's
+    * parity, a partition-independent narrow filter. Identical output
+    * to [[bitextMarginAnn]] at the same dials (spec-pinned); same
+    * no-cell-filter rationale as [[knnGraphServe]] (mining queries
+    * probe every cell). */
+  def bitextMarginAnnServe(spark: SparkSession, dir: String, indexPath: String,
+                           k: Int = 4, minMargin: Double = 1.0,
+                           nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4,
+                           m: Int = 4, nCodes: Int = 16, rerank: Int = 64,
+                           modelDir: String = null): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val emb = Tables.embeddings(spark, dir)
+    val dim = embDim(emb)
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val subDim = dim / m
+    val mDir = Option(modelDir).getOrElse(dir)
+    val cents = centsFor(spark, mDir, nClusters, iters, trainFraction = 1.0)
+    val codebooks = booksFor(spark, mDir, m, nCodes, iters)
+    val atRest = spark.read.parquet(indexPath)
+      .select(col("vec_id").as("id"), col("cid"), col("codes"))
+    val src = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"), col("embedding"))
+    val tgt = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("id"), col("embedding"))
+    def asQueries(side: DataFrame) =
+      side.select(col("id").as("qid"), col("embedding").as("q_emb"))
+    val sToT = graft.ScratchCache.arm(annCandidatesOnIndex(
+      atRest.filter(col("id") % 2 === 1), asQueries(src), tgt,
+      cents, codebooks, subDim, nprobe, rerank))
+    val tToS = graft.ScratchCache.arm(annCandidatesOnIndex(
+      atRest.filter(col("id") % 2 === 0), asQueries(tgt), src,
+      cents, codebooks, subDim, nprobe, rerank))
+    bitextMarginTail(sToT, tToS, k, minMargin)
+  }
+
+  /** Shared v12 answer tail over the two directions' candidate sets:
+    * nn-stat aggregates, symmetric pair union, margin scoring, per-src
+    * argmax (ROUNDED margin desc, tgt_id asc — [[bitextMargin]]'s
+    * convention). */
+  private def bitextMarginTail(sToT: DataFrame, tToS: DataFrame,
+                               k: Int, minMargin: Double): DataFrame = {
     def nnAvg(cands: DataFrame, outCol: String) = {
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id").asc)
       cands.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

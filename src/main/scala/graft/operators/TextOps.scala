@@ -887,9 +887,12 @@ object TextOps {
         require(rows.length <= maxDistinctWords,
           s"corpus has > $maxDistinctWords distinct words; raise maxDistinctWords " +
             "(the histogram stays cluster-side until this bounded collect)")
-        // words as symbol sequences with the end-of-word marker
+        // words as symbol sequences with the end-of-word marker — one
+        // symbol per CODE POINT (the segmenter's shared derivation, so
+        // non-BMP characters never split into surrogate halves)
         var words: Array[(Array[String], Long)] = rows.map { r =>
-          (r.getString(0).map(_.toString).toArray :+ "</w>", r.getLong(1))
+          (graft.functions.BpeSegment.codePointSymbols(r.getString(0)) :+ "</w>",
+            r.getLong(1))
         }
         val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
         var rank = 0

@@ -241,17 +241,16 @@ object Runner {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try graft.operators.Similarity
+        // overwrite mode scoped to THIS write via the writer option —
+        // a session-conf flip would leak 'dynamic' to any concurrent
+        // partitioned write during the micro-batch (and race on restore)
+        graft.operators.Similarity
           .annIvfPqServeQueries(spark, dir, indexPath, batch,
             k = k, nprobe = nprobe, rerank = rerank)
           .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
-        finally prev match {
-          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
       }
       .start()
 }

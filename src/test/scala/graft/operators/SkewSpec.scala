@@ -74,4 +74,58 @@ class SkewSpec extends AnyFunSuite with BeforeAndAfterAll {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  // The ANN candidate generator's cid equi-join (Similarity.
+  // annCandidatesOnIndex: index.join(probes, "cid")) inherits IVF cell
+  // occupancy as its key distribution — real embedding corpora have hot
+  // centroids (the testdata's structureless embeddings hide this), so
+  // one cell holding ~half the corpus is the expected production shape.
+  // Prove AQE's skew split fires on THAT join: a synthetic corpus with
+  // one dominant cluster, run through the real knnGraph pipeline.
+  test("AQE splits the hot IVF cell in the ANN candidate equi-join") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ on the cid join
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~55% of 24k vectors cluster tightly around one direction → one
+      // coarse cell dominates both sides of the cid join (every vector
+      // is also a query in knnGraph). The SPREAD vectors take the low
+      // ids: Lloyd seeds are the nClusters lowest vec_ids, so seeding
+      // from diverse directions keeps the hot cluster in ONE cell
+      // (near-identical seeds would scatter it across tie-broken cells).
+      val dim = 8
+      val skewDir = java.nio.file.Files.createTempDirectory("graft-skew-emb").toString
+      val spread = spark.range(11000).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => (pmod(col("id") * (i + 3), lit(997)).cast("double") - 498.0)
+            .cast("float")).as("embedding"))
+      val hot = spark.range(11000, 24000).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => (when(i === 0, lit(100.0)).otherwise(lit(0.0)) +
+            pmod(col("id") * (i + 1), lit(7)).cast("double") / 10.0).cast("float"))
+          .as("embedding"))
+      spread.unionByName(hot).write.mode("overwrite")
+        .parquet(s"$skewDir/embeddings.parquet")
+      Similarity.invalidateModelMemo()
+      val graph = Similarity.knnGraph(spark, skewDir,
+        k = 3, nClusters = 8, iters = 1, nprobe = 2, m = 4, nCodes = 8, rerank = 8)
+      // collect THIS DataFrame so its adaptive plan is final when inspected
+      assert(graph.collect().nonEmpty)
+      val plan = graph.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should split the hot cid partition, final plan:\n$plan")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      Similarity.invalidateModelMemo()
+    }
+  }
 }

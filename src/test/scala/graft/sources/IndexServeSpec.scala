@@ -112,6 +112,51 @@ class IndexServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byBatch.values.toSeq.sorted === Seq(5L, 5L))
   }
 
+  test("knnGraphServe / bitextMarginAnnServe from the at-rest index == in-session operators") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-kidx").toString
+    Similarity.writeAnnIndex(spark, sf, idx)
+    def canon(df: DataFrame) = df.collect().map(_.mkString("|")).toSet
+    // default dials and a second non-default dial — identical graphs
+    assert(canon(Similarity.knnGraphServe(spark, sf, idx)) ===
+      canon(Similarity.knnGraph(spark, sf)))
+    assert(canon(Similarity.knnGraphServe(spark, sf, idx, k = 3, nprobe = 8, rerank = 96)) ===
+      canon(Similarity.knnGraph(spark, sf, k = 3, nprobe = 8, rerank = 96)))
+    assert(canon(Similarity.bitextMarginAnnServe(spark, sf, idx)) ===
+      canon(Similarity.bitextMarginAnn(spark, sf)))
+    graft.ScratchCache.drain()
+  }
+
+  test("appendAnnIndex compaction keeps per-cell file counts bounded across N appends") {
+    import spark.implicits._
+    def dataFilesPerCell(idx: String): Map[String, Int] =
+      new java.io.File(idx).listFiles().filter(_.getName.startsWith("cid="))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    def appendBatch(idx: String, i: Int, compact: Boolean): Unit =
+      Similarity.appendAnnIndex(spark, sf, idx,
+        base.filter(col("vec_id") < 8)
+          .select((col("vec_id") + lit(200000L + i * 100L)).as("vec_id"),
+            col("embedding")),
+        modelDir = sf, compactTouchedCells = compact)
+    // without compaction: every append adds files to its touched cells
+    val loose = java.nio.file.Files.createTempDirectory("graft-ann-loose").toString
+    Similarity.writeAnnIndex(spark, sf, loose)
+    (1 to 4).foreach(i => appendBatch(loose, i, compact = false))
+    // with compaction: touched cells collapse back to one file each
+    val tight = java.nio.file.Files.createTempDirectory("graft-ann-tight").toString
+    Similarity.writeAnnIndex(spark, sf, tight)
+    (1 to 4).foreach(i => appendBatch(tight, i, compact = true))
+    assert(dataFilesPerCell(loose).values.max > 1,
+      "expected uncompacted appends to accrete files (else this test proves nothing)")
+    assert(dataFilesPerCell(tight).values.max === 1,
+      s"compacted cells must hold one file: ${dataFilesPerCell(tight)}")
+    // compaction must not lose rows: same index content either way
+    def canon(idx: String) = spark.read.parquet(idx)
+      .collect().map(_.mkString("|")).toSet
+    assert(canon(tight) === canon(loose))
+  }
+
   test("serve from the at-rest index == in-session operator; scan reads only probed cells") {
     val out = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
     Similarity.writeAnnIndex(spark, sf, out)
