@@ -660,13 +660,20 @@ object TextOps {
     * variant) and surface the top-`topK`. The natural companion to t11's
     * TF-IDF (per-doc keywords) — this direction ranks DOCS for a QUERY.
     *
-    * Scale shape: the corpus shuffles only distinct (doc, token) pairs;
-    * the per-term df aggregate is filtered to the query terms BEFORE it
-    * aggregates (query-terms × docs candidate rows, broadcast back);
-    * corpus stats (N, avgdl) ride the plan as a broadcast one-row
-    * aggregate (the t19 pattern); doc length joins on the doc key. The
-    * global top-k is a rank-limit window (WindowGroupLimit pushes the
-    * limit before the final sort).
+    * Scale shape (NO corpus-wide shuffle): for a bounded query-term
+    * set, doc length and per-term tf are both NARROW per-row
+    * computations — size(toks) and size(filter(toks, == term)) — so
+    * the corpus is scanned once with per-row cost O(|toks| ×
+    * |queryTerms|) and never shuffled. (The previous shape shuffled
+    * every distinct (doc, token) pair just to recover these two
+    * columns — at 100 TB that shuffle IS the query cost.) Only rows
+    * with a query-term hit survive into the tiny per-term df aggregate
+    * (broadcast back); corpus stats (N, avgdl) ride the plan as a
+    * broadcast one-row aggregate (the t19 pattern). The global top-k
+    * is a rank-limit window (WindowGroupLimit pushes the limit before
+    * the final sort). For LARGE query sets (thousands of terms) the
+    * inverted-index shape — explode + groupBy(doc, tok) — wins
+    * instead; that is t11/t5's territory.
     *
     * Float parity: both sides sum the identical idf·tf-saturation terms
     * per doc and round to 6 dp (the t19 precedent). */
@@ -675,18 +682,24 @@ object TextOps {
            k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty && topK >= 1)
     val docs = Tables.documents(spark, dir)
-    // (doc, token, tf) feeds doc lengths AND the query-term scan
-    val tf = ScratchCache.arm(
-      docs.select(col("doc_id"), explode(tokens("text")).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+    val qlit = array(queryTerms.map(lit): _*)
+    // one narrow scan: per-doc length + per-query-term occurrence counts
+    val base = ScratchCache.arm(
+      docs.select(col("doc_id"), tokens("text").as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("dl"),
+          transform(qlit, t =>
+            size(filter(col("toks"), x => x === t))).as("qtfs")))
+    val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    val qtf = tf.filter(col("tok").isin(queryTerms: _*))
+    // only query-term hits leave the scan: (doc, term, tf, dl) rows
+    val qtf = base
+      .select(col("doc_id"), col("dl"), posexplode(col("qtfs")))
+      .filter(col("col") > 0)
+      .select(col("doc_id"), col("dl"),
+        element_at(qlit, col("pos") + 1).as("tok"), col("col").as("tf"))
     val dfq = qtf.groupBy(col("tok")).agg(count_distinct(col("doc_id")).as("df"))
     val scored = qtf
       .join(broadcast(dfq), "tok")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
