@@ -16,6 +16,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * told apart from a code regression (the BENCH_r04 failure mode). The
   * stream-rate sections run under the same guard (`suspect_streams`).
   *
+  * Load normalization (round 8): a CPU-bound calibration anchor is
+  * re-measured every `sectionSize` queries WITHIN each pass, and every
+  * query's normalized value is min over passes of (time ÷ its
+  * section's calib) — `queries_norm` / `total_norm` /
+  * `prod_total_norm`, in calib units. Mid-run load then corrects
+  * itself: the section it hits normalizes by its own inflated anchor
+  * (the r7 failure mode — two "clean" runs bracketed by stable
+  * start/end anchors still disagreed 22%, because the anchors didn't
+  * ride the run). `total_norm` is the round-over-round comparison
+  * number; raw seconds and the bracketing `total_per_calib` stay for
+  * continuity.
+  *
   * Gate vs production profiles: the CORRECTNESS gate pins the
   * approximate operators (v2/v4/v5/v8/v9) at probed recall-COMPLETE
   * settings so the exact oracle applies — settings chosen for the
@@ -35,9 +47,21 @@ object Bench {
     if (ok.size < 2 || ok.head <= 0) 1.0 else ok(1) / ok.head
   }
 
+  /** Shared at-rest ANN index per corpus dir (built once outside the
+    * timed passes — serving lines time SERVING, not index builds). */
+  private val annIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def annIndexFor(s: SparkSession, d: String): String =
+    annIndexMemo.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-bench-annidx").toString
+      operators.Similarity.writeAnnIndex(s, d, p)
+      p
+    })
+
   /** The approximate operators at their PRODUCTION dials (defaults) —
     * keyed with a `_prod` suffix so they ride the same two-pass +
-    * contention machinery as the gate surface. */
+    * contention machinery as the gate surface. `v13_knn_graph_serve`
+    * is the deployment-shape extra: the same graph mined FROM the
+    * at-rest index (no in-session encode). */
   private val prodFns: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v2_ann_lsh_prod" -> ((s, d) => operators.Similarity.annLsh(s, d)),
     "v4_ann_ivf_prod" -> ((s, d) => operators.Similarity.annIvf(s, d)),
@@ -46,6 +70,8 @@ object Bench {
     "v9_ann_ivfpq_prod" -> ((s, d) => operators.Similarity.annIvfPq(s, d)),
     "v12_bitext_margin_ann_prod" -> ((s, d) => operators.Similarity.bitextMarginAnn(s, d)),
     "v13_knn_graph_prod" -> ((s, d) => operators.Similarity.knnGraph(s, d)),
+    "v13_knn_graph_serve" -> ((s, d) =>
+      operators.Similarity.knnGraphServe(s, d, annIndexFor(s, d))),
     "v14_embed_clusters_prod" -> ((s, d) => operators.Similarity.embeddingClusters(s, d, lsh = true)),
   )
 
@@ -59,6 +85,8 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
+    // build the serving index for the TIMED corpus outside the passes
+    try annIndexFor(spark, sfDir) catch { case _: Throwable => () }
     spark.catalog.clearCache() // drop warm-up persists
     // CALIBRATION ANCHOR: a fixed CPU-bound reference job, timed like
     // the queries (min of 2). The within-run spread guard catches
@@ -94,7 +122,18 @@ object Bench {
         operators.TextOps.memoTrainers
     def passSorted(names: Seq[String]): Seq[String] =
       names.sortBy(n => (if (passTrainers(n)) 0 else 1, n))
-    def timedPass(names: Seq[String]): Seq[(String, Double)] = {
+    // PER-SECTION INTERLEAVED CALIBRATION (round 8): the start/end
+    // anchors bracket the run but don't ride it — two same-day r7 runs
+    // with stable bracketing calibs still disagreed 22% per-calib
+    // (load that came and went mid-run). Each pass now re-measures the
+    // anchor every `sectionSize` queries and every query carries the
+    // calib of ITS section; the normalized per-query value is
+    // min over passes of (time / section_calib), so a loaded section
+    // in one pass is corrected by its own inflated anchor rather than
+    // smeared across the run.
+    val sectionSize = 12
+    val sectionCalibs = scala.collection.mutable.ListBuffer.empty[Double]
+    def timedPass(names: Seq[String]): Seq[(String, (Double, Double))] = {
       // each pass starts from a cold shared-model state so d7/v4/v8 are
       // timed as the full train+answer pipeline and d8/v9/the _prod
       // lines as their incremental (serving) cost — within a pass the
@@ -103,17 +142,32 @@ object Bench {
       operators.Dedup.invalidateClusterMemo()
       operators.Similarity.invalidateModelMemo()
       operators.TextOps.invalidateBpeMemo()
-      passSorted(names).map { name =>
-        val fn = allQs(name)
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // operators persist small intermediates internally; clear between
-        // queries so timings are independent of bench order / cache churn
-        spark.catalog.clearCache()
-        // a crashed query must not masquerade as a fast success — report -1
-        name -> (if (ok) dt else -1.0)
-      }
+      // anchor at every section BOUNDARY; a section's calib is the MEAN
+      // of its two surrounding anchors — load ramping mid-section is
+      // half-captured by the trailing anchor instead of missed entirely,
+      // at the cost of ONE extra calibration per pass
+      var cPrev = calibrate()
+      sectionCalibs += cPrev
+      passSorted(names).grouped(sectionSize).flatMap { section =>
+        val timed = section.map { name =>
+          val fn = allQs(name)
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // operators persist small intermediates internally; clear between
+          // queries so timings are independent of bench order / cache churn
+          spark.catalog.clearCache()
+          // a crashed query must not masquerade as a fast success — report -1
+          name -> (if (ok) dt else -1.0)
+        }
+        val cNext = calibrate()
+        sectionCalibs += cNext
+        val calib =
+          if (cPrev > 0 && cNext > 0) (cPrev + cNext) / 2
+          else math.max(cPrev, cNext) // one anchor failed: use the other
+        cPrev = cNext
+        timed.map { case (name, t) => name -> ((t, calib)) }
+      }.toSeq
     }
     val gateNames = SparkEntry.queries.keys.toSeq.sorted
     val allNames = allQs.keys.toSeq.sorted
@@ -126,7 +180,7 @@ object Bench {
     // load-suspect instead of letting the number masquerade as a code
     // regression.
     val disagree = allNames.filter { n =>
-      val ts = passes.map(_(n)); ts.forall(_ >= 0) && passSpread(ts) > 3.0
+      val ts = passes.map(_(n)._1); ts.forall(_ >= 0) && passSpread(ts) > 3.0
     }
     if (disagree.nonEmpty) {
       // memo-warm environments must be reproduced in the partial third
@@ -156,7 +210,7 @@ object Bench {
       val p3 = timedPass(third).toMap
       passes = passes :+ disagree.map(n => n -> p3(n)).toMap
     }
-    def timesOf(name: String): Seq[Double] = passes.flatMap(_.get(name))
+    def timesOf(name: String): Seq[Double] = passes.flatMap(_.get(name)).map(_._1)
     val suspectQueries = disagree.filter(n => passSpread(timesOf(n)) > 3.0)
     def minOf(name: String): Double = {
       val ts = timesOf(name)
@@ -164,12 +218,28 @@ object Bench {
       // is reported failed
       if (ts.exists(_ < 0)) -1.0 else ts.min
     }
+    // load-normalized per-query value: min over passes of
+    // (time ÷ THAT pass's section calib) — same calib units as
+    // total_per_calib (the 200M-row anchor), so a round-over-round
+    // compare of `queries_norm`/`total_norm` needs no further arithmetic
+    def normMinOf(name: String): Double = {
+      val obs = passes.flatMap(_.get(name))
+      if (obs.exists(_._1 < 0)) -1.0
+      else {
+        val ns = obs.collect { case (t, c) if t >= 0 && c > 0 => t / c }
+        if (ns.isEmpty) -1.0 else math.round(ns.min * 10000) / 10000.0
+      }
+    }
     val results = gateNames.map(n => n -> minOf(n))
     val prodResults = prodFns.keys.toSeq.sorted.map(n => n -> minOf(n))
+    val normResults = gateNames.map(n => n -> normMinOf(n))
+    val prodNormResults = prodFns.keys.toSeq.sorted.map(n => n -> normMinOf(n))
     def jsonMap(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jsonMap(results)
     val prodQs = jsonMap(prodResults)
+    val qsNorm = jsonMap(normResults)
+    val prodQsNorm = jsonMap(prodNormResults)
     // headline total covers successful queries only — a crashed query's
     // -1 sentinel must not subtract from (i.e. flatter) the total; it is
     // reported separately in "failed" so a crash is loud, not invisible
@@ -184,6 +254,18 @@ object Bench {
     val prodTotal = results.collect {
       case (n, v) if prodByGate.getOrElse(n, v) >= 0 => prodByGate.getOrElse(n, v)
     }.sum
+    // normalized totals: Σ of the per-query normalized minima — each
+    // term corrected by its own section's calib, so mid-run load
+    // inflates neither the term it hit (its calib grew too) nor the
+    // rest of the run (their calibs didn't)
+    val totalNorm = math.round(normResults.collect {
+      case (_, v) if v >= 0 => v }.sum * 1000) / 1000.0
+    val prodNormByGate = prodNormResults.toMap.map { case (k, v) =>
+      k.stripSuffix("_prod") -> v }
+    val prodTotalNorm = math.round(normResults.collect {
+      case (n, v) if prodNormByGate.getOrElse(n, v) >= 0 =>
+        prodNormByGate.getOrElse(n, v)
+    }.sum * 1000) / 1000.0
     val failed = (results ++ prodResults).collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // file-stream sources need a directory; expose a single parquet file
@@ -420,6 +502,32 @@ object Bench {
         }
       }
     }
+    // the full LAYERED topology as three concurrent chained streaming
+    // queries (router → join+apportion → trademark agg over file
+    // edges — streaming/Topology.scala): end-to-end chain throughput
+    // over the CDC input lines, wall-clock from first stage start to
+    // final stage drained (startup + commit-log handshakes included —
+    // that IS the chain's latency). Output guard: zero brands in the
+    // final agg = a dead stage, -1.
+    val streamTopologyRate: Double = streamSection("stream_topology") {
+      import org.apache.spark.sql.functions.col
+      val fixDir = java.nio.file.Files.createTempDirectory("graft-bench-topofix").toString
+      val n = streaming.Topology.writeCdcFixture(spark, sfDir, fixDir)
+      guardedRate("stream_topology") { () =>
+        val root = java.nio.file.Files.createTempDirectory("graft-bench-topo").toString
+        val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        try {
+          val t0 = System.nanoTime()
+          val chain = streaming.Topology.start(spark, fixDir,
+            s"$root/routed", s"$root/wide", s"$root/agg", s"$root/ckpt",
+            () => Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand")))
+          try { chain.drain() } finally chain.stopAll()
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (spark.read.parquet(s"$root/agg").isEmpty) -1.0 else n / sec
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+    }
     // second anchor: sustained load that began after the first
     // calibration (mid-queries or mid-streams) is only visible here —
     // compare calib_end_sec to calib_sec before trusting a slow run
@@ -435,10 +543,26 @@ object Bench {
     val calibMean = (calibSec + calibEndSec) / 2
     def norm(x: Double): Double =
       if (calibSec > 0 && calibEndSec > 0) math.round(x / calibMean * 1000) / 1000.0 else -1.0
+    // traceability stamp: artifact ↔ commit, byte-checkable
+    val gitSha = try {
+      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+        .redirectErrorStream(true).start()
+      val s = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      p.waitFor()
+      if (s.matches("[0-9a-f]{40}")) s else "unknown"
+    } catch { case _: Throwable => "unknown" }
+    val wallTs = java.time.Instant.now().toString
+    val calibSectionsJson = sectionCalibs.toSeq
+      .map(c => (math.round(c * 10000) / 10000.0).toString)
+      .mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"failed":$failed,""" +
       s""""prod_queries":$prodQs,"prod_total":$prodTotal,""" +
       s""""total_per_calib":${norm(total)},"prod_total_per_calib":${norm(prodTotal)},""" +
+      s""""queries_norm":$qsNorm,"prod_queries_norm":$prodQsNorm,""" +
+      s""""total_norm":$totalNorm,"prod_total_norm":$prodTotalNorm,""" +
+      s""""calib_sections":$calibSectionsJson,""" +
       s""""load_suspect":${suspectQueries.nonEmpty || suspectStreams.nonEmpty},""" +
       s""""suspect_queries":${jsonArr(suspectQueries)},""" +
       s""""suspect_streams":${jsonArr(suspectStreams.toSeq)},""" +
@@ -447,8 +571,10 @@ object Bench {
       s""""stream_dau_rocksdb_rows_per_sec":${streamRateRocks.toLong},""" +
       s""""stream_join_rows_per_sec":${streamJoinRate.toLong},""" +
       s""""stream_cdc_apply_rows_per_sec":${streamCdcRate.toLong},""" +
+      s""""stream_topology_rows_per_sec":${streamTopologyRate.toLong},""" +
       s""""stream_heavy_hitters_rocksdb_rows_per_sec":${streamHhRate.toLong},""" +
-      s""""calib_sec":$calibSec,"calib_end_sec":$calibEndSec,"sf":"$sfDir"}"""
+      s""""calib_sec":$calibSec,"calib_end_sec":$calibEndSec,""" +
+      s""""git_sha":"$gitSha","wall_ts":"$wallTs","sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: sbt prefixes stdout with [info] and appends its
     // own trailer lines, which can defeat a last-line JSON parse — leave

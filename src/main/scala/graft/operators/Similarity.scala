@@ -207,7 +207,8 @@ object Similarity {
     "v12_bitext_margin_ann"      -> Seq("v4_ann_ivf", "v8_ann_pq"),
     "v12_bitext_margin_ann_prod" -> Seq("v4_ann_ivf", "v8_ann_pq"),
     "v13_knn_graph"      -> Seq("v4_ann_ivf", "v8_ann_pq"),
-    "v13_knn_graph_prod" -> Seq("v4_ann_ivf", "v8_ann_pq"))
+    "v13_knn_graph_prod" -> Seq("v4_ann_ivf", "v8_ann_pq"),
+    "v13_knn_graph_serve" -> Seq("v4_ann_ivf", "v8_ann_pq"))
 
   /** Gate queries that TRAIN the model memos (see [[memoDeps]]). */
   val memoTrainers: Set[String] = Set("v4_ann_ivf", "v8_ann_pq")

@@ -1,0 +1,152 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** The reference's LAYERED pipeline as one running topology — its real
+  * deployment shape: eleven apps chained through Kafka topics
+  * (`ods/BaseDBCanalApp.scala` routes → `dwd/OrderInfoApp.scala` /
+  * `OrderDetailApp.scala` parse → `dws/OrderWideApp.scala`
+  * joins+apportions → `ads/TrademarkStatApp.scala` aggregates
+  * exactly-once). Here each topic edge is a FileStreamSink parquet
+  * directory: the sink's `_spark_metadata` commit log makes the
+  * downstream FileStreamSource read exactly the committed files — the
+  * supported exactly-once chaining for file edges (a Kafka deployment
+  * swaps each edge for `format("kafka")`, pipeline code unchanged).
+  *
+  * Three concurrent streaming queries in one session:
+  *   1. router: CDC JSON lines → (topic, value) parquet, partitioned
+  *      by topic ([[Pipelines.routeCdc]]);
+  *   2. wide: routed stream → typed order header/detail parse →
+  *      watermarked interval join → stateful apportionment
+  *      ([[Pipelines.orderWideJoin]] + [[Pipelines.apportion]]);
+  *   3. agg: order-wide stream → per-batch-refreshed sku dim join →
+  *      trademark revenue in integer cents, landed per batch_id with
+  *      dynamic partition overwrite (the K5 idempotent-sink recipe).
+  */
+object Topology {
+
+  /** Maxwell-shaped CDC JSON-lines fixture derived from the TPC-H
+    * corpus at `sfDir` (the FIXTURES.md §3 mapping): one order_detail
+    * insert per lineitem priced at cents(extendedprice × (1−discount))
+    * with sku_num = 1, and one order_info insert per order whose
+    * final == original == Σ its details — so the apportionment's
+    * integer-cents share of every detail equals the detail itself, and
+    * the chain's trademark totals must equal the BATCH trademark query
+    * (GmallQueries.trademarkStat) over the same corpus, cent for cent.
+    * Both sides' create_time derives from the order key (same value →
+    * inside the join's skew window — the Bench stream-join convention).
+    * Returns the number of CDC lines written. */
+  def writeCdcFixture(spark: SparkSession, sfDir: String, outDir: String): Long = {
+    val ts = date_format(timestamp_seconds(
+      lit(1700000000L) + pmod(col("order_id"), lit(86400L))), "yyyy-MM-dd HH:mm:ss")
+    val det = Tables.lineitem(spark, sfDir).select(
+      col("l_orderkey").as("order_id"),
+      xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_partkey")).as("id"),
+      col("l_partkey").as("sku_id"),
+      Tables.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("amt_c"))
+    val detLines = det.select(to_json(struct(
+      lit("insert").as("type"), lit("order_detail").as("table"),
+      struct(col("id"), col("order_id"), col("sku_id"),
+        lit(1L).as("sku_num"),
+        Tables.dollars(col("amt_c")).as("order_price"),
+        ts.as("create_time")).as("data"))).as("value"))
+    val oiLines = det.groupBy(col("order_id")).agg(sum(col("amt_c")).as("tot_c"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey")),
+        col("order_id") === col("o_orderkey"))
+      .select(to_json(struct(
+        lit("insert").as("type"), lit("order_info").as("table"),
+        struct(col("order_id").as("id"), col("o_custkey").as("user_id"),
+          lit(0L).as("province_id"), lit("1001").as("order_status"),
+          Tables.dollars(col("tot_c")).as("final_total_amount"),
+          Tables.dollars(col("tot_c")).as("original_total_amount"),
+          ts.as("create_time")).as("data"))).as("value"))
+    detLines.unionByName(oiLines).write.mode("overwrite").text(outDir)
+    spark.read.text(outDir).count()
+  }
+
+  /** The three running queries. [[drain]] propagates everything
+    * currently visible END-TO-END: each stage's processAllAvailable
+    * commits its output files (and sink metadata) before the next
+    * stage's is called, so one sweep in chain order drains the whole
+    * topology. Queries keep running between drains — feed more input
+    * and drain again. */
+  final case class Chain(router: StreamingQuery, wide: StreamingQuery,
+                         agg: StreamingQuery) {
+    def drain(): Unit = {
+      router.processAllAvailable()
+      wide.processAllAvailable()
+      agg.processAllAvailable()
+    }
+    def stopAll(): Unit = { agg.stop(); wide.stop(); router.stop() }
+  }
+
+  /** Start the topology. Stages start in chain order with one drain
+    * between starts: a FileStreamSource decides "is this directory a
+    * FileStreamSink output?" when it first resolves, so each
+    * downstream source must be created AFTER its upstream sink has
+    * committed a batch (else it would fall back to plain directory
+    * listing and could observe in-progress files). `loadSkuDim` is
+    * re-invoked every agg micro-batch — the reference's per-batch dim
+    * refresh (S5/J2). All triggers are ASAP (default) so drains are
+    * not paced by a processing-time trigger. */
+  def start(spark: SparkSession, cdcDir: String, routedDir: String,
+            wideDir: String, aggDir: String, ckptRoot: String,
+            loadSkuDim: () => DataFrame): Chain = {
+    import spark.implicits._
+    val router = Pipelines.routeCdc(
+      spark.readStream.schema(Runner.cdcSchema).json(cdcDir))
+      .writeStream.outputMode("append").format("parquet")
+      .partitionBy("topic")
+      .option("path", routedDir)
+      .option("checkpointLocation", s"$ckptRoot/router")
+      .start()
+    router.processAllAvailable() // commit sink metadata before stage 2 resolves
+    val routedSchema = StructType(Seq(
+      StructField("value", StringType), StructField("topic", StringType)))
+    val routed = spark.readStream.schema(routedSchema)
+      .option("basePath", routedDir).parquet(routedDir)
+    val oi = routed.filter(col("topic") === "ods_order_info")
+      .select(from_json(col("value"), Runner.orderInfoSchema).as("o"))
+      .select("o.*").as[OrderInfo]
+    val od = routed.filter(col("topic") === "ods_order_detail")
+      .select(from_json(col("value"), Runner.orderDetailSchema).as("o"))
+      .select("o.*").as[OrderDetail]
+    // state TTL off: the drive/bench drains must settle (a
+    // ProcessingTimeTimeout schedules timeout-only batches forever)
+    val wide = Pipelines.apportion(Pipelines.orderWideJoin(oi, od), stateTtlMs = 0)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", wideDir)
+      .option("checkpointLocation", s"$ckptRoot/wide")
+      .start()
+    wide.processAllAvailable() // commit before stage 3 resolves
+    val wideSchema = Encoders.product[OrderWideSplit].schema
+    val agg = spark.readStream.schema(wideSchema).parquet(wideDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$ckptRoot/agg")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.join(broadcast(loadSkuDim()),
+            batch("sku_id") === col("p_partkey"))
+          .groupBy(col("p_brand").as("tm_name"))
+          .agg(sum(Tables.cents(col("final_detail_amount"))).as("amount_c"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(aggDir)
+      }
+      .start()
+    Chain(router, wide, agg)
+  }
+
+  /** The chain's final answer: trademark revenue in integer cents,
+    * summed across batch emissions (per-batch groups are disjoint
+    * detail sets, and replays overwrite their own batch_id partition,
+    * so the sum is exact). */
+  def trademarkTotals(spark: SparkSession, aggDir: String): DataFrame =
+    spark.read.parquet(aggDir)
+      .groupBy(col("tm_name"))
+      .agg(sum(col("amount_c")).as("amount_c"))
+}
