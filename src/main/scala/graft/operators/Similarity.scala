@@ -374,16 +374,29 @@ object Similarity {
     * deployment split (FAISS: train+add offline, search online). */
   def writeAnnIndex(spark: SparkSession, dir: String, out: String,
                     nClusters: Int = 16, iters: Int = 2,
-                    m: Int = 4, nCodes: Int = 16): Unit = {
-    val emb = Tables.embeddings(spark, dir)
-    val dim = embDim(emb)
+                    m: Int = 4, nCodes: Int = 16): Unit =
+    encodeForIndex(spark, dir, Tables.embeddings(spark, dir),
+      nClusters, iters, m, nCodes)
+      .write.mode("overwrite").partitionBy("cid").parquet(out)
+
+  /** Encode (vec_id, embedding) rows as index rows (vec_id, cid,
+    * codes) with the model trained on `modelDir`'s corpus — the one
+    * encode used by the offline build ([[writeAnnIndex]]), incremental
+    * append ([[appendAnnIndex]]) and the streaming maintenance sink
+    * ([[graft.streaming.Runner.annIndexMaintainQuery]]), so no two
+    * write paths can drift in how they assign cells or codes. Narrow:
+    * one argmax + m sub-argmaxes per row, zero shuffles. */
+  def encodeForIndex(spark: SparkSession, modelDir: String, vectors: DataFrame,
+                     nClusters: Int = 16, iters: Int = 2,
+                     m: Int = 4, nCodes: Int = 16): DataFrame = {
+    val dim = embDim(Tables.embeddings(spark, modelDir))
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
     val subDim = dim / m
-    val cents = centsFor(spark, dir, nClusters, iters, trainFraction = 1.0)
-    val codebooks = booksFor(spark, dir, m, nCodes, iters)
-    emb.select(col("vec_id"), assignCol(cents, col("embedding")).as("cid"),
-        array(pqCodeCols(codebooks, subDim): _*).as("codes"))
-      .write.mode("overwrite").partitionBy("cid").parquet(out)
+    val cents = centsFor(spark, modelDir, nClusters, iters, trainFraction = 1.0)
+    val codebooks = booksFor(spark, modelDir, m, nCodes, iters)
+    vectors.select(col("vec_id"),
+      assignCol(cents, col("embedding")).as("cid"),
+      array(pqCodeCols(codebooks, subDim): _*).as("codes"))
   }
 
   /** Incremental index maintenance — the FAISS `add()` analog: encode
@@ -418,14 +431,7 @@ object Similarity {
                      modelDir: String = null,
                      compactTouchedCells: Boolean = false): Unit = {
     val mDir = Option(modelDir).getOrElse(dir)
-    val dim = embDim(Tables.embeddings(spark, mDir))
-    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
-    val subDim = dim / m
-    val cents = centsFor(spark, mDir, nClusters, iters, trainFraction = 1.0)
-    val codebooks = booksFor(spark, mDir, m, nCodes, iters)
-    val encoded = newVectors.select(col("vec_id"),
-        assignCol(cents, col("embedding")).as("cid"),
-        array(pqCodeCols(codebooks, subDim): _*).as("codes"))
+    val encoded = encodeForIndex(spark, mDir, newVectors, nClusters, iters, m, nCodes)
     encoded.write.mode("append").partitionBy("cid").parquet(indexPath)
     if (compactTouchedCells) {
       // bounded collect: ≤ nClusters cell ids, the probed-cells pattern

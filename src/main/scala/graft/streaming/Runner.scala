@@ -233,6 +233,41 @@ object Runner {
     * idempotent-sink recipe, partition-keyed). Model training is
     * memoized across batches (the serving session trains once — in
     * production the model ships with the index). */
+  /** Streaming ANN INDEX MAINTENANCE — the write half of the index
+    * lifecycle under continuous intake: a stream of (vec_id,
+    * embedding) rows is encoded per micro-batch with the PINNED
+    * build-time model (`modelDir` — the [[graft.operators.Similarity
+    * .appendAnnIndex]] contract: the model ships with the index and
+    * never silently retrains as the corpus grows) and landed
+    * partitioned by (batch_id, cid) under write-scoped dynamic
+    * partition OVERWRITE. The batch_id partition level is what buys
+    * EXACTLY-ONCE: a replayed batch rewrites its own partitions
+    * instead of appending duplicates — duplicate index rows are NOT
+    * benign (a duplicated candidate occupies two rerank slots and can
+    * displace a true neighbor). Cell-level partition pruning still
+    * works on the second level: serving's `cid isin (...)` filter
+    * prunes cid= subdirectories under every batch. A maintained index
+    * is therefore a directory the stream ALONE writes — seed it by
+    * feeding the base corpus as the first batch(es). */
+  def annIndexMaintainQuery(spark: SparkSession, modelDir: String,
+                            indexPath: String, vectorStream: DataFrame,
+                            checkpoint: String,
+                            nClusters: Int = 16, iters: Int = 2,
+                            m: Int = 4, nCodes: Int = 16): StreamingQuery =
+    vectorStream
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity
+          .encodeForIndex(spark, modelDir, batch, nClusters, iters, m, nCodes)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "cid").parquet(indexPath)
+      }
+      .start()
+
   def annServeQuery(spark: SparkSession, dir: String, indexPath: String,
                     queryStream: DataFrame, outDir: String, checkpoint: String,
                     k: Int = 5, nprobe: Int = 4, rerank: Int = 64): StreamingQuery =

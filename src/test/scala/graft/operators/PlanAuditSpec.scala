@@ -84,6 +84,22 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"queries planning nested-loop/cartesian joins: ${offenders.mkString(", ")}")
   }
 
+  test("bm25 never shuffles the corpus: no exchange keyed on (doc, token)") {
+    // the round-8 rework's invariant: doc length and query-term tf are
+    // NARROW per-row computations, so the only exchanges left are the
+    // tiny df agg (keyed tok), the per-doc score agg (keyed doc_id),
+    // and the single-partition top-k. The shape this guards against —
+    // an inverted-index groupBy(doc_id, tok) over every exploded token,
+    // i.e. a corpus-sized shuffle — plans an exchange keyed on BOTH
+    // columns; none of the legitimate exchanges do.
+    val plan = SparkEntry.queries("t23_bm25")(spark, sf)
+      .queryExecution.sparkPlan.toString
+    val pairKeyed = "hashpartitioning\\((doc_id#\\d+, tok#\\d+|tok#\\d+, doc_id#\\d+)".r
+    assert(pairKeyed.findFirstIn(plan).isEmpty,
+      "bm25 plans a (doc_id, tok)-keyed exchange again — the corpus-sized " +
+        "inverted-index shuffle the round-8 rework removed")
+  }
+
   test("global top-k rank windows keep their partial-limit pushdown") {
     // t23/t26/q33 rank with an UNPARTITIONED window (global top-k): safe
     // only because Spark pushes a partial limit below the single-partition

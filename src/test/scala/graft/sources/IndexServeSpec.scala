@@ -123,6 +123,13 @@ class IndexServeSpec extends AnyFunSuite with BeforeAndAfterAll {
       canon(Similarity.knnGraph(spark, sf, k = 3, nprobe = 8, rerank = 96)))
     assert(canon(Similarity.bitextMarginAnnServe(spark, sf, idx)) ===
       canon(Similarity.bitextMarginAnn(spark, sf)))
+    // plan shape: the codes come from a STANDALONE scan of the at-rest
+    // index (a leaf reading codes but no embedding) — not re-encoded
+    // from the embeddings scan
+    val leaves = Similarity.knnGraphServe(spark, sf, idx)
+      .queryExecution.sparkPlan.collectLeaves().map(_.toString)
+    assert(leaves.exists(l => l.contains("codes") && !l.contains("embedding")),
+      s"knnGraphServe has no index-only scan leaf:\n${leaves.mkString("\n")}")
     graft.ScratchCache.drain()
   }
 
@@ -155,6 +162,41 @@ class IndexServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     def canon(idx: String) = spark.read.parquet(idx)
       .collect().map(_.mkString("|")).toSet
     assert(canon(tight) === canon(loose))
+  }
+
+  test("streaming index maintenance: serve equality + replay leaves no duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-midx").toString
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // feed the whole corpus through the maintenance sink in two batches
+    def runFeed(): Unit = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-mckpt").toString
+      val q = graft.streaming.Runner.annIndexMaintainQuery(spark, sf, idx,
+        mem.toDS().toDF("vec_id", "embedding"), ckpt)
+      try {
+        mem.addData(vecs.take(vecs.length / 2)); q.processAllAvailable()
+        mem.addData(vecs.drop(vecs.length / 2)); q.processAllAvailable()
+      } finally q.stop()
+    }
+    runFeed()
+    assert(spark.read.parquet(idx).count() === vecs.length.toLong)
+    // the stream-maintained index serves identically to the in-session
+    // operator (whole corpus indexed, same pinned model)
+    def canon(df: DataFrame) = df.collect().map(_.mkString("|")).toSet
+    assert(canon(Similarity.annIvfPqServe(spark, sf, idx)) ===
+      canon(Similarity.annIvfPq(spark, sf)))
+    // replay: a fresh checkpoint re-delivers the same batches under the
+    // same batch ids — dynamic overwrite of (batch_id, cid) partitions
+    // rewrites them in place; duplicates would corrupt rerank slots
+    runFeed()
+    assert(spark.read.parquet(idx).count() === vecs.length.toLong,
+      "replayed batches appended duplicates instead of overwriting")
+    assert(spark.read.parquet(idx).select("vec_id").distinct().count() ===
+      vecs.length.toLong)
   }
 
   test("serve from the at-rest index == in-session operator; scan reads only probed cells") {
