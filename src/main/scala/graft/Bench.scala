@@ -544,14 +544,19 @@ object Bench {
     def norm(x: Double): Double =
       if (calibSec > 0 && calibEndSec > 0) math.round(x / calibMean * 1000) / 1000.0 else -1.0
     // traceability stamp: artifact ↔ commit, byte-checkable
-    val gitSha = try {
-      val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+    def git(args: String*): String = try {
+      val p = new ProcessBuilder(("git" +: args): _*)
         .redirectErrorStream(true).start()
       val s = new String(p.getInputStream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).trim
-      p.waitFor()
-      if (s.matches("[0-9a-f]{40}")) s else "unknown"
-    } catch { case _: Throwable => "unknown" }
+      p.waitFor(); s
+    } catch { case _: Throwable => "" }
+    val shaRaw = git("rev-parse", "HEAD")
+    val gitSha = if (shaRaw.matches("[0-9a-f]{40}")) shaRaw else "unknown"
+    // a sha alone can mislead: a run from a dirty tree measures code the
+    // sha does not contain — stamp that state explicitly
+    val gitDirty = git("status", "--porcelain").linesIterator
+      .exists(l => l.nonEmpty && !l.startsWith("??"))
     val wallTs = java.time.Instant.now().toString
     val calibSectionsJson = sectionCalibs.toSeq
       .map(c => (math.round(c * 10000) / 10000.0).toString)
@@ -574,7 +579,7 @@ object Bench {
       s""""stream_topology_rows_per_sec":${streamTopologyRate.toLong},""" +
       s""""stream_heavy_hitters_rocksdb_rows_per_sec":${streamHhRate.toLong},""" +
       s""""calib_sec":$calibSec,"calib_end_sec":$calibEndSec,""" +
-      s""""git_sha":"$gitSha","wall_ts":"$wallTs","sf":"$sfDir"}"""
+      s""""git_sha":"$gitSha","git_dirty":$gitDirty,"wall_ts":"$wallTs","sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: sbt prefixes stdout with [info] and appends its
     // own trailer lines, which can defeat a last-line JSON parse — leave
