@@ -112,6 +112,8 @@ object Verify {
       (if (lshTrusted("v4_ann_ivf", "v1_ann_bruteforce")) Nil else Seq("v4_ann_ivf")) ++
       (if (lshTrusted("v8_ann_pq", "v1_ann_bruteforce")) Nil else Seq("v8_ann_pq")) ++
       (if (lshTrusted("v9_ann_ivfpq", "v1_ann_bruteforce")) Nil else Seq("v9_ann_ivfpq")) ++
+      (if (lshTrusted("v15_ann_ivfpq_residual", "v1_ann_bruteforce")) Nil
+       else Seq("v15_ann_ivfpq_residual")) ++
       (if (lshTrusted("v5_near_dup_lsh", "v3_near_dup_pairs")) Nil else Seq("v5_near_dup_lsh")) ++
       (if (lshTrusted("v12_bitext_margin_ann", "v12_bitext_margin")) Nil
        else Seq("v12_bitext_margin_ann")) ++

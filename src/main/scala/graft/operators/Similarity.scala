@@ -190,7 +190,9 @@ object Similarity {
 
   /** Drop memoized ANN models (call after rewriting input parquet in
     * place, or to time a cold train — see Bench/TimeQ). */
-  def invalidateModelMemo(): Unit = { centsMemo.clear(); booksMemo.clear() }
+  def invalidateModelMemo(): Unit = {
+    centsMemo.clear(); booksMemo.clear(); residBooksMemo.clear()
+  }
 
   /** Memo contract for Bench's partial re-time pass, declared HERE next
     * to the memo it describes (same shape as `Dedup.memoDeps`): gate /
@@ -208,7 +210,12 @@ object Similarity {
     "v12_bitext_margin_ann_prod" -> Seq("v4_ann_ivf", "v8_ann_pq"),
     "v13_knn_graph"      -> Seq("v4_ann_ivf", "v8_ann_pq"),
     "v13_knn_graph_prod" -> Seq("v4_ann_ivf", "v8_ann_pq"),
-    "v13_knn_graph_serve" -> Seq("v4_ann_ivf", "v8_ann_pq"))
+    "v13_knn_graph_serve" -> Seq("v4_ann_ivf", "v8_ann_pq"),
+    // v15 reuses the coarse quantizer v4 trains; its RESIDUAL
+    // codebooks are its own per-pass cost (deliberately NOT a
+    // memoTrainer: a trainer named v15* would sort before v4 in the
+    // pass order and silently warm v4's centroid training)
+    "v15_ann_ivfpq_residual" -> Seq("v4_ann_ivf"))
 
   /** Gate queries that TRAIN the model memos (see [[memoDeps]]). */
   val memoTrainers: Set[String] = Set("v4_ann_ivf", "v8_ann_pq")
@@ -343,12 +350,26 @@ object Similarity {
     * `rerank` shortlist per query, exact-rescore only the shortlist. */
   private def ivfPqAnswer(index: DataFrame, probes: DataFrame, emb: DataFrame,
                           codebooks: Seq[Seq[Array[Float]]], subDim: Int,
-                          k: Int, rerank: Int): DataFrame = {
+                          k: Int, rerank: Int): DataFrame =
     // ADC scoring inside the probed cells only: reconstruct from the
     // literal codebooks (mathematically the per-subspace LUT sum)
+    ivfPqAnswerRecon(index, probes, emb,
+      pqRecon(codebooks, subDim, col("codes")), k, rerank)
+
+  /** Reconstruction from PQ codes against literal codebooks — the
+    * shared decode of the raw path ([[ivfPqAnswer]]) and, summed with
+    * the cell centroid, the residual path ([[annIvfPqResidual]]). */
+  private def pqRecon(codebooks: Seq[Seq[Array[Float]]], subDim: Int,
+                      codes: Column): Column = {
     val cbLit = typedLit(codebooks.map(_.flatMap(_.map(_.toDouble)).toSeq))
-    val recon = flatten(transform(col("codes"), (c, ms) =>
+    flatten(transform(codes, (c, ms) =>
       slice(element_at(cbLit, ms + 1), c * subDim + 1, lit(subDim))))
+  }
+
+  /** The IVF×PQ answer tail for a caller-supplied reconstruction
+    * column: ADC-score the probed cells, shortlist, exact-rescore. */
+  private def ivfPqAnswerRecon(index: DataFrame, probes: DataFrame, emb: DataFrame,
+                               recon: Column, k: Int, rerank: Int): DataFrame = {
     val cand = index.join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("acos", cosineHof(col("q_emb"), recon))
@@ -645,12 +666,89 @@ object Similarity {
   /** One argmax column per PQ subspace (narrow, codegen) — shared by
     * [[encodePq]] and [[annIvfPq]]'s index projection. */
   private def pqCodeCols(codebooks: Seq[Seq[Array[Float]]], subDim: Int): Seq[Column] =
+    pqCodeColsOf(codebooks, subDim, col("embedding"))
+
+  /** [[pqCodeCols]] over an arbitrary input vector column — the
+    * residual path encodes r = x − centroid(cell), not x. */
+  private def pqCodeColsOf(codebooks: Seq[Seq[Array[Float]]], subDim: Int,
+                           input: Column): Seq[Column] =
     codebooks.indices.map { s =>
       val flat = codebooks(s).flatMap(_.map(_.toDouble)).toArray
       graft.functions.NearestCentroidIdx.nearest_centroid_idx(
-        slice(col("embedding"), s * subDim + 1, subDim),
+        slice(input, s * subDim + 1, subDim),
         typedLit(flat), lit(codebooks(s).size))
     }
+
+  /** The residual r = x − centroid(cell(x)) as a FLOAT array column —
+    * the quantity residual PQ encodes. Narrow: one fused argmax (cell
+    * assignment) + one zip_with per row. */
+  private def residualCol(cents: Seq[(Long, Array[Float])], embCol: Column): Column = {
+    val flat = cents.flatMap(_._2.map(_.toDouble)).toArray
+    val idx = graft.functions.NearestCentroidIdx.nearest_centroid_idx(
+      embCol, typedLit(flat), lit(cents.size))
+    val mat = typedLit(cents.map(_._2.map(_.toDouble).toSeq))
+    val cvec = element_at(mat, idx + 1)
+    transform(zip_with(embCol, cvec, (x, c) => x.cast("double") - c),
+      d => d.cast("float"))
+  }
+
+  /** Residual codebook memo (the [[booksMemo]] pattern — residual
+    * codebooks depend on the coarse quantizer too, so the key carries
+    * both dial sets). */
+  private val residBooksMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), Seq[Seq[Array[Float]]]]()
+
+  private def residBooksFor(spark: SparkSession, dir: String, nClusters: Int,
+                            cIters: Int, m: Int, nCodes: Int,
+                            iters: Int): Seq[Seq[Array[Float]]] =
+    residBooksMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir,
+        s"$nClusters:$cIters:$m:$nCodes:$iters"),
+      _ => {
+        val emb = Tables.embeddings(spark, dir)
+        val cents = centsFor(spark, dir, nClusters, cIters, trainFraction = 1.0)
+        pqCodebooks(
+          emb.select(col("vec_id"),
+            residualCol(cents, col("embedding")).as("embedding")),
+          m, nCodes, iters)
+      })
+
+  /** v9 with RESIDUAL encoding — the FAISS IVFPQ default: PQ codebooks
+    * are trained on (and codes encode) r = x − centroid(cell(x))
+    * instead of x. On corpora with cluster structure the residuals
+    * have far smaller variance than the raw vectors, so the same
+    * 2-byte code budget quantizes them with lower error — better ADC
+    * ranking, smaller recall-complete rerank (asserted on a clustered
+    * synthetic corpus by ResidualPqSpec; on THIS corpus's
+    * structureless embeddings the two paths probe alike, which the
+    * spec also pins). Decode is centroid(cid) + codeword concat — the
+    * probe/join/rerank shape is IDENTICAL to [[annIvfPq]], exactly as
+    * its Scaladoc promised: only the encode/reconstruct columns
+    * change. */
+  def annIvfPqResidual(spark: SparkSession, dir: String, nQueries: Int = 10,
+                       k: Int = 5, nClusters: Int = 16, iters: Int = 2,
+                       nprobe: Int = 4, m: Int = 4, nCodes: Int = 16,
+                       rerank: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dim = embDim(emb)
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val subDim = dim / m
+    val cents = centsFor(spark, dir, nClusters, iters, trainFraction = 1.0)
+    val books = residBooksFor(spark, dir, nClusters, iters, m, nCodes, iters)
+    val index = emb.select(col("vec_id"),
+      assignCol(cents, col("embedding")).as("cid"),
+      array(pqCodeColsOf(books, subDim,
+        residualCol(cents, col("embedding"))): _*).as("codes"))
+    // decode = centroid + residual reconstruction; centroid looked up
+    // by cid VALUE through the literal id list (cells are whole
+    // partitions of the join, so the lookup is one element_at per row)
+    val centIds = cents.map(_._1)
+    val mat = typedLit(cents.map(_._2.map(_.toDouble).toSeq))
+    val cvec = element_at(mat, array_position(typedLit(centIds), col("cid")).cast("int"))
+    val recon = zip_with(cvec, pqRecon(books, subDim, col("codes")), (a, b) => a + b)
+    ivfPqAnswerRecon(index, ivfProbes(emb, cents, nQueries, nprobe), emb,
+      recon, k, rerank)
+  }
 
   /** Embedding-cosine near-dup pairs above a threshold. Exact at test SF
     * via block-nested join through LSH buckets; pairs output. */
@@ -1332,6 +1430,15 @@ object Similarity {
     // bench's prod line. Verify's recall probe re-checks per run and
     // auto-demotes to rows-only if a regenerated corpus breaks it.
     "v9_ann_ivfpq" -> ((s, d) => annIvfPq(s, d, nprobe = 14, rerank = 248)),
+    // v15 gate profile: cheapest recall-complete (nprobe, rerank) for
+    // the RESIDUAL encoding on the pinned corpora (tools/ProbeResidual:
+    // 14:200 misses neighbors, 14:208 is complete at sf0.001 AND
+    // sf0.01). Note the dial vs raw v9's 14:248 — residual codes rank
+    // well enough to shave the complete rerank 16% even on
+    // structureless embeddings; on clustered corpora the gap is recall
+    // itself (ResidualPqSpec).
+    "v15_ann_ivfpq_residual" -> ((s, d) =>
+      annIvfPqResidual(s, d, nprobe = 14, rerank = 208)),
     // v8 gate profile: the cheapest recall-complete rerank shortlist on
     // the pinned corpora, found by tools/ProbePq (256 misses neighbors,
     // 272 is complete at sf0.001 AND sf0.01; runtime is dominated by
@@ -1399,6 +1506,11 @@ object Similarity {
     // only affect recall and the rescore is exact — recall-complete
     // (probed per run by Verify) ⇒ the exact oracle applies.
     "v9_ann_ivfpq" -> exactAnnSql,
+    // v15 under the same precondition as v9 — residual encoding only
+    // changes which candidates reach the (exact) rescore, so when the
+    // Verify probe confirms set-equality with the exact sweep, the
+    // exact oracle applies verbatim.
+    "v15_ann_ivfpq_residual" -> exactAnnSql,
     "v3_near_dup_pairs" -> exactNearDupSql,
     "v5_near_dup_lsh" -> exactNearDupSql,
     // boolean/integer output only — the cosine appears solely inside
