@@ -393,12 +393,32 @@ object Similarity {
     * vector, laid out so each query's nprobe cells are whole partitions.
     * Build offline, serve with [[annIvfPqServe]]: the production
     * deployment split (FAISS: train+add offline, search online). */
+  /** `includeVectors = true` stores the FULL vectors in the index
+    * alongside the codes (cid-partitioned like everything else) — the
+    * FAISS shape, where the index IS the vector storage. Serving then
+    * rescоres from the probed cells' own files instead of joining back
+    * to the corpus relation: the DriveAnnScale ladder measured that
+    * corpus-join rescore SCANS the whole vector parquet to fetch a
+    * few hundred shortlist rows (bounded compute, LINEAR read — the
+    * hidden linear term in an otherwise sublinear serve), while the
+    * cell-local rescore reads ~nprobe/nClusters of the vectors. The
+    * cost is index bytes ≈ vector bytes (4·dim per entry) instead of
+    * 2-byte codes — the standard trade; keep codes-only when a
+    * range-clustered corpus relation can prune the rescore ids
+    * instead. */
   def writeAnnIndex(spark: SparkSession, dir: String, out: String,
                     nClusters: Int = 16, iters: Int = 2,
-                    m: Int = 4, nCodes: Int = 16): Unit =
-    encodeForIndex(spark, dir, Tables.embeddings(spark, dir),
+                    m: Int = 4, nCodes: Int = 16,
+                    includeVectors: Boolean = false): Unit = {
+    val enc = encodeForIndex(spark, dir, Tables.embeddings(spark, dir),
       nClusters, iters, m, nCodes)
-      .write.mode("overwrite").partitionBy("cid").parquet(out)
+    val rows =
+      if (includeVectors)
+        enc.join(Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding")), "vec_id")
+      else enc
+    rows.write.mode("overwrite").partitionBy("cid").parquet(out)
+  }
 
   /** Encode (vec_id, embedding) rows as index rows (vec_id, cid,
     * codes) with the model trained on `modelDir`'s corpus — the one
@@ -545,7 +565,16 @@ object Similarity {
     val cids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
     val index = spark.read.parquet(indexPath)
       .filter(col("cid").isin(cids: _*))
-    ivfPqAnswer(index, probes, emb, codebooks, subDim, k, rerank)
+    // a vector-carrying index (writeAnnIndex includeVectors) rescores
+    // from the probed cells' OWN files — without it the rescore join
+    // scans the whole corpus relation to fetch rerank×queries rows
+    // (bounded compute, linear read — measured by DriveAnnScale)
+    val rescoreRel =
+      if (index.columns.contains("embedding"))
+        index.select(col("vec_id"), col("embedding"))
+      else emb.select(col("vec_id"), col("embedding"))
+    ivfPqAnswer(index.select(col("vec_id"), col("cid"), col("codes")),
+      probes, rescoreRel, codebooks, subDim, k, rerank)
   }
 
   /** v8: product-quantization ANN — the vector-COMPRESSION scale path

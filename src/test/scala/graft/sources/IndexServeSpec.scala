@@ -164,6 +164,33 @@ class IndexServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon(tight) === canon(loose))
   }
 
+  test("vector-carrying index: serve equality; NO corpus scan anywhere in the serve plan") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-vidx").toString
+    Similarity.writeAnnIndex(spark, sf, idx, includeVectors = true)
+    def canon(df: DataFrame) = df.collect().map(_.mkString("|")).toSet
+    // identical answers to the codes-only serve and the in-session form
+    assert(canon(Similarity.annIvfPqServe(spark, sf, idx)) ===
+      canon(Similarity.annIvfPq(spark, sf)))
+    assert(canon(Similarity.annIvfPqServe(spark, sf, idx, nprobe = 14, rerank = 248)) ===
+      canon(Similarity.annIvfPq(spark, sf, nprobe = 14, rerank = 248)))
+    // full locality: with caller-provided queries, the serve plan must
+    // touch ONLY the index — no leaf may scan the corpus embeddings
+    // parquet (the rescore reads the probed cells' own files). This is
+    // the property that keeps serve I/O ~nprobe/nClusters of the index
+    // at 100 TB; the codes-only layout rescans the corpus relation for
+    // the rescore join (measured linear by DriveAnnScale).
+    val qvecs = graft.Tables.embeddings(spark, sf).filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val queries = qvecs.toDF("query_id", "q_emb")
+    val served = Similarity.annIvfPqServeQueries(spark, sf, idx, queries, nprobe = 2)
+    served.collect()
+    val leaves = served.queryExecution.sparkPlan.collectLeaves().map(_.toString)
+    assert(!leaves.exists(_.contains("embeddings.parquet")),
+      s"serve plan scans the corpus relation:\n${leaves.mkString("\n")}")
+  }
+
   test("streaming index maintenance: serve equality + replay leaves no duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
