@@ -114,6 +114,8 @@ object Verify {
       (if (lshTrusted("v9_ann_ivfpq", "v1_ann_bruteforce")) Nil else Seq("v9_ann_ivfpq")) ++
       (if (lshTrusted("v15_ann_ivfpq_residual", "v1_ann_bruteforce")) Nil
        else Seq("v15_ann_ivfpq_residual")) ++
+      (if (lshTrusted("v16_ann_ivfsq8", "v1_ann_bruteforce")) Nil
+       else Seq("v16_ann_ivfsq8")) ++
       (if (lshTrusted("v5_near_dup_lsh", "v3_near_dup_pairs")) Nil else Seq("v5_near_dup_lsh")) ++
       (if (lshTrusted("v12_bitext_margin_ann", "v12_bitext_margin")) Nil
        else Seq("v12_bitext_margin_ann")) ++

@@ -215,7 +215,8 @@ object Similarity {
     // codebooks are its own per-pass cost (deliberately NOT a
     // memoTrainer: a trainer named v15* would sort before v4 in the
     // pass order and silently warm v4's centroid training)
-    "v15_ann_ivfpq_residual" -> Seq("v4_ann_ivf"))
+    "v15_ann_ivfpq_residual" -> Seq("v4_ann_ivf"),
+    "v16_ann_ivfsq8" -> Seq("v4_ann_ivf"))
 
   /** Gate queries that TRAIN the model memos (see [[memoDeps]]). */
   val memoTrainers: Set[String] = Set("v4_ann_ivf", "v8_ann_pq")
@@ -575,6 +576,42 @@ object Similarity {
       else emb.select(col("vec_id"), col("embedding"))
     ivfPqAnswer(index.select(col("vec_id"), col("cid"), col("codes")),
       probes, rescoreRel, codebooks, subDim, k, rerank)
+  }
+
+  /** v16: IVF × scalar-quantization (int8) ANN — the FAISS IVF-SQ8
+    * shape and the third encode family (full vectors → v4; 2-byte PQ
+    * codes → v9; int8 vectors → here): candidates inside the probed
+    * cells are scored against the SYMMETRIC-INT8 quantized vectors
+    * (v6's construction — scale = max|x|/127, qᵢ = round(xᵢ/scale)),
+    * a 4× payload shrink with ~0.4%-per-component error, so the
+    * approximate ranking is nearly exact and the recall-complete
+    * rerank is small (contrast v8/v9, whose 128× compression needs
+    * large reranks on structureless data). The per-vector scale is
+    * NOT stored: cosine is invariant under positive per-vector
+    * scaling, so the int pattern alone carries the angle.
+    *
+    * Scale shape: identical probe/join/rerank to v9 — cells as
+    * equi-join partitions, int8 payloads in the probed cells only,
+    * full vectors touched for rerank × queries rows. The middle point
+    * of the compression/recall trade the three families span. */
+  def annIvfSq8(spark: SparkSession, dir: String, nQueries: Int = 10,
+                k: Int = 5, nClusters: Int = 16, iters: Int = 2,
+                nprobe: Int = 4, rerank: Int = 16): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = centsFor(spark, dir, nClusters, iters, trainFraction = 1.0)
+    // scale materialized in its own projection (the v6 rationale: HOF
+    // lambda bodies get no common-subexpression elimination)
+    val withScale = emb.select(col("vec_id"), col("embedding"),
+      assignCol(cents, col("embedding")).as("cid"),
+      (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+        / 127.0).as("scale"))
+    val index = withScale.select(col("vec_id"), col("cid"),
+      when(col("scale") === 0,
+        transform(col("embedding"), _ => lit(0)))
+        .otherwise(transform(col("embedding"),
+          x => round(x.cast("double") / col("scale")).cast("int"))).as("q8"))
+    ivfPqAnswerRecon(index, ivfProbes(emb, cents, nQueries, nprobe), emb,
+      transform(col("q8"), x => x.cast("double")), k, rerank)
   }
 
   /** v8: product-quantization ANN — the vector-COMPRESSION scale path
@@ -1468,6 +1505,12 @@ object Similarity {
     // itself (ResidualPqSpec).
     "v15_ann_ivfpq_residual" -> ((s, d) =>
       annIvfPqResidual(s, d, nprobe = 14, rerank = 208)),
+    // v16 gate profile (tools/ProbeSq8): int8 error is ~0.4% per
+    // component, so the approximate ranking is nearly exact — complete
+    // at rerank=8 (vs raw PQ's 272), with nprobe=14 the same IVF
+    // routing floor as v4. The cheap end of the compression/recall
+    // trade the three encode families span.
+    "v16_ann_ivfsq8" -> ((s, d) => annIvfSq8(s, d, nprobe = 14, rerank = 8)),
     // v8 gate profile: the cheapest recall-complete rerank shortlist on
     // the pinned corpora, found by tools/ProbePq (256 misses neighbors,
     // 272 is complete at sf0.001 AND sf0.01; runtime is dominated by
@@ -1540,6 +1583,9 @@ object Similarity {
     // Verify probe confirms set-equality with the exact sweep, the
     // exact oracle applies verbatim.
     "v15_ann_ivfpq_residual" -> exactAnnSql,
+    // v16 under the same precondition (int8 scoring only affects which
+    // candidates reach the exact rescore).
+    "v16_ann_ivfsq8" -> exactAnnSql,
     "v3_near_dup_pairs" -> exactNearDupSql,
     "v5_near_dup_lsh" -> exactNearDupSql,
     // boolean/integer output only — the cosine appears solely inside
