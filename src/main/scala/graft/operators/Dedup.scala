@@ -595,6 +595,71 @@ object Dedup {
         round(col("n_dup") / col("n_windows").cast("double"), 6))
   }
 
+  /** d16: exact-substring span REMOVAL — [[exactSubstring]]'s signal
+    * turned into the transform training pipelines actually apply (the
+    * suffix-array dedup pass of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): rewrite each
+    * document with every cross-document duplicated token span excised.
+    * A token is removed iff it lies inside at least one k-token window
+    * (stride 1, tail window truncated — the shared window formula)
+    * whose gram appears verbatim in ≥ 2 distinct documents; since any
+    * cross-doc duplicated span of length ≥ k contains such a window and
+    * vice versa (d11's argument), the removed set is exactly the union
+    * of ≥k-token copied spans. Output per doc: original token count,
+    * removed count, and the rebuilt text (kept tokens in order,
+    * space-joined; a fully-copied doc rebuilds to the empty string).
+    *
+    * Scale shape: the d11 machinery plus two bounded steps — the
+    * covered-position explode fans out ONLY duplicated-window
+    * occurrences (× k), i.e. work proportional to the duplication
+    * found, not the corpus; and the rebuild is a per-doc ordered
+    * aggregation whose group size is the doc's own token count — the
+    * same per-row envelope as holding the text column. All shuffles
+    * are gram- or doc-keyed; nothing is all-pairs.
+    *
+    * The DuckDB oracle hard-codes the default `k = 8`; non-default
+    * invocations are NOT gate-checked. */
+  def spanDedup(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    spanDedupOn(Tables.documents(spark, dir), k)
+
+  /** [[spanDedup]] over any (doc_id, text) frame. */
+  def spanDedupOn(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    val toks = ScratchCache.arm(
+      docs.select(col("doc_id"), tokens(col("text")).as("toks")))
+    // every window occurrence WITH its start position (posexplode);
+    // persisted: feeds the dup-gram aggregate AND the coverage join
+    val wins = ScratchCache.arm(
+      toks.select(col("doc_id"), size(col("toks")).as("nt"),
+          posexplode(tokenWindows(col("toks"), k, 1)))
+        .withColumnRenamed("pos", "s").withColumnRenamed("col", "gram"))
+    val dupGrams = wins.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("gram"))
+    // positions covered by some duplicated window: s .. min(s+k-1, nt-1)
+    // (the tail window is truncated, never out of range)
+    val covered = wins.join(dupGrams, Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("s"),
+          least(col("s") + lit(k - 1), col("nt") - 1))).as("p"))
+      .distinct()
+    val kept = toks.select(col("doc_id"), posexplode(col("toks")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+      .join(covered, Seq("doc_id", "p"), "left_anti")
+    // ordered rebuild: array_sort on (p, tok) structs — p is unique per
+    // doc, so the order (and the output) is deterministic
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok")), " ").as("dedup_text"))
+    toks.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
   /** d12: fuzzy decontamination — the near-dup analogue of
     * [[TextOps.decontaminate]]: a training document is contaminated when
     * it is a NEAR-duplicate (word-3-shingle Jaccard ≥ `minJ`) of any
@@ -756,6 +821,7 @@ object Dedup {
     "d13_source_overlap" -> ((s, d) => sourceOverlap(s, d)),
     "d12_fuzzy_decontaminate" -> ((s, d) => fuzzyDecontaminate(s, d)),
     "d11_exact_substring" -> ((s, d) => exactSubstring(s, d)),
+    "d16_span_dedup" -> ((s, d) => spanDedup(s, d)),
     "d7_near_dup_clusters" -> ((s, d) => nearDupClusters(s, d)),
     "d8_keep_best" -> ((s, d) => keepBest(s, d)),
     "d1_dedup_exact" -> exact,
@@ -915,6 +981,39 @@ object Dedup {
         |             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
         |FROM w LEFT JOIN dg ON w.gram = dg.gram
         |GROUP BY w.doc_id""".stripMargin,
+    "d16_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, LEN(t) AS nt,
+        |         UNNEST([{'s': i, 'g': array_to_string(t[i+1:i+8], ' ')}
+        |                 FOR i IN range(0, GREATEST(LEN(t)-8, 0) + 1)],
+        |                recursive := true)
+        |  FROM toks),
+        |dg AS (
+        |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM w)
+        |  GROUP BY g HAVING COUNT(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT w.doc_id, UNNEST(range(w.s, LEAST(w.s + 8, w.nt))) AS p
+        |  FROM w JOIN dg ON w.g = dg.g),
+        |tokpos AS (
+        |  SELECT doc_id, UNNEST([{'p': i, 'tok': t[i+1]}
+        |                         FOR i IN range(0, LEN(t))],
+        |                        recursive := true)
+        |  FROM toks),
+        |kept AS (
+        |  SELECT tokpos.doc_id, tokpos.p, tokpos.tok
+        |  FROM tokpos LEFT JOIN cov
+        |    ON tokpos.doc_id = cov.doc_id AND tokpos.p = cov.p
+        |  WHERE cov.p IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |         STRING_AGG(tok, ' ' ORDER BY p) AS dedup_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT toks.doc_id, CAST(LEN(toks.t) AS BIGINT) AS n_tokens,
+        |       CAST(LEN(toks.t) - COALESCE(rebuilt.n_kept, 0) AS BIGINT) AS n_removed,
+        |       COALESCE(rebuilt.dedup_text, '') AS dedup_text
+        |FROM toks LEFT JOIN rebuilt USING (doc_id)""".stripMargin,
     "d7_near_dup_clusters" ->
       s"""$clustersSqlPrefix
          |SELECT doc_id, cluster_id FROM clusters""".stripMargin,

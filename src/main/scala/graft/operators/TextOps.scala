@@ -323,6 +323,129 @@ object TextOps {
           6).as("avg_logprob"))
   }
 
+  /** t29: model-based quality classification — the trained-classifier
+    * quality filter every modern pretraining pipeline runs (GPT-3's
+    * WebText-vs-crawl logistic filter, CCNet's fastText classifier),
+    * expressed as multinomial Naive Bayes so training is exact
+    * distributed arithmetic instead of SGD: docs from `posSource`
+    * stand in for the curated high-quality reference, docs from
+    * `negSource` for the raw crawl, and every document is scored by
+    * its average per-token log-odds
+    * Σ n·(ln P(tok|pos) − ln P(tok|neg)) / Σ n with add-1 smoothing
+    * over the seed-union vocabulary (tokens unseen in either seed get
+    * the constant smoothed floor). `keep` = rounded score > 0.
+    *
+    * Scale shape (the t19/t22 pattern): the class-conditional counts
+    * are ONE vocab-bounded aggregate over the seed docs only; the
+    * model and its totals join back BROADCAST; the corpus shuffles
+    * only its distinct (doc, token) pairs. At 100 TB the seeds are a
+    * fixed sample and only the narrow scoring join touches every
+    * document — the exact deployment shape of the fastText filter,
+    * with the model as a broadcast relation instead of a binary blob.
+    *
+    * Float parity: both sides sum identical ln-ratio terms per doc and
+    * round to 6 dp (the t19 precedent); the keep flag compares the
+    * ROUNDED score so the boolean cannot straddle an ulp. The DuckDB
+    * oracle hard-codes the default sources; non-default invocations
+    * are NOT gate-checked. */
+  def nbQuality(spark: SparkSession, dir: String,
+                posSource: String = "src0",
+                negSource: String = "src1"): DataFrame = {
+    require(posSource != negSource, "seed classes must differ")
+    val docs = Tables.documents(spark, dir)
+    val tf = ScratchCache.arm(
+      docs.select(col("doc_id"), col("source"), explode(tokens("text")).as("tok"))
+        .groupBy(col("doc_id"), col("source"), col("tok"))
+        .agg(count(lit(1)).as("n")))
+    val model = tf.filter(col("source").isin(posSource, negSource))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("source") === posSource, col("n")).otherwise(0L)).as("cp"),
+        sum(when(col("source") === negSource, col("n")).otherwise(0L)).as("cn"))
+    // totals + vocab as a broadcast ONE-ROW relation (the t19 pattern);
+    // long arithmetic, cast to double only inside the ratio
+    val stats = model.agg(sum(col("cp")).as("tot_p"), sum(col("cn")).as("tot_n"),
+      count(lit(1)).as("vocab"))
+    val scored = tf.join(broadcast(model), Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        round(
+          sum(col("n") * (
+            log((coalesce(col("cp"), lit(0L)) + lit(1)) /
+              (col("tot_p") + col("vocab")).cast("double")) -
+              log((coalesce(col("cn"), lit(0L)) + lit(1)) /
+                (col("tot_n") + col("vocab")).cast("double")))) / sum(col("n")),
+          6).as("avg_logodds"))
+    scored.withColumn("keep", col("avg_logodds") > 0)
+  }
+
+  /** t30: DSIR importance resampling — Data Selection with Importance
+    * Resampling (Xie et al. 2023): select pretraining documents whose
+    * hashed-n-gram feature distribution matches a small high-quality
+    * TARGET corpus, by (1) estimating target and raw unigram-of-feature
+    * distributions over `nBuckets` hashed bigram buckets, (2) scoring
+    * every document with its log importance weight
+    * Σ n·(ln p̂_target(f) − ln p̂_raw(f)) (add-1 smoothed over the
+    * bucket space), and (3) Gumbel-top-k resampling `budget` docs —
+    * sampling WITHOUT replacement ∝ exp(log_w) is exactly taking the
+    * top k of log_w + Gumbel noise, and the noise here is DETERMINISTIC
+    * (inverse-CDF of an md5-derived uniform, the t9/t14 arithmetic), so
+    * the sample is reproducible AND value-oracled. Docs from
+    * `targetSource` stand in for the curated target corpus.
+    *
+    * Scale shape: feature hashing is narrow (md5 → bucket); both
+    * histograms are ONE map-side-combined aggregate with ≤ `nBuckets`
+    * output rows; the scoring join broadcasts the bucket table; the
+    * final selection is a global top-k (TakeOrderedAndProject — no full
+    * sort). The corpus shuffles only its distinct (doc, bucket) pairs —
+    * strictly narrower than (doc, token).
+    *
+    * Float parity: both sides compute identical smoothed ln-ratio terms
+    * and identical Gumbel keys; displayed values round to 6 dp. The
+    * top-`budget` cut orders by the full-precision key (cross-engine
+    * sum-order noise ~1e-12 vs continuous key spacing — the v7/t11
+    * float-ordering precedent). The DuckDB oracle hard-codes the
+    * defaults; non-default invocations are NOT gate-checked. */
+  def dsirSample(spark: SparkSession, dir: String,
+                 targetSource: String = "src0",
+                 nBuckets: Int = 1024, budget: Int = 100): DataFrame = {
+    require(nBuckets >= 2 && budget >= 1)
+    val docs = Tables.documents(spark, dir)
+    val feats = ScratchCache.arm(
+      docs.select(col("doc_id"), col("source"), tokens("text").as("toks"))
+        .select(col("doc_id"), col("source"),
+          explode(tokenWindows(col("toks"), 2, 1)).as("bg"))
+        .withColumn("f",
+          (conv(substring(md5(col("bg").cast("binary")), 1, 8), 16, 10)
+            .cast("long") % nBuckets).cast("int"))
+        .groupBy(col("doc_id"), col("source"), col("f"))
+        .agg(count(lit(1)).as("n")))
+    // every observed bucket has cr >= 1, so the scoring join is inner;
+    // unobserved buckets never contribute to any doc's sum
+    val hist = feats.groupBy(col("f"))
+      .agg(sum(when(col("source") === targetSource, col("n")).otherwise(0L)).as("ct"),
+        sum(col("n")).as("cr"))
+    val tots = hist.agg(sum(col("ct")).as("tot_t"), sum(col("cr")).as("tot_r"))
+    val w = feats.join(broadcast(hist), Seq("f"))
+      .crossJoin(broadcast(tots))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_feats"),
+        sum(col("n") * (
+          log((col("ct") + lit(1)) /
+            (col("tot_t") + lit(nBuckets)).cast("double")) -
+            log((col("cr") + lit(1)) /
+              (col("tot_r") + lit(nBuckets)).cast("double")))).as("log_w"))
+    // deterministic Gumbel: u from the doc_id md5 (t9's arithmetic),
+    // g = -ln(-ln(u)); key = log_w + g
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    w.withColumn("key", col("log_w") + -log(-log(u)))
+      .orderBy(col("key").desc, col("doc_id")).limit(budget)
+      .select(col("doc_id"), col("n_feats"),
+        round(col("log_w"), 6).as("log_w"),
+        round(col("key"), 6).as("sample_key"))
+  }
+
   /** t20: dataset card — the per-(source, language) composition report
     * every corpus release ships: document and token counts, average
     * document size, and each stratum's share of the corpus. One
@@ -983,6 +1106,8 @@ object TextOps {
     "t18_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "t19_unigram_logprob" -> unigramLogProb,
     "t22_bigram_logprob" -> bigramLogProb,
+    "t29_nb_quality" -> ((s, d) => nbQuality(s, d)),
+    "t30_dsir_sample" -> ((s, d) => dsirSample(s, d)),
     "t20_dataset_card" -> datasetCard,
     // t21 is rows-only BY DESIGN: zlib byte counts are deterministic
     // but engine-specific (no DuckDB analog) — see compressionRatio
@@ -1214,6 +1339,62 @@ object TextOps {
         |       ROUND(SUM(tf.n * ln(m.c / tot.total)) / SUM(tf.n), 6) AS avg_logprob
         |FROM tf JOIN m USING (tok), tot
         |GROUP BY tf.doc_id""".stripMargin,
+    "t29_nb_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         UNNEST(string_split_regex(TRIM(text), '\s+')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, source, tok, COUNT(*) AS n FROM t GROUP BY 1, 2, 3),
+        |m AS (SELECT tok,
+        |        CAST(SUM(CASE WHEN source = 'src0' THEN n ELSE 0 END) AS BIGINT) AS cp,
+        |        CAST(SUM(CASE WHEN source = 'src1' THEN n ELSE 0 END) AS BIGINT) AS cn
+        |      FROM tf WHERE source IN ('src0', 'src1') GROUP BY 1),
+        |s AS (SELECT CAST(SUM(cp) AS BIGINT) AS tot_p, CAST(SUM(cn) AS BIGINT) AS tot_n,
+        |             CAST(COUNT(*) AS BIGINT) AS vocab FROM m),
+        |scored AS (
+        |  SELECT tf.doc_id, CAST(SUM(tf.n) AS BIGINT) AS n_tokens,
+        |         ROUND(SUM(tf.n * (ln((COALESCE(m.cp, 0) + 1)
+        |                              / CAST(s.tot_p + s.vocab AS DOUBLE))
+        |                         - ln((COALESCE(m.cn, 0) + 1)
+        |                              / CAST(s.tot_n + s.vocab AS DOUBLE))))
+        |               / SUM(tf.n), 6) AS avg_logodds
+        |  FROM tf LEFT JOIN m USING (tok), s
+        |  GROUP BY tf.doc_id)
+        |SELECT doc_id, n_tokens, avg_logodds, avg_logodds > 0 AS keep
+        |FROM scored""".stripMargin,
+    "t30_dsir_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(TRIM(text), '\s+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source,
+        |         UNNEST([array_to_string(t[i+1:i+2], ' ')
+        |                 FOR i IN range(0, GREATEST(LEN(t)-2, 0) + 1)]) AS bg
+        |  FROM toks),
+        |tf AS (
+        |  SELECT doc_id, source,
+        |         CAST(CAST('0x' || substr(md5(bg), 1, 8) AS BIGINT) % 1024 AS INTEGER) AS f,
+        |         COUNT(*) AS n
+        |  FROM bg GROUP BY 1, 2, 3),
+        |hist AS (
+        |  SELECT f,
+        |         CAST(SUM(CASE WHEN source = 'src0' THEN n ELSE 0 END) AS BIGINT) AS ct,
+        |         CAST(SUM(n) AS BIGINT) AS cr
+        |  FROM tf GROUP BY 1),
+        |tots AS (SELECT CAST(SUM(ct) AS BIGINT) AS tot_t,
+        |                CAST(SUM(cr) AS BIGINT) AS tot_r FROM hist),
+        |w AS (
+        |  SELECT tf.doc_id, CAST(SUM(tf.n) AS BIGINT) AS n_feats,
+        |         SUM(tf.n * (ln((hist.ct + 1) / CAST(tots.tot_t + 1024 AS DOUBLE))
+        |                   - ln((hist.cr + 1) / CAST(tots.tot_r + 1024 AS DOUBLE)))) AS log_w
+        |  FROM tf JOIN hist USING (f), tots GROUP BY tf.doc_id),
+        |keyed AS (
+        |  SELECT doc_id, n_feats, log_w,
+        |         log_w + (-ln(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
+        |                          / 4294967296.0))) AS key
+        |  FROM w)
+        |SELECT doc_id, n_feats, ROUND(log_w, 6) AS log_w, ROUND(key, 6) AS sample_key
+        |FROM keyed ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
     "t22_bigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),

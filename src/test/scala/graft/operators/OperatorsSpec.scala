@@ -1640,4 +1640,159 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val a = TextOps.domainMixOf(docs, 37).collect().map(_.toSeq).toSet
     assert(a === TextOps.domainMixOf(docs, 37).collect().map(_.toSeq).toSet)
   }
+
+  test("d16 span_dedup == driver-side reference; removal set is exactly the dup-window cover") {
+    import spark.implicits._
+    val k = 8
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def toks(t: String): Array[String] = t.trim.split("\\s+")
+    // reference: windows with positions (tail truncated), cross-doc dup
+    // grams, covered positions, ordered rebuild — independent code path
+    val wins = docs.flatMap { case (id, t) =>
+      val a = toks(t)
+      (0 to math.max(a.length - k, 0)).map(s =>
+        (id, s, a.slice(s, s + k).mkString(" ")))
+    }
+    val dup = wins.map { case (id, _, g) => (g, id) }.distinct
+      .groupBy(_._1).collect { case (g, ds) if ds.length >= 2 => g }.toSet
+    val covered = wins.filter(w => dup(w._3)).flatMap { case (id, s, _) =>
+      val n = toks(docs.find(_._1 == id).get._2).length
+      (s until math.min(s + k, n)).map(p => (id, p))
+    }.toSet
+    val expect = docs.map { case (id, t) =>
+      val a = toks(t)
+      val kept = a.indices.filterNot(p => covered((id, p))).map(a)
+      (id, (a.length.toLong, (a.length - kept.length).toLong, kept.mkString(" ")))
+    }.toMap
+    val got = Dedup.spanDedup(spark, sf, k)
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.length === docs.length, "one row per document")
+    got.foreach { case (id, nt, nr, txt) =>
+      val (ent, enr, etxt) = expect(id)
+      assert(nt === ent && nr === enr && txt === etxt, s"doc $id")
+    }
+    // the corpus must actually exercise removal (planted near-dups share
+    // long spans) AND keep most docs untouched
+    assert(got.count(_._3 > 0) > 0, "no spans removed — corpus assumption broken")
+    assert(got.count(_._3 == 0) > 0, "everything removed — corpus assumption broken")
+    // consistency with d11: a doc loses tokens iff d11 sees dup windows
+    val d11 = Dedup.exactSubstring(spark, sf, k)
+      .select("doc_id", "n_dup").as[(Long, Long)].collect().toMap
+    got.foreach { case (id, _, nr, _) =>
+      assert((nr > 0) === (d11(id) > 0), s"d11/d16 disagree on doc $id")
+    }
+  }
+
+  test("d16 span_dedup: planted duplicate span is excised, unique text survives") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $span delta"),
+      (2L, s"$span epsilon zeta eta theta iota kappa"),
+      (3L, "nothing shared here at all in this row")).toDF("doc_id", "text")
+    val out = Dedup.spanDedupOn(docs, 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 12L, 8L, "alpha beta gamma delta")))
+    assert(out(1) === ((2L, 14L, 8L, "epsilon zeta eta theta iota kappa")))
+    assert(out(2)._3 === 0L && out(2)._4 === "nothing shared here at all in this row")
+  }
+
+  test("t30 dsir_sample == driver-side reference: weights, Gumbel keys, and the top-k cut") {
+    import spark.implicits._
+    val nBuckets = 1024
+    val budget = 100
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    def md5hex8(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    def bigrams(t: String): Seq[String] = {
+      val a = t.trim.split("\\s+")
+      (0 to math.max(a.length - 2, 0)).map(s => a.slice(s, s + 2).mkString(" "))
+    }
+    // reference: bucket histograms, smoothed log-ratio weights, keys
+    val featsByDoc = docs.map { case (id, src, t) =>
+      (id, src, bigrams(t).map(b => (md5hex8(b) % nBuckets).toInt))
+    }
+    val ct = scala.collection.mutable.HashMap.empty[Int, Long].withDefaultValue(0L)
+    val cr = scala.collection.mutable.HashMap.empty[Int, Long].withDefaultValue(0L)
+    featsByDoc.foreach { case (_, src, fs) => fs.foreach { f =>
+      if (src == "src0") ct(f) += 1
+      cr(f) += 1
+    } }
+    val (totT, totR) = (ct.values.sum, cr.values.sum)
+    val ref = featsByDoc.map { case (id, src, fs) =>
+      val logW = fs.map(f =>
+        math.log((ct(f) + 1).toDouble / (totT + nBuckets)) -
+          math.log((cr(f) + 1).toDouble / (totR + nBuckets))).sum
+      val u = (md5hex8(id.toString).toDouble + 0.5) / 4294967296.0
+      (id, src, fs.length.toLong, logW, logW - math.log(-math.log(u)))
+    }
+    val expTop = ref.sortBy { case (id, _, _, _, key) => (-key, id) }.take(budget)
+    val got = TextOps.dsirSample(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.length === budget)
+    // same docs in the same key order, same values to the rounding grain
+    got.zip(expTop).foreach { case ((id, nf, lw, key), (eid, _, enf, elw, ekey)) =>
+      assert(id === eid, s"sample membership/order diverges at doc $id vs $eid")
+      assert(nf === enf)
+      assert(math.abs(lw - elw) < 1e-6, s"log_w for doc $id")
+      assert(math.abs(key - ekey) < 1e-6, s"sample key for doc $id")
+    }
+    // importance weighting must favor the target's own docs: mean log_w
+    // of src0 docs above the corpus mean (the DSIR selection pressure)
+    val srcMean = ref.filter(_._2 == "src0").map(_._4).sum /
+      ref.count(_._2 == "src0")
+    val allMean = ref.map(_._4).sum / ref.length
+    assert(srcMean > allMean,
+      "target-source docs should carry above-average importance weight")
+    // deterministic: identical sample on re-run
+    val again = TextOps.dsirSample(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.toSeq === again.toSeq)
+  }
+
+  test("t29 nb_quality == driver-side NB reference; seed classes separate on their own docs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    def toks(t: String): Array[String] = t.trim.split("\\s+")
+    val seedCounts = scala.collection.mutable.HashMap
+      .empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    docs.foreach { case (_, src, t) =>
+      if (src == "src0" || src == "src1") toks(t).foreach { w =>
+        val (p, n) = seedCounts(w)
+        seedCounts(w) = if (src == "src0") (p + 1, n) else (p, n + 1)
+      }
+    }
+    val totP = seedCounts.valuesIterator.map(_._1).sum
+    val totN = seedCounts.valuesIterator.map(_._2).sum
+    val v = seedCounts.size.toLong
+    val expect = docs.map { case (id, _, t) =>
+      val ts = toks(t)
+      val s = ts.map { w =>
+        val (cp, cn) = seedCounts(w)
+        math.log((cp + 1).toDouble / (totP + v)) -
+          math.log((cn + 1).toDouble / (totN + v))
+      }.sum / ts.length
+      (id, (ts.length.toLong, s))
+    }.toMap
+    val got = TextOps.nbQuality(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(got.length === docs.length)
+    got.foreach { case (id, nt, score, keep) =>
+      val (ent, eScore) = expect(id)
+      assert(nt === ent, s"token count for doc $id")
+      assert(math.abs(score - eScore) < 1e-6, s"score for doc $id: $score vs $eScore")
+      assert(keep === (score > 0), s"keep flag for doc $id")
+    }
+    // on its own training docs the classifier must separate the classes
+    val bySrc = docs.map { case (id, src, _) => id -> src }.toMap
+    val posScores = got.collect { case (id, _, s, _) if bySrc(id) == "src0" => s }
+    val negScores = got.collect { case (id, _, s, _) if bySrc(id) == "src1" => s }
+    assert(posScores.nonEmpty && negScores.nonEmpty, "both seed classes present")
+    assert(posScores.sum / posScores.length > negScores.sum / negScores.length,
+      "NB must score its own positive class higher on average")
+  }
 }

@@ -58,7 +58,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     * fail the audit. */
   private val scalarBroadcasts = Map(
     "t19_unigram_logprob" -> 1, "t22_bigram_logprob" -> 1,
-    "t23_bm25" -> 1, "t26_hybrid_rrf" -> 2)
+    "t23_bm25" -> 1, "t26_hybrid_rrf" -> 2,
+    // t29's (tot_p, tot_n, vocab) / t30's (tot_t, tot_r) one-row
+    // model-totals relations
+    "t29_nb_quality" -> 1, "t30_dsir_sample" -> 1)
 
   test("no undocumented nested-loop or cartesian join in any gate query") {
     def count(hay: String, needle: String): Int =
