@@ -107,4 +107,61 @@ object Curation {
         .toDF("stage", "n_docs")
     } finally curatedIds.unpersist(blocking = false)
   }
+
+  /** The MODERN LLM-pretraining recipe — [[curateFull]]'s composition
+    * upgraded with the round-8 operators, in the order production
+    * pipelines run them: rule filter (t10) ∩ near-dup keep-best (d8) ∩
+    * decontamination (t12) ∩ **trained quality classifier** (t29) →
+    * **exact-substring span removal** (d16, computed among the
+    * survivors so cross-doc spans duplicated within the retained set
+    * are excised; docs deduplicated down to nothing drop out) →
+    * **DSIR importance resampling** (t30's core, target-vs-survivor
+    * distributions — selection AFTER filtering, the curateFull
+    * convention) → fixed-budget sequence packing (t16) of the CLEANED
+    * text, written range-clustered by (grp, bin).
+    *
+    * Scale shape: unchanged from the parts — decisions are id-only
+    * semi-joins; the span rewrite and DSIR scoring run once over the
+    * persisted survivor relation; only the ≤ `budget` selection
+    * carries cleaned text into the packing windows. */
+  def curateLlm(spark: SparkSession, dir: String, outDir: String,
+                evalN: Long = 50, targetSource: String = "src0",
+                budget: Int = 100, packBudget: Int = 512,
+                nGroups: Int = 8): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val quality = TextOps.filterDecision(spark, dir)
+      .filter(col("keep")).select(col("doc_id"))
+    val survivors = Dedup.keepBest(spark, dir)
+      .select(col("keep_id").as("doc_id"))
+    val clean = TextOps.decontaminate(spark, dir, evalN)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    val classified = TextOps.nbQuality(spark, dir)
+      .filter(col("keep")).select(col("doc_id"))
+    // survivors carry text (span-dedup AND dsir both read it) — persist
+    // the full rows; several actions run over this relation
+    val curated = docs
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(clean, Seq("doc_id"), "left_semi")
+      .join(classified, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cleaned = Dedup.spanDedupOn(curated, 8)
+        .filter(col("dedup_text") =!= "") // fully-copied docs drop out
+      val sampled = TextOps.dsirSampleOf(curated, targetSource, 1024, budget)
+        .select(col("doc_id"))
+      val selection = cleaned.join(sampled, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("dedup_text").as("text"))
+      val packed = TextOps.packSequencesOf(selection, packBudget, nGroups)
+      graft.sources.Layout.writeRangeClustered(packed, outDir, Seq("grp", "bin"))
+      Seq(
+        "total" -> docs.count(),
+        "curated" -> curated.count(),
+        "span_cleaned_nonempty" -> cleaned.count(),
+        "dsir_sampled" -> sampled.count(),
+        "packed_written" -> spark.read.parquet(outDir).count())
+        .toDF("stage", "n_docs")
+    } finally curated.unpersist(blocking = false)
+  }
 }

@@ -408,11 +408,18 @@ object TextOps {
     * defaults; non-default invocations are NOT gate-checked. */
   def dsirSample(spark: SparkSession, dir: String,
                  targetSource: String = "src0",
-                 nBuckets: Int = 1024, budget: Int = 100): DataFrame = {
+                 nBuckets: Int = 1024, budget: Int = 100): DataFrame =
+    dsirSampleOf(Tables.documents(spark, dir), targetSource, nBuckets, budget)
+
+  /** [[dsirSample]]'s core over ANY (doc_id, source, text) relation —
+    * composable on a curated subset (Curation selects FROM the
+    * survivors, so the raw distribution is the candidate pool, not the
+    * pre-filter corpus). */
+  def dsirSampleOf(docs: DataFrame, targetSource: String,
+                   nBuckets: Int, budget: Int): DataFrame = {
     require(nBuckets >= 2 && budget >= 1)
-    val docs = Tables.documents(spark, dir)
     val feats = ScratchCache.arm(
-      docs.select(col("doc_id"), col("source"), tokens("text").as("toks"))
+      docs.select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("source"),
           explode(tokenWindows(col("toks"), 2, 1)).as("bg"))
         .withColumn("f",

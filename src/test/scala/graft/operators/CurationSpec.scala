@@ -93,4 +93,44 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(rows.forall { case (_, _, off, bin) => bin === (off / 64).toInt })
   }
+
+  test("curateLlm: classifier decision honored, packed text is the span-cleaned rewrite") {
+    val out = java.nio.file.Files.createTempDirectory("graft-llm").toString
+    val summary = Curation.curateLlm(spark, sf, out, budget = 40,
+        packBudget = 64, nGroups = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val packed = spark.read.parquet(out)
+    val packedIds = packed.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // funnel: monotone, bounded by the DSIR budget
+    assert(summary("curated") <= summary("total"))
+    assert(summary("span_cleaned_nonempty") <= summary("curated"))
+    assert(summary("dsir_sampled") <= 40L)
+    assert(summary("packed_written") === packedIds.size.toLong)
+    assert(packedIds.nonEmpty, "the recipe must select something")
+
+    // every packed doc passes ALL FOUR decisions incl. the classifier
+    def idsOf(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(col(c)).collect().map(_.getLong(0)).toSet
+    val curated4 = idsOf(TextOps.filterDecision(spark, sf).filter(col("keep")), "doc_id") &
+      idsOf(Dedup.keepBest(spark, sf), "keep_id") &
+      idsOf(TextOps.decontaminate(spark, sf).filter(!col("contaminated")), "doc_id") &
+      idsOf(TextOps.nbQuality(spark, sf).filter(col("keep")), "doc_id")
+    assert(packedIds.subsetOf(curated4))
+
+    // the packed token counts are the CLEANED counts: n_tokens equals
+    // the survivor-scoped span-dedup kept-token count, not the raw one
+    val curatedDocs = Tables.documents(spark, sf)
+      .join(spark.createDataFrame(curated4.toSeq.map(Tuple1(_)))
+        .toDF("doc_id"), Seq("doc_id"), "left_semi")
+    val cleanedCounts = Dedup.spanDedupOn(curatedDocs, 8)
+      .filter(col("dedup_text") =!= "")
+      .select("doc_id", "n_tokens", "n_removed").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    val packedCounts = packed.select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    packedCounts.foreach { case (id, n) =>
+      assert(cleanedCounts(id) === n, s"packed token count for doc $id")
+    }
+  }
 }
