@@ -216,7 +216,8 @@ object Similarity {
     // memoTrainer: a trainer named v15* would sort before v4 in the
     // pass order and silently warm v4's centroid training)
     "v15_ann_ivfpq_residual" -> Seq("v4_ann_ivf"),
-    "v16_ann_ivfsq8" -> Seq("v4_ann_ivf"))
+    "v16_ann_ivfsq8" -> Seq("v4_ann_ivf"),
+    "v17_ann_ivfbq" -> Seq("v4_ann_ivf"))
 
   /** Gate queries that TRAIN the model memos (see [[memoDeps]]). */
   val memoTrainers: Set[String] = Set("v4_ann_ivf", "v8_ann_pq")
@@ -612,6 +613,45 @@ object Similarity {
           x => round(x.cast("double") / col("scale")).cast("int"))).as("q8"))
     ivfPqAnswerRecon(index, ivfProbes(emb, cents, nQueries, nprobe), emb,
       transform(col("q8"), x => x.cast("double")), k, rerank)
+  }
+
+  /** v17: IVF × binary quantization (1-bit) ANN — the FOURTH encode
+    * family and the cheapest point of the compression/recall trade
+    * (full vectors → v4; int8 → v16; 2-byte PQ → v9; ONE SIGN BIT per
+    * dimension → here, the BQ shape modern vector stores ship): each
+    * vector's 64 sign bits pack into a single LONG — a 32× payload
+    * shrink vs float32, 8 bytes a vector — and candidates inside the
+    * probed cells are ranked by the ASYMMETRIC score dot(q, sign(x))
+    * (the full-precision query against the ±1 decode; strictly better
+    * ranking than symmetric Hamming, same 8-byte index). Packing is
+    * exact bit arithmetic (sum of distinct powers of two == OR, even
+    * at bit 63 under two's complement), decode is a literal
+    * powers-table AND — both stay inside codegen, no UDF.
+    *
+    * Scale shape: identical probe/join/rerank to v9/v15/v16 — cells as
+    * equi-join partitions, 8-byte payloads in the probed cells, full
+    * vectors touched for rerank × queries rows. Sign bits keep the
+    * angle's octant only, so the recall-complete rerank sits between
+    * SQ8's (near-exact) and raw PQ's (128×-compressed) — the probed
+    * trade the four families span. */
+  def annIvfBq(spark: SparkSession, dir: String, nQueries: Int = 10,
+               k: Int = 5, nClusters: Int = 16, iters: Int = 2,
+               nprobe: Int = 4, rerank: Int = 64): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dim = embDim(emb)
+    require(dim <= 64, s"binary code packs into one long; dim ($dim) > 64")
+    val cents = centsFor(spark, dir, nClusters, iters, trainFraction = 1.0)
+    val powers = typedLit((0 until dim).map(1L << _))
+    val index = emb.select(col("vec_id"),
+      assignCol(cents, col("embedding")).as("cid"),
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
+        (acc, i) => acc + when(element_at(col("embedding"), i + 1) >= 0,
+          element_at(powers, i + 1)).otherwise(0L)).as("bq"))
+    val recon = transform(sequence(lit(0), lit(dim - 1)),
+      i => when(col("bq").bitwiseAND(element_at(powers, i + 1)) =!= 0, lit(1.0))
+        .otherwise(lit(-1.0)))
+    ivfPqAnswerRecon(index, ivfProbes(emb, cents, nQueries, nprobe), emb,
+      recon, k, rerank)
   }
 
   /** v8: product-quantization ANN — the vector-COMPRESSION scale path
@@ -1511,6 +1551,11 @@ object Similarity {
     // routing floor as v4. The cheap end of the compression/recall
     // trade the three encode families span.
     "v16_ann_ivfsq8" -> ((s, d) => annIvfSq8(s, d, nprobe = 14, rerank = 8)),
+    // v17 gate profile (tools/ProbeBq): sign bits keep only the
+    // angle's octant, so the complete rerank lands at 192 (190 misses;
+    // SQ8 needs 8, raw PQ 272) — the probed map of the four-family
+    // compression/recall trade on the structureless pinned corpus.
+    "v17_ann_ivfbq" -> ((s, d) => annIvfBq(s, d, nprobe = 14, rerank = 192)),
     // v8 gate profile: the cheapest recall-complete rerank shortlist on
     // the pinned corpora, found by tools/ProbePq (256 misses neighbors,
     // 272 is complete at sf0.001 AND sf0.01; runtime is dominated by
@@ -1586,6 +1631,9 @@ object Similarity {
     // v16 under the same precondition (int8 scoring only affects which
     // candidates reach the exact rescore).
     "v16_ann_ivfsq8" -> exactAnnSql,
+    // v17 under the same precondition (sign-bit scoring only affects
+    // which candidates reach the exact rescore).
+    "v17_ann_ivfbq" -> exactAnnSql,
     "v3_near_dup_pairs" -> exactNearDupSql,
     "v5_near_dup_lsh" -> exactNearDupSql,
     // boolean/integer output only — the cosine appears solely inside
