@@ -350,17 +350,38 @@ object TextOps {
     * are NOT gate-checked. */
   def nbQuality(spark: SparkSession, dir: String,
                 posSource: String = "src0",
-                negSource: String = "src1"): DataFrame = {
+                negSource: String = "src1"): DataFrame =
+    nbScoreOf(Tables.documents(spark, dir),
+      nbModel(spark, dir, posSource, negSource))
+
+  /** [[nbQuality]]'s trained model: per-token seed-class counts
+    * (tok, cp, cn) — ONE vocab-bounded aggregate over the seed docs
+    * only (the corpus is not touched). Train once, serve many: the
+    * batch gate query derives it inline; the streaming scorer
+    * ([[graft.streaming.Runner.nbScoreQuery]]) persists it across
+    * micro-batches — the fastText deployment shape with the model as
+    * a broadcast relation instead of a binary blob. */
+  def nbModel(spark: SparkSession, dir: String,
+              posSource: String = "src0",
+              negSource: String = "src1"): DataFrame = {
     require(posSource != negSource, "seed classes must differ")
-    val docs = Tables.documents(spark, dir)
-    val tf = ScratchCache.arm(
-      docs.select(col("doc_id"), col("source"), explode(tokens("text")).as("tok"))
-        .groupBy(col("doc_id"), col("source"), col("tok"))
-        .agg(count(lit(1)).as("n")))
-    val model = tf.filter(col("source").isin(posSource, negSource))
+    Tables.documents(spark, dir)
+      .filter(col("source").isin(posSource, negSource))
+      .select(col("source"), explode(tokens("text")).as("tok"))
       .groupBy(col("tok"))
-      .agg(sum(when(col("source") === posSource, col("n")).otherwise(0L)).as("cp"),
-        sum(when(col("source") === negSource, col("n")).otherwise(0L)).as("cn"))
+      .agg(sum(when(col("source") === posSource, 1L).otherwise(0L)).as("cp"),
+        sum(when(col("source") === negSource, 1L).otherwise(0L)).as("cn"))
+  }
+
+  /** Score ANY (doc_id, text) relation against a trained [[nbModel]] —
+    * the serve half: stateless per-doc arithmetic, the model and its
+    * one-row totals broadcast, the input shuffling only its distinct
+    * (doc, token) pairs. Shared by the batch gate query and the
+    * streaming scorer so their values cannot drift. */
+  def nbScoreOf(docs: DataFrame, model: DataFrame): DataFrame = {
+    val tf = ScratchCache.arm(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n")))
     // totals + vocab as a broadcast ONE-ROW relation (the t19 pattern);
     // long arithmetic, cast to double only inside the ratio
     val stats = model.agg(sum(col("cp")).as("tot_p"), sum(col("cn")).as("tot_n"),

@@ -268,6 +268,40 @@ object Runner {
       }
       .start()
 
+  /** Streaming QUALITY-CLASSIFIER scoring — the stream-side deployment
+    * of t29's NB filter (the shape a crawl-intake pipeline runs: train
+    * the classifier offline on the curated seeds, score every arriving
+    * document online): the model is derived ONCE from `dir`'s seed
+    * classes and persisted across micro-batches; each batch of
+    * (doc_id, text) rows is scored STATELESSLY against the broadcast
+    * model ([[graft.operators.TextOps.nbScoreOf]] — shared with the
+    * batch gate query, so stream and batch values cannot drift), and
+    * answers land partitioned by `batch_id` under write-scoped dynamic
+    * partition overwrite (the K5 idempotent-sink recipe: a replayed
+    * batch rewrites its own partition). No cross-batch state — every
+    * doc is scored whole within its batch. The persisted model is
+    * released when the caller stops the query and the session's cache
+    * is cleared (vocab-bounded — tiny next to any corpus). */
+  def nbScoreQuery(spark: SparkSession, dir: String, docStream: DataFrame,
+                   outDir: String, checkpoint: String,
+                   posSource: String = "src0",
+                   negSource: String = "src1"): StreamingQuery = {
+    val model = graft.operators.TextOps.nbModel(spark, dir, posSource, negSource)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docStream
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextOps.nbScoreOf(batch, model)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+      }
+      .start()
+  }
+
   def annServeQuery(spark: SparkSession, dir: String, indexPath: String,
                     queryStream: DataFrame, outDir: String, checkpoint: String,
                     k: Int = 5, nprobe: Int = 4, rerank: Int = 64): StreamingQuery =
