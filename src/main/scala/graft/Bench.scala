@@ -142,6 +142,7 @@ object Bench {
       operators.Dedup.invalidateClusterMemo()
       operators.Similarity.invalidateModelMemo()
       operators.TextOps.invalidateBpeMemo()
+      operators.TextOps.invalidateUnigramMemo()
       // anchor at every section BOUNDARY; a section's calib is the MEAN
       // of its two surrounding anchors — load ramping mid-section is
       // half-captured by the trailing anchor instead of missed entirely,

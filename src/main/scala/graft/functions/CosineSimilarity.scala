@@ -195,5 +195,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         checkArity("bpe_segment", 3, exprs)
         BpeSegment(exprs.head, exprs(1), exprs(2))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("unigram_segment"),
+      new ExpressionInfo(classOf[UnigramSegment].getName, "unigram_segment"),
+      (exprs: Seq[Expression]) => {
+        checkArity("unigram_segment", 3, exprs)
+        UnigramSegment(exprs.head, exprs(1), exprs(2))
+      }))
   }
 }

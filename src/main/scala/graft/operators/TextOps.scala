@@ -474,6 +474,57 @@ object TextOps {
         round(col("key"), 6).as("sample_key"))
   }
 
+  /** t31: the Gopher n-gram character-fraction family (Rae et al. 2021,
+    * Appendix A) — the repetition signals t8 does NOT cover: per
+    * document, the fraction of characters covered by the single most
+    * repeated word n-gram (n = 2, 3, 4) and by ALL duplicated word
+    * n-grams (n = 5, 8). "Covered" is the standard overlap-ignoring
+    * simplification (occurrences × gram length / doc chars — the same
+    * one public reimplementations use), so a fraction can exceed 1 on
+    * pathological repetition; that is the signal, not a bug. All five
+    * n's ride ONE corpus scan: each doc explodes its windows for every
+    * n tagged with n, so the per-(doc, n, gram) count and the per-(doc,
+    * n) reduction are two map-side-combined shuffles bounded by
+    * distinct grams — no per-n re-scan, no join fan-in of five
+    * pipelines. Fractions rounded to 6 dp for cross-engine parity. */
+  def gopherNgramFracs(spark: SparkSession, dir: String): DataFrame =
+    gopherNgramFracsOf(Tables.documents(spark, dir))
+
+  /** [[gopherNgramFracs]] over any (doc_id, text) relation — the spec
+    * entry point: the pinned corpus never repeats a 5-gram inside one
+    * document, so the dup-branch (n = 5, 8) is exercised by a synthetic
+    * repetitive corpus in the ScalaTest, while the oracle pins its
+    * all-zero output on the real corpus. */
+  def gopherNgramFracsOf(documents: DataFrame): DataFrame = {
+    val ns = Seq(2, 3, 4, 5, 8)
+    val docs = documents
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        tokens("text").as("toks"))
+    val grams = docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(flatten(array(ns.map(n =>
+          transform(tokenWindows(col("toks"), n, 1),
+            g => struct(lit(n).as("nn"), g.as("gram")))): _*))).as("g"))
+      .select(col("doc_id"), col("n_chars"),
+        col("g.nn").as("nn"), col("g.gram").as("gram"))
+    val perN = grams
+      .groupBy(col("doc_id"), col("nn"), col("gram"))
+      .agg(count(lit(1)).as("cnt"), max(col("n_chars")).as("n_chars"))
+      .withColumn("covered", col("cnt") * length(col("gram")))
+      .groupBy(col("doc_id"), col("nn"))
+      .agg(max(col("n_chars")).as("n_chars"),
+        max(col("covered")).as("top_cov"),
+        sum(when(col("cnt") >= 2, col("covered")).otherwise(lit(0))).as("dup_cov"))
+    def frac(n: Int, c: Column): Column =
+      round(max(when(col("nn") === n, c)) / max(col("n_chars")).cast("double"), 6)
+    perN.groupBy(col("doc_id")).agg(
+      frac(2, col("top_cov")).as("top_2gram_char_frac"),
+      frac(3, col("top_cov")).as("top_3gram_char_frac"),
+      frac(4, col("top_cov")).as("top_4gram_char_frac"),
+      frac(5, col("dup_cov")).as("dup_5gram_char_frac"),
+      frac(8, col("dup_cov")).as("dup_8gram_char_frac"))
+  }
+
   /** t20: dataset card — the per-(source, language) composition report
     * every corpus release ships: document and token counts, average
     * document size, and each stratum's share of the corpus. One
@@ -1117,15 +1168,136 @@ object TextOps {
           greatest(col("n_words"), lit(1)), 4).as("subwords_per_word"))
   }
 
+  /** t32: unigram-LM tokenizer training (the SentencePiece-unigram
+    * recipe, Kudo 2018 — BPE's sibling; HF-tokenizers ships both, so
+    * does graft). Same scale split as t27: the DISTRIBUTED stage is the
+    * vocabulary-bounded word histogram — one shuffle over the corpus,
+    * map-side combined, collected behind the same loud bound — and the
+    * model loop runs driver-side on the histogram (SentencePiece
+    * itself trains in one process; the corpus-sized stage is the
+    * histogram, not the EM). Simplified-but-faithful training:
+    * occurrence-weighted substring seed (all pieces ≤ `maxPieceLen`
+    * code points), then hard-EM rounds — Viterbi E-step via the SAME
+    * kernel the `unigram_segment` expression applies
+    * ([[graft.functions.UnigramSegment.viterbi]], the lockstep
+    * contract), count re-estimation M-step, and a linear prune
+    * schedule from `seedMultiplier`×vocab down to `vocabSize` (single
+    * code points are never pruned, so every word always segments).
+    * Deterministic: sums are order-independent, every sort breaks ties
+    * (count desc, piece asc), no RNG. Rows-only at the gate (the
+    * t27 precedent — EM fixed points are not portable SQL); semantics
+    * pinned by OperatorsSpec against the expression and a brute-force
+    * Viterbi reference. Output: (piece, count, logprob) — the model
+    * table, logprob = ln(count / Σcount) over the kept vocabulary. */
+  def unigramPieces(spark: SparkSession, dir: String, vocabSize: Int = 120,
+                    maxPieceLen: Int = 5, emIters: Int = 4,
+                    maxDistinctWords: Int = 2000000): DataFrame = {
+    import spark.implicits._
+    trainUnigram(spark, dir, vocabSize, maxPieceLen, emIters, maxDistinctWords)
+      .toDF("piece", "count", "logprob")
+  }
+
+  private val unigramMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Int, Int, Int), Seq[(String, Long, Double)]]()
+
+  def invalidateUnigramMemo(): Unit = unigramMemo.clear()
+
+  private def trainUnigram(spark: SparkSession, dir: String, vocabSize: Int,
+                           maxPieceLen: Int, emIters: Int,
+                           maxDistinctWords: Int): Seq[(String, Long, Double)] =
+    unigramMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir, vocabSize, maxPieceLen, emIters,
+        maxDistinctWords), _ => {
+        require(vocabSize >= 1 && maxPieceLen >= 1 && emIters >= 1)
+        val rows = Tables.documents(spark, dir)
+          .select(explode(tokens("text")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+          .limit(maxDistinctWords + 1).collect()
+        require(rows.length <= maxDistinctWords,
+          s"corpus has > $maxDistinctWords distinct words; raise maxDistinctWords " +
+            "(the histogram stays cluster-side until this bounded collect)")
+        val words: Array[(Array[String], Long)] = rows.map { r =>
+          (graft.functions.BpeSegment.codePointSymbols(r.getString(0)), r.getLong(1))
+        }
+        // occurrence-weighted substring seed
+        val seed = scala.collection.mutable.HashMap.empty[String, Long]
+        for ((cps, n) <- words; j <- cps.indices;
+             i <- (j + 1) to math.min(j + maxPieceLen, cps.length)) {
+          val p = cps.slice(j, i).mkString
+          seed(p) = seed.getOrElse(p, 0L) + n
+        }
+        val singles: Seq[String] =
+          seed.keys.filter(p => p.codePointCount(0, p.length) == 1).toSeq.sorted
+        val seedBudget = vocabSize * 4
+        var counts: Map[String, Long] =
+          singles.map(s => s -> seed(s)).toMap ++
+            seed.iterator.filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
+              .toSeq.sortBy { case (p, c) => (-c, p) }.take(seedBudget).toMap
+        for (it <- 1 to emIters) {
+          val lp = new java.util.HashMap[String, java.lang.Double](counts.size * 2)
+          val total = counts.valuesIterator.sum.toDouble
+          counts.foreach { case (p, c) => lp.put(p, math.log(c / total)) }
+          val em = scala.collection.mutable.HashMap.empty[String, Long]
+          for ((cps, n) <- words;
+               s <- graft.functions.UnigramSegment.viterbi(cps, lp, maxPieceLen))
+            em(s) = em.getOrElse(s, 0L) + n
+          // singles never die (floor 1); multis live only if used; linear
+          // prune schedule seedBudget → vocabSize across the EM rounds
+          val budget = vocabSize + ((seedBudget - vocabSize).toLong *
+            (emIters - it) / emIters).toInt
+          val multiBudget = math.max(budget - singles.length, 0)
+          counts = singles.map(s => s -> math.max(em.getOrElse(s, 0L), 1L)).toMap ++
+            em.iterator.filter { case (p, c) =>
+              p.codePointCount(0, p.length) > 1 && c > 0 }
+              .toSeq.sortBy { case (p, c) => (-c, p) }.take(multiBudget).toMap
+        }
+        val total = counts.valuesIterator.sum.toDouble
+        counts.toSeq.sortBy { case (p, c) => (-c, p) }.map { case (p, c) =>
+          (p, c, BigDecimal(math.log(c / total))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      })
+
+  /** t33: tokenize the corpus with the learned unigram-LM pieces — the
+    * apply side of t32, via the native `unigram_segment` expression
+    * (the 12th native expression): the piece table rides the plan as
+    * parallel (string, double) array literals, tokenization is a
+    * narrow map-only scan, per-row cost O(chars × maxPieceLen) hash
+    * lookups. Emits the same per-doc reading as t28 so the two
+    * tokenizer families are directly comparable on the
+    * subwords-per-word axis. Rows-only at the gate (inherits t32's
+    * no-portable-SQL reason); OperatorsSpec pins expression ==
+    * trainer-kernel and Viterbi optimality against brute-force
+    * enumeration. */
+  def unigramTokenize(spark: SparkSession, dir: String, vocabSize: Int = 120,
+                      maxPieceLen: Int = 5, emIters: Int = 4,
+                      maxDistinctWords: Int = 2000000): DataFrame = {
+    val model = trainUnigram(spark, dir, vocabSize, maxPieceLen, emIters, maxDistinctWords)
+    val pieces = typedLit(model.map(_._1))
+    val logprobs = typedLit(model.map(_._3))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.UnigramSegment.unigram_segment(col("text"), pieces, logprobs)
+          .as("toks"),
+        size(tokens("text")).as("n_words"))
+      .select(col("doc_id"), size(col("toks")).as("n_pieces"), col("n_words"),
+        round(size(col("toks")).cast("double") /
+          greatest(col("n_words"), lit(1)), 4).as("pieces_per_word"))
+  }
+
   /** Bench memo contract (the Similarity memoDeps shape): t28 serves
-    * the BPE model t27 trains. */
+    * the BPE model t27 trains; t33 serves the unigram model t32
+    * trains. */
   val memoDeps: Map[String, Seq[String]] = Map(
-    "t28_bpe_tokenize" -> Seq("t27_bpe_merges"))
-  val memoTrainers: Set[String] = Set("t27_bpe_merges")
+    "t28_bpe_tokenize" -> Seq("t27_bpe_merges"),
+    "t33_unigram_tokenize" -> Seq("t32_unigram_pieces"))
+  val memoTrainers: Set[String] = Set("t27_bpe_merges", "t32_unigram_pieces")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t27_bpe_merges" -> ((s, d) => bpeMerges(s, d)),
     "t28_bpe_tokenize" -> ((s, d) => bpeTokenize(s, d)),
+    "t32_unigram_pieces" -> ((s, d) => unigramPieces(s, d)),
+    "t33_unigram_tokenize" -> ((s, d) => unigramTokenize(s, d)),
     "t26_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "t25_domain_mix" -> ((s, d) => domainMix(s, d)),
     "t24_ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),
@@ -1136,6 +1308,7 @@ object TextOps {
     "t22_bigram_logprob" -> bigramLogProb,
     "t29_nb_quality" -> ((s, d) => nbQuality(s, d)),
     "t30_dsir_sample" -> ((s, d) => dsirSample(s, d)),
+    "t31_gopher_fracs" -> ((s, d) => gopherNgramFracs(s, d)),
     "t20_dataset_card" -> datasetCard,
     // t21 is rows-only BY DESIGN: zlib byte counts are deterministic
     // but engine-specific (no DuckDB analog) — see compressionRatio
@@ -1423,6 +1596,31 @@ object TextOps {
         |  FROM w)
         |SELECT doc_id, n_feats, ROUND(log_w, 6) AS log_w, ROUND(key, 6) AS sample_key
         |FROM keyed ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
+    "t31_gopher_fracs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, LENGTH(text) AS n_chars,
+        |         string_split_regex(TRIM(text), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, n_chars, nn,
+        |         UNNEST([array_to_string(t[i+1:i+nn], ' ')
+        |                 FOR i IN range(0, GREATEST(LEN(t)-nn, 0) + 1)]) AS gram
+        |  FROM toks, (SELECT UNNEST([2, 3, 4, 5, 8]) AS nn) u),
+        |gc AS (
+        |  SELECT doc_id, nn, gram, MAX(n_chars) AS n_chars, COUNT(*) AS cnt
+        |  FROM grams GROUP BY 1, 2, 3),
+        |pern AS (
+        |  SELECT doc_id, nn, MAX(n_chars) AS n_chars,
+        |         MAX(cnt * LENGTH(gram)) AS top_cov,
+        |         SUM(CASE WHEN cnt >= 2 THEN cnt * LENGTH(gram) ELSE 0 END) AS dup_cov
+        |  FROM gc GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  ROUND(MAX(CASE WHEN nn = 2 THEN top_cov END) / MAX(CAST(n_chars AS DOUBLE)), 6) AS top_2gram_char_frac,
+        |  ROUND(MAX(CASE WHEN nn = 3 THEN top_cov END) / MAX(CAST(n_chars AS DOUBLE)), 6) AS top_3gram_char_frac,
+        |  ROUND(MAX(CASE WHEN nn = 4 THEN top_cov END) / MAX(CAST(n_chars AS DOUBLE)), 6) AS top_4gram_char_frac,
+        |  ROUND(MAX(CASE WHEN nn = 5 THEN dup_cov END) / MAX(CAST(n_chars AS DOUBLE)), 6) AS dup_5gram_char_frac,
+        |  ROUND(MAX(CASE WHEN nn = 8 THEN dup_cov END) / MAX(CAST(n_chars AS DOUBLE)), 6) AS dup_8gram_char_frac
+        |FROM pern GROUP BY doc_id""".stripMargin,
     "t22_bigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),

@@ -396,4 +396,77 @@ object ExpressionPropertySpec extends Properties("expressions") {
     Prop(BpeSegment(
       Literal.create(UTF8String.fromString("ab"), StringType),
       stringArray(Seq("a")), stringArray(Nil)).eval(null) == null)
+
+  // --- unigram_segment ------------------------------------------------
+  private def uniSegOf(text: String, table: Seq[(String, Double)]): Seq[String] =
+    UnigramSegment(
+      Literal.create(UTF8String.fromString(text), StringType),
+      stringArray(table.map(_._1)), doubleArray(table.map(_._2)))
+      .eval(null).asInstanceOf[ArrayData]
+      .toObjectArray(StringType).map(_.toString).toSeq
+
+  // score of a candidate segmentation under the expression's rules:
+  // in-table piece → its log-prob, unknown single → UnkLogProb,
+  // unknown multi → invalid
+  private def uniScore(pieces: Seq[String], table: Map[String, Double]): Double =
+    pieces.foldLeft(0.0) { (acc, p) =>
+      if (acc == Double.NegativeInfinity) acc
+      else table.get(p) match {
+        case Some(lp) => acc + lp
+        case None =>
+          if (p.length == 1) acc + UnigramSegment.UnkLogProb
+          else Double.NegativeInfinity
+      }
+    }
+
+  // brute force: enumerate every segmentation of the word (test alphabet
+  // is BMP, one char = one code point), take the best score
+  private def bruteBest(word: String, table: Map[String, Double]): Double = {
+    val L = word.length
+    (0 until (1 << math.max(L - 1, 0))).iterator.map { mask =>
+      val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+      var start = 0
+      for (i <- 0 until L - 1) if ((mask & (1 << i)) != 0) {
+        pieces += word.substring(start, i + 1); start = i + 1
+      }
+      pieces += word.substring(start)
+      uniScore(pieces.toSeq, table)
+    }.max
+  }
+
+  private val uniInputs: Gen[(String, Seq[(String, Double)])] = for {
+    nWords <- Gen.choose(1, 4)
+    words <- Gen.listOfN(nWords,
+      Gen.choose(1, 7).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    nPieces <- Gen.choose(0, 8)
+    table <- Gen.listOfN(nPieces, for {
+      p <- Gen.oneOf("a", "b", "c", "ab", "bc", "ca", "abc", "aab", "bb", "aaa")
+      lp <- Gen.choose(-10.0, -0.1)
+    } yield (p, lp))
+  } yield (words.mkString(" "), table.distinctBy(_._1))
+
+  property("unigram_segment is Viterbi-optimal vs brute-force enumeration") =
+    Prop.forAll(uniInputs) { case (text, table) =>
+      val m = table.toMap
+      // optimality decomposes per word: the whole-text score must equal
+      // the sum of per-word brute-force bests
+      val gotScore = uniScore(uniSegOf(text, table), m)
+      val bestScore = text.trim.split("\\s+").map(bruteBest(_, m)).sum
+      math.abs(gotScore - bestScore) < 1e-9
+    }
+
+  property("unigram_segment: concatenation round-trips to the original words") =
+    Prop.forAll(uniInputs) { case (text, table) =>
+      uniSegOf(text, table).mkString == text.trim.split("\\s+").mkString
+    }
+
+  property("unigram_segment with empty table = single code points") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf('x', 'y')).map(_.mkString)) { w =>
+      uniSegOf(w, Nil) == w.map(_.toString)
+    }
+
+  property("unigram_segment nulls on mismatched piece arrays") =
+    Prop(UnigramSegment(
+      Literal.create(UTF8String.fromString("ab"), StringType),
+      stringArray(Seq("a")), doubleArray(Nil)).eval(null) == null)
 }

@@ -1795,4 +1795,75 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(posScores.sum / posScores.length > negScores.sum / negScores.length,
       "NB must score its own positive class higher on average")
   }
+
+  test("t31 gopher fracs == driver-side reference, incl. the dup-5/8 branch the corpus never hits") {
+    import spark.implicits._
+    val docs = Seq(
+      // heavy loop: "x y z" repeated — duplicated 5- and 8-grams exist
+      (1L, Array.fill(6)("x y z").mkString(" ")),
+      (2L, "alpha beta alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three"), // shorter than 5 and 8 tokens: single clamped window
+      (4L, "solo")).toDF("doc_id", "text")
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = docs.as[(Long, String)].collect().map { case (id, text) =>
+      val a = text.trim.split("\\s+")
+      val byN = Seq(2, 3, 4, 5, 8).map { n =>
+        val counts = (0 to math.max(a.length - n, 0))
+          .map(i => a.slice(i, i + n).mkString(" "))
+          .groupBy(identity).map { case (g, o) => (g, o.size) }
+        val topCov = counts.map { case (g, c) => c.toLong * g.length }.max
+        val dupCov = counts.collect { case (g, c) if c >= 2 => c.toLong * g.length }.sum
+        n -> ((round6(topCov.toDouble / text.length), round6(dupCov.toDouble / text.length)))
+      }.toMap
+      id -> byN
+    }.toMap
+    val got = TextOps.gopherNgramFracsOf(docs)
+      .as[(Long, Double, Double, Double, Double, Double)].collect()
+    assert(got.length === 4)
+    got.foreach { case (id, t2, t3, t4, d5, d8) =>
+      assert(t2 === expect(id)(2)._1, s"top2 doc $id")
+      assert(t3 === expect(id)(3)._1, s"top3 doc $id")
+      assert(t4 === expect(id)(4)._1, s"top4 doc $id")
+      assert(d5 === expect(id)(5)._2, s"dup5 doc $id")
+      assert(d8 === expect(id)(8)._2, s"dup8 doc $id")
+    }
+    // the synthetic loop doc must actually exercise the dup branch
+    val loop = got.find(_._1 == 1L).get
+    assert(loop._5 > 0.5 && loop._6 > 0.5, "doc 1 duplicated 5/8-grams cover most chars")
+  }
+
+  test("t32/t33 unigram: model invariants, learned compression, and corpus round-trip") {
+    import spark.implicits._
+    val model = TextOps.unigramPieces(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(model.nonEmpty && model.forall(_._2 > 0), "no zero-count pieces survive")
+    // every single code point of the corpus is in the vocabulary (coverage
+    // guarantee: any word always segments)
+    val singles = model.map(_._1).filter(_.length == 1).toSet
+    val corpusChars = Tables.documents(spark, sf).select("text").as[String].collect()
+      .flatMap(_.trim.split("\\s+")).flatMap(_.map(_.toString)).toSet
+    assert(corpusChars.subsetOf(singles), "all corpus code points kept")
+    // log-probs are the normalized kept-vocab distribution (6 dp)
+    val tot = model.map(_._2).sum.toDouble
+    model.foreach { case (p, c, lp) =>
+      assert(math.abs(lp - math.log(c / tot)) < 5e-7, s"logprob of '$p'") }
+    // the corpus repeats a small word set heavily — EM must learn
+    // multi-character pieces, and tokenizing the training corpus with
+    // them must compress below the character baseline
+    assert(model.exists(_._1.length > 1), "multi-char pieces learned")
+    val tok = TextOps.unigramTokenize(spark, sf)
+      .as[(Long, Int, Int, Double)].collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    tok.foreach { case (id, np, nw, ppw) =>
+      val words = docs(id).trim.split("\\s+")
+      assert(nw === words.length, s"word count doc $id")
+      assert(np >= nw, s"every word yields at least one piece, doc $id")
+      assert(np < words.map(_.length).sum,
+        s"pieces beat the char baseline on the training corpus, doc $id")
+      assert(ppw === BigDecimal(np.toDouble / math.max(nw, 1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s"ratio doc $id")
+    }
+  }
 }
