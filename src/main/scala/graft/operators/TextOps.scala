@@ -507,22 +507,25 @@ object TextOps {
             g => struct(lit(n).as("nn"), g.as("gram")))): _*))).as("g"))
       .select(col("doc_id"), col("n_chars"),
         col("g.nn").as("nn"), col("g.gram").as("gram"))
-    val perN = grams
+    val counts = grams
       .groupBy(col("doc_id"), col("nn"), col("gram"))
       .agg(count(lit(1)).as("cnt"), max(col("n_chars")).as("n_chars"))
       .withColumn("covered", col("cnt") * length(col("gram")))
-      .groupBy(col("doc_id"), col("nn"))
-      .agg(max(col("n_chars")).as("n_chars"),
-        max(col("covered")).as("top_cov"),
-        sum(when(col("cnt") >= 2, col("covered")).otherwise(lit(0))).as("dup_cov"))
-    def frac(n: Int, c: Column): Column =
-      round(max(when(col("nn") === n, c)) / max(col("n_chars")).cast("double"), 6)
-    perN.groupBy(col("doc_id")).agg(
-      frac(2, col("top_cov")).as("top_2gram_char_frac"),
-      frac(3, col("top_cov")).as("top_3gram_char_frac"),
-      frac(4, col("top_cov")).as("top_4gram_char_frac"),
-      frac(5, col("dup_cov")).as("dup_5gram_char_frac"),
-      frac(8, col("dup_cov")).as("dup_8gram_char_frac"))
+    // fold straight to per-doc: the per-(doc, n) reduction is just a
+    // conditional max/sum, so it rides the SAME doc-keyed aggregate —
+    // two shuffles total (distinct grams, then docs), not three
+    def top(n: Int): Column =
+      round(max(when(col("nn") === n, col("covered")))
+        / max(col("n_chars")).cast("double"), 6)
+    def dup(n: Int): Column =
+      round(sum(when(col("nn") === n && col("cnt") >= 2, col("covered"))
+        .otherwise(lit(0))) / max(col("n_chars")).cast("double"), 6)
+    counts.groupBy(col("doc_id")).agg(
+      top(2).as("top_2gram_char_frac"),
+      top(3).as("top_3gram_char_frac"),
+      top(4).as("top_4gram_char_frac"),
+      dup(5).as("dup_5gram_char_frac"),
+      dup(8).as("dup_8gram_char_frac"))
   }
 
   /** t20: dataset card — the per-(source, language) composition report
