@@ -12,7 +12,8 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
-      operators.AsOf.queries
+      operators.AsOf.queries ++
+      operators.Curation.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +22,6 @@ object SparkEntry {
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
       operators.Multimodal.oracle ++
-      operators.AsOf.oracle
+      operators.AsOf.oracle ++
+      operators.Curation.oracle
 }

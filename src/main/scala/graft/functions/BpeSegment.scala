@@ -87,10 +87,14 @@ object BpeSegment {
     out.toArray
   }
 
-  /** The per-row kernel, shared by interpreted eval and codegen. A
-    * mismatched or null-element merge table yields null (never a
-    * silently partial segmentation). */
-  def segment(text: UTF8String, lefts: ArrayData, rights: ArrayData): ArrayData = {
+  /** Decoded merge table: the two literal arrays as String pairs. */
+  final class MergeTable(val ls: Array[String], val rs: Array[String])
+
+  private val tableMemo = new LiteralTableMemo[MergeTable]
+
+  /** Decode the parallel (lefts, rights) literals; null on mismatch or
+    * null elements — the kernel's error contract. */
+  private def decodeTable(lefts: ArrayData, rights: ArrayData): MergeTable = {
     val n = lefts.numElements()
     if (n != rights.numElements()) return null
     val ls = new Array[String](n)
@@ -102,6 +106,20 @@ object BpeSegment {
       rs(m) = rights.getUTF8String(m).toString
       m += 1
     }
+    new MergeTable(ls, rs)
+  }
+
+  /** The per-row kernel, shared by interpreted eval and codegen. A
+    * mismatched or null-element merge table yields null (never a
+    * silently partial segmentation). The O(merges) table decode is
+    * memoized per thread on the literal arrays' identity
+    * ([[LiteralTableMemo]]) — paid once per task, not per row. */
+  def segment(text: UTF8String, lefts: ArrayData, rights: ArrayData): ArrayData = {
+    val table = tableMemo.get(lefts, rights)(decodeTable(lefts, rights))
+    if (table == null) return null
+    val ls = table.ls
+    val rs = table.rs
+    val n = ls.length
     // the trainer's word derivation: trim + whitespace split (TextOps
     // .tokens semantics — an empty text yields the single empty word)
     val words = text.toString.trim.split("\\s+")

@@ -25,8 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Determinism: a strictly-greater score wins; an exact score tie
   * keeps the SMALLEST start index (the longest final piece); a single
   * code point absent from the table scores [[UnigramSegment.UnkLogProb]]
-  * so every word always segments. Per-row cost is
-  * O(chars × maxPieceLen) table lookups.
+  * so every word always segments — EXCEPT under an adversarial table
+  * whose non-finite logprobs (-Inf/NaN on a single code point) make a
+  * word unreachable: that row yields null (the mismatched-table
+  * contract), never a crash or a silently partial split. Per-row cost
+  * is O(chars × maxPieceLen) table lookups; the O(vocab) table decode
+  * is memoized per thread on the literal arrays' identity
+  * ([[LiteralTableMemo]]), so it is paid once per task, not per row.
   */
 case class UnigramSegment(text: Expression, pieces: Expression, logprobs: Expression)
     extends TernaryExpression {
@@ -79,7 +84,15 @@ object UnigramSegment {
   /** Viterbi maximum-likelihood segmentation of one word's code-point
     * symbols under `lp` (piece → log-prob). Ties keep the smallest
     * start index (longest final piece); both trainer E-step and the
-    * expression call THIS method, so the two can never drift. */
+    * expression call THIS method, so the two can never drift.
+    *
+    * Returns null when the end state is unreachable — only possible
+    * when a SINGLE code point carries a non-finite table score (-Inf
+    * is skipped, NaN never wins a max), since out-of-table singles get
+    * the finite [[UnkLogProb]]. The trainer's tables are ln(count /
+    * total) over positive counts — always finite — so the null branch
+    * is unreachable from training; it exists for the SQL-exposed
+    * expression, where the table is caller-supplied. */
   def viterbi(cps: Array[String], lp: java.util.HashMap[String, java.lang.Double],
               maxPieceLen: Int): Array[String] = {
     val L = cps.length
@@ -112,6 +125,7 @@ object UnigramSegment {
       }
       i += 1
     }
+    if (back(L) < 0) return null // unreachable end — adversarial table
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var pos = L
     while (pos > 0) {
@@ -125,10 +139,16 @@ object UnigramSegment {
     out.reverseIterator.toArray
   }
 
-  /** The per-row kernel, shared by interpreted eval and codegen. A
-    * mismatched or null-element piece table yields null (never a
-    * silently partial segmentation). */
-  def segment(text: UTF8String, pieces: ArrayData, logprobs: ArrayData): ArrayData = {
+  /** Decoded piece table: the per-row working form of the two literal
+    * arrays. */
+  final class PieceTable(val lp: java.util.HashMap[String, java.lang.Double],
+                         val maxPieceLen: Int)
+
+  private val tableMemo = new LiteralTableMemo[PieceTable]
+
+  /** Decode the parallel (pieces, logprobs) literals; null on mismatch
+    * or null elements — the kernel's error contract. */
+  private def decodeTable(pieces: ArrayData, logprobs: ArrayData): PieceTable = {
     val n = pieces.numElements()
     if (n != logprobs.numElements()) return null
     val lp = new java.util.HashMap[String, java.lang.Double](n * 2)
@@ -142,13 +162,26 @@ object UnigramSegment {
       if (cpLen > maxPieceLen) maxPieceLen = cpLen
       m += 1
     }
+    new PieceTable(lp, maxPieceLen)
+  }
+
+  /** The per-row kernel, shared by interpreted eval and codegen. A
+    * mismatched or null-element piece table — or one under which a
+    * word's end state is Viterbi-unreachable (non-finite single-piece
+    * scores) — yields null (never a crash or a silently partial
+    * segmentation). */
+  def segment(text: UTF8String, pieces: ArrayData, logprobs: ArrayData): ArrayData = {
+    val table = tableMemo.get(pieces, logprobs)(decodeTable(pieces, logprobs))
+    if (table == null) return null
     // the trainer's word derivation: trim + whitespace split (TextOps
     // .tokens semantics)
     val words = text.toString.trim.split("\\s+")
     val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var w = 0
     while (w < words.length) {
-      val segs = viterbi(BpeSegment.codePointSymbols(words(w)), lp, maxPieceLen)
+      val segs = viterbi(BpeSegment.codePointSymbols(words(w)), table.lp,
+        table.maxPieceLen)
+      if (segs == null) return null
       var i = 0
       while (i < segs.length) { out += UTF8String.fromString(segs(i)); i += 1 }
       w += 1

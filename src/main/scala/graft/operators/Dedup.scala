@@ -510,7 +510,10 @@ object Dedup {
     * its pair here, or Bench's third pass re-times it memo-cold and
     * structurally includes training cost. */
   val memoDeps: Map[String, Seq[String]] = Map(
-    "d8_keep_best" -> Seq("d7_near_dup_clusters"))
+    "d8_keep_best" -> Seq("d7_near_dup_clusters"),
+    // q34's keep-best stage (Curation.curateLlmPacked) reuses the
+    // cluster labels d7 trains
+    "q34_curate_llm" -> Seq("d7_near_dup_clusters"))
 
   /** Gate queries that TRAIN [[clusterMemo]] (see [[memoDeps]]). */
   val memoTrainers: Set[String] = Set("d7_near_dup_clusters")

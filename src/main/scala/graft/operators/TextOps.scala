@@ -1197,17 +1197,25 @@ object TextOps {
                     maxDistinctWords: Int = 2000000): DataFrame = {
     import spark.implicits._
     trainUnigram(spark, dir, vocabSize, maxPieceLen, emIters, maxDistinctWords)
+      .map { case (p, c, lpRounded, _) => (p, c, lpRounded) }
       .toDF("piece", "count", "logprob")
   }
 
   private val unigramMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Int, Int, Int, Int), Seq[(String, Long, Double)]]()
+    (String, String, Int, Int, Int, Int), Seq[(String, Long, Double, Double)]]()
 
   def invalidateUnigramMemo(): Unit = unigramMemo.clear()
 
+  /** Returns (piece, count, logprob rounded to 6 dp, logprob RAW). The
+    * rounded value is t32's display/output column; the RAW value is
+    * what [[unigramTokenize]] feeds the segmenter — the E-step ran on
+    * raw `math.log` scores, so serving must too, or segmentations
+    * within ~1e-6 of a tie could resolve differently than the trainer's
+    * final pass (rounding is an output-formatting concern, not a model
+    * parameter). */
   private def trainUnigram(spark: SparkSession, dir: String, vocabSize: Int,
                            maxPieceLen: Int, emIters: Int,
-                           maxDistinctWords: Int): Seq[(String, Long, Double)] =
+                           maxDistinctWords: Int): Seq[(String, Long, Double, Double)] =
     unigramMemo.computeIfAbsent(
       (spark.sparkContext.applicationId, dir, vocabSize, maxPieceLen, emIters,
         maxDistinctWords), _ => {
@@ -1256,8 +1264,9 @@ object TextOps {
         }
         val total = counts.valuesIterator.sum.toDouble
         counts.toSeq.sortBy { case (p, c) => (-c, p) }.map { case (p, c) =>
-          (p, c, BigDecimal(math.log(c / total))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          val raw = math.log(c / total)
+          (p, c, BigDecimal(raw)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, raw)
         }
       })
 
@@ -1277,7 +1286,10 @@ object TextOps {
                       maxDistinctWords: Int = 2000000): DataFrame = {
     val model = trainUnigram(spark, dir, vocabSize, maxPieceLen, emIters, maxDistinctWords)
     val pieces = typedLit(model.map(_._1))
-    val logprobs = typedLit(model.map(_._3))
+    // RAW logprobs, not the 6-dp display values: the E-step segmented
+    // under raw math.log scores, so the served table must match or
+    // near-tie splits could drift from the trainer's final pass
+    val logprobs = typedLit(model.map(_._4))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         graft.functions.UnigramSegment.unigram_segment(col("text"), pieces, logprobs)

@@ -469,4 +469,21 @@ object ExpressionPropertySpec extends Properties("expressions") {
     Prop(UnigramSegment(
       Literal.create(UTF8String.fromString("ab"), StringType),
       stringArray(Seq("a")), doubleArray(Nil)).eval(null) == null)
+
+  // adversarial tables: a -Inf or NaN logprob on a single code point
+  // makes a word Viterbi-unreachable (the in-table branch bypasses the
+  // UnkLogProb fallback; NaN never wins a max) — the row must yield
+  // null, not crash in the backtrack
+  property("unigram_segment nulls (not crashes) on non-finite single-piece scores") =
+    Prop.forAll(Gen.oneOf(Double.NegativeInfinity, Double.NaN)) { bad =>
+      UnigramSegment(
+        Literal.create(UTF8String.fromString("aa a"), StringType),
+        stringArray(Seq("a")), doubleArray(Seq(bad))).eval(null) == null
+    }
+
+  property("unigram_segment: non-finite MULTI-piece scores degrade to singles") =
+    // only the multi "ab" is poisoned; singles fall back to UnkLogProb,
+    // so the word still segments — the null contract is for genuinely
+    // unreachable words only
+    Prop(uniSegOf("ab", Seq("ab" -> Double.NegativeInfinity)) == Seq("a", "b"))
 }

@@ -132,5 +132,16 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     packedCounts.foreach { case (id, n) =>
       assert(cleanedCounts(id) === n, s"packed token count for doc $id")
     }
+
+    // the gate form (q34) is THE SAME relation curateLlm writes: same
+    // non-default dials, row-for-row equality — so the driver's DuckDB
+    // hash on curateLlmPacked certifies the writing recipe too
+    val gate = Curation.curateLlmPacked(spark, sf, budget = 40,
+        packBudget = 64, nGroups = 2)
+      .collect().map(_.toSeq).toSet
+    val written = packed
+      .select("doc_id", "grp", "n_tokens", "start_off", "bin")
+      .collect().map(_.toSeq).toSet
+    assert(gate === written, "curateLlmPacked must equal curateLlm's written relation")
   }
 }
