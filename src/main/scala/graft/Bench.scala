@@ -47,15 +47,18 @@ object Bench {
     if (ok.size < 2 || ok.head <= 0) 1.0 else ok(1) / ok.head
   }
 
-  /** Shared at-rest ANN index per corpus dir (built once outside the
-    * timed passes — serving lines time SERVING, not index builds). */
+  /** Shared at-rest ANN indexes per (corpus dir, encode family) —
+    * built once outside the timed passes, so serving lines time
+    * SERVING, not index builds. */
   private val annIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def annIndexFor(s: SparkSession, d: String): String =
-    annIndexMemo.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft-bench-annidx").toString
-      operators.Similarity.writeAnnIndex(s, d, p)
+  private def annIndexFor(s: SparkSession, d: String,
+                          family: String = "pq"): String =
+    annIndexMemo.computeIfAbsent(s"$d|$family", _ => {
+      val p = java.nio.file.Files.createTempDirectory(s"graft-bench-annidx-$family").toString
+      operators.Similarity.writeAnnIndex(s, d, p, family = family)
       p
     })
+  private val servedFamilies = Seq("pq", "residual", "sq8", "bq")
 
   /** The approximate operators at their PRODUCTION dials (defaults) —
     * keyed with a `_prod` suffix so they ride the same two-pass +
@@ -73,6 +76,19 @@ object Bench {
     "v13_knn_graph_serve" -> ((s, d) =>
       operators.Similarity.knnGraphServe(s, d, annIndexFor(s, d))),
     "v14_embed_clusters_prod" -> ((s, d) => operators.Similarity.embeddingClusters(s, d, lsh = true)),
+    // the four encode families served FROM THE AT-REST index at their
+    // production dials — the per-family deployment board (the family is
+    // sniffed off each index's schema; sq8's near-exact int8 ranking
+    // makes rerank=8 recall-complete, so its served line is also its
+    // cheapest)
+    "v9_ann_ivfpq_serve" -> ((s, d) =>
+      operators.Similarity.annIvfPqServe(s, d, annIndexFor(s, d))),
+    "v15_ann_residual_serve" -> ((s, d) =>
+      operators.Similarity.annIvfPqServe(s, d, annIndexFor(s, d, "residual"))),
+    "v16_ann_sq8_serve" -> ((s, d) =>
+      operators.Similarity.annIvfPqServe(s, d, annIndexFor(s, d, "sq8"), rerank = 8)),
+    "v17_ann_bq_serve" -> ((s, d) =>
+      operators.Similarity.annIvfPqServe(s, d, annIndexFor(s, d, "bq"))),
   )
 
   def main(args: Array[String]): Unit = {
@@ -86,7 +102,8 @@ object Bench {
       }
     }
     // build the serving index for the TIMED corpus outside the passes
-    try annIndexFor(spark, sfDir) catch { case _: Throwable => () }
+    servedFamilies.foreach(f =>
+      try annIndexFor(spark, sfDir, f) catch { case _: Throwable => () })
     spark.catalog.clearCache() // drop warm-up persists
     // CALIBRATION ANCHOR: a fixed CPU-bound reference job, timed like
     // the queries (min of 2). The within-run spread guard catches
@@ -335,11 +352,25 @@ object Bench {
       if (rs.max <= 0 && lastErr != null) recordStreamFailure(name, lastErr)
       rs.max
     }
+    // STREAM LOAD NORMALIZATION (round 9): queries got per-section
+    // calib-normalized values in round 8; stream rows/s did not, and
+    // the r8 artifact shipped dau lines ~2× under the committed clean
+    // run because neighbor load has no normalized axis for rates. Each
+    // stream section now measures its own CPU anchor right before it
+    // runs, and the normalized rate is rate × that calib — "rows per
+    // calibration job", the rate-shaped mirror of time ÷ calib: load
+    // slows the section AND inflates its anchor, so the product holds
+    // steady for the CPU-bound share of the work (the residual
+    // shuffle/IO noise stays, as the r8 study measured for queries).
+    val streamCalibs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // outer wrapper for each stream section: setup code outside
     // guardedRate (counts, schema reads) can also throw — same rule,
-    // named + messaged, never a bare -1
-    def streamSection(name: String)(body: => Double): Double =
+    // named + messaged, never a bare -1. Also anchors the section's
+    // calib for the normalized rate.
+    def streamSection(name: String)(body: => Double): Double = {
+      streamCalibs(name) = calibrate()
       try body catch { case e: Throwable => recordStreamFailure(name, e); -1.0 }
+    }
     // streaming throughput: the DAU pipeline through a REAL streaming
     // query — file-stream source → watermark → state-store dedup → noop
     // sink (a batch DataFrame would take Pipelines' non-streaming
@@ -562,6 +593,25 @@ object Bench {
     val calibSectionsJson = sectionCalibs.toSeq
       .map(c => (math.round(c * 10000) / 10000.0).toString)
       .mkString("[", ",", "]")
+    // normalized stream rates: rate × the section's own anchor (rows
+    // per calibration job) — compare THESE round-over-round; -1 when
+    // the section failed or its anchor did
+    def streamNorm(name: String, rate: Double): Long = {
+      val c = streamCalibs.getOrElse(name, -1.0)
+      if (rate > 0 && c > 0) math.round(rate * c) else -1L
+    }
+    val streamNormJson = Seq(
+      "stream_dau" -> streamRate,
+      "stream_dau_rocksdb" -> streamRateRocks,
+      "stream_join" -> streamJoinRate,
+      "stream_cdc_apply" -> streamCdcRate,
+      "stream_topology" -> streamTopologyRate,
+      "stream_heavy_hitters_rocksdb" -> streamHhRate)
+      .map { case (n, r) => s""""${n}_rows_per_calib":${streamNorm(n, r)}""" }
+      .mkString(",")
+    val streamCalibsJson = streamCalibs
+      .map { case (k, v) => s""""$k":${math.round(v * 10000) / 10000.0}""" }
+      .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"failed":$failed,""" +
       s""""prod_queries":$prodQs,"prod_total":$prodTotal,""" +
@@ -579,6 +629,8 @@ object Bench {
       s""""stream_cdc_apply_rows_per_sec":${streamCdcRate.toLong},""" +
       s""""stream_topology_rows_per_sec":${streamTopologyRate.toLong},""" +
       s""""stream_heavy_hitters_rocksdb_rows_per_sec":${streamHhRate.toLong},""" +
+      streamNormJson + "," +
+      s""""stream_calibs":$streamCalibsJson,""" +
       s""""calib_sec":$calibSec,"calib_end_sec":$calibEndSec,""" +
       s""""git_sha":"$gitSha","git_dirty":$gitDirty,"wall_ts":"$wallTs","sf":"$sfDir"}"""
     println(line)

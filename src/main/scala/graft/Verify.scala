@@ -59,7 +59,7 @@ object Verify {
     // v2/v5 (hyperplane-LSH ANN / near-dup) carry their exact
     // counterpart's oracle (v1 / v3) under the same kind of
     // precondition: the gate profile (see Similarity.queries — the
-    // cheapest ProbeLsh-verified recall-complete planes × tables) is
+    // cheapest Probe-verified (lsh family) recall-complete planes × tables) is
     // recall-complete on the pinned corpus. Both relations were just
     // written by the query loop; value-level set equality (not only
     // counts — a missed true neighbor with a lower-cos substitute

@@ -739,15 +739,37 @@ object Dedup {
     * number thousands at most. At 100 TB, replace the exact join with
     * d6's per-source minhash UNION sketch (element-wise min — mergeable
     * at any fan-in) and estimate J from signature agreement; the exact
-    * form here is the oracle-able baseline that gates that estimate. */
-  def sourceOverlap(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    * form here is the oracle-able baseline that gates that estimate.
+    * That bound is ENFORCED, not assumed: past `maxSources` distinct
+    * sources the method fails loudly and names [[sourceOverlapMinhash]]
+    * (the `driverMaxEdges` pattern) — a common gram across S sources
+    * fans out S² rows, so an unexpectedly fine-grained source column
+    * (e.g. per-URL) must refuse fast instead of shuffling slowly. */
+  def sourceOverlap(spark: SparkSession, dir: String, k: Int = 3,
+                    maxSources: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val grams = ScratchCache.arm( // feeds sizes + both sides of the self-join
-      Tables.documents(spark, dir)
-        .select(col("source"), tokens(col("text")).as("toks"))
-        .select(col("source"),
-          explode(array_distinct(tokenWindows(col("toks"), k, 1))).as("gram"))
-        .distinct())
+    // persisted UNARMED while the guard counts (the decontaminateBloom
+    // pattern: an internal action would sweep an armed entry before the
+    // self-join reads it); armed below once the guard has passed, so
+    // the CALLER's action sweeps. Feeds sizes + both sides of the join.
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"),
+        explode(array_distinct(tokenWindows(col("toks"), k, 1))).as("gram"))
+      .distinct()
+      .persist()
+    // loud guard BEFORE the self-join runs: the count materializes the
+    // gram relation the join would read anyway
+    val nSources = grams.select(col("source")).distinct().count()
+    if (nSources > maxSources) {
+      grams.unpersist(blocking = false) // refusal must not leak the cache
+      throw new IllegalArgumentException(
+        s"sourceOverlap: $nSources distinct sources exceeds maxSources=" +
+          s"$maxSources — the gram self-join fans out sources² per shared " +
+          "gram; use sourceOverlapMinhash (the mergeable-sketch estimate) " +
+          "or raise maxSources deliberately")
+    }
+    ScratchCache.arm(grams)
     val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     grams.select(col("source").as("source_a"), col("gram"))
       .join(grams.select(col("source").as("source_b"), col("gram")), "gram")

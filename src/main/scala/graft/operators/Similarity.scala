@@ -217,7 +217,13 @@ object Similarity {
     // pass order and silently warm v4's centroid training)
     "v15_ann_ivfpq_residual" -> Seq("v4_ann_ivf"),
     "v16_ann_ivfsq8" -> Seq("v4_ann_ivf"),
-    "v17_ann_ivfbq" -> Seq("v4_ann_ivf"))
+    "v17_ann_ivfbq" -> Seq("v4_ann_ivf"),
+    // the per-family serve lines re-derive the serve-side model
+    // (pq needs the codebooks too; sq8/bq only the coarse quantizer)
+    "v9_ann_ivfpq_serve" -> Seq("v4_ann_ivf", "v8_ann_pq"),
+    "v15_ann_residual_serve" -> Seq("v4_ann_ivf"),
+    "v16_ann_sq8_serve" -> Seq("v4_ann_ivf"),
+    "v17_ann_bq_serve" -> Seq("v4_ann_ivf"))
 
   /** Gate queries that TRAIN the model memos (see [[memoDeps]]). */
   val memoTrainers: Set[String] = Set("v4_ann_ivf", "v8_ann_pq")
@@ -411,9 +417,10 @@ object Similarity {
   def writeAnnIndex(spark: SparkSession, dir: String, out: String,
                     nClusters: Int = 16, iters: Int = 2,
                     m: Int = 4, nCodes: Int = 16,
-                    includeVectors: Boolean = false): Unit = {
+                    includeVectors: Boolean = false,
+                    family: String = "pq"): Unit = {
     val enc = encodeForIndex(spark, dir, Tables.embeddings(spark, dir),
-      nClusters, iters, m, nCodes)
+      nClusters, iters, m, nCodes, family)
     val rows =
       if (includeVectors)
         enc.join(Tables.embeddings(spark, dir)
@@ -422,24 +429,68 @@ object Similarity {
     rows.write.mode("overwrite").partitionBy("cid").parquet(out)
   }
 
+  /** The four index payload families and their payload COLUMN NAMES —
+    * the index is self-describing: the payload column name in the
+    * at-rest schema identifies the encode family, so the serve and
+    * append paths derive the family from the index itself
+    * ([[indexFamilyOf]]) instead of trusting a caller to repeat it. */
+  val indexFamilies: Map[String, String] = Map(
+    "pq" -> "codes", "residual" -> "rcodes", "sq8" -> "q8", "bq" -> "bq")
+
+  /** The encode family of an at-rest index, from its payload column. */
+  def indexFamilyOf(columns: Seq[String]): String =
+    indexFamilies.collectFirst {
+      case (fam, payload) if columns.contains(payload) => fam
+    }.getOrElse(throw new IllegalArgumentException(
+      s"not a graft ANN index: no payload column among " +
+        s"${indexFamilies.values.mkString("/")} in ${columns.mkString(", ")}"))
+
   /** Encode (vec_id, embedding) rows as index rows (vec_id, cid,
-    * codes) with the model trained on `modelDir`'s corpus — the one
+    * payload) with the model trained on `modelDir`'s corpus — the one
     * encode used by the offline build ([[writeAnnIndex]]), incremental
     * append ([[appendAnnIndex]]) and the streaming maintenance sink
     * ([[graft.streaming.Runner.annIndexMaintainQuery]]), so no two
     * write paths can drift in how they assign cells or codes. Narrow:
-    * one argmax + m sub-argmaxes per row, zero shuffles. */
+    * one argmax + a per-family payload projection per row, zero
+    * shuffles.
+    *
+    * `family` picks the payload (the four encode families the
+    * in-session operators span — the column name doubles as the
+    * at-rest family tag, see [[indexFamilies]]):
+    *   - "pq"       → `codes`:  m sub-argmaxes vs [[pqCodebooks]] (v9)
+    *   - "residual" → `rcodes`: codes of x − centroid (v15)
+    *   - "sq8"      → `q8`:     symmetric int8 vector (v16)
+    *   - "bq"       → `bq`:     sign bits in one long (v17)
+    * Each payload builder is THE SAME column the in-session operator
+    * uses, so serve-from-index and in-session answers are equal by
+    * construction (IndexServeSpec pins it per family). */
   def encodeForIndex(spark: SparkSession, modelDir: String, vectors: DataFrame,
                      nClusters: Int = 16, iters: Int = 2,
-                     m: Int = 4, nCodes: Int = 16): DataFrame = {
+                     m: Int = 4, nCodes: Int = 16,
+                     family: String = "pq"): DataFrame = {
     val dim = embDim(Tables.embeddings(spark, modelDir))
-    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
-    val subDim = dim / m
     val cents = centsFor(spark, modelDir, nClusters, iters, trainFraction = 1.0)
-    val codebooks = booksFor(spark, modelDir, m, nCodes, iters)
-    vectors.select(col("vec_id"),
-      assignCol(cents, col("embedding")).as("cid"),
-      array(pqCodeCols(codebooks, subDim): _*).as("codes"))
+    val cid = assignCol(cents, col("embedding")).as("cid")
+    family match {
+      case "pq" =>
+        require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+        val codebooks = booksFor(spark, modelDir, m, nCodes, iters)
+        vectors.select(col("vec_id"), cid,
+          array(pqCodeCols(codebooks, dim / m): _*).as("codes"))
+      case "residual" =>
+        require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+        val books = residBooksFor(spark, modelDir, nClusters, iters, m, nCodes, iters)
+        vectors.select(col("vec_id"), cid,
+          residualCodesCol(cents, books, dim / m, col("embedding")).as("rcodes"))
+      case "sq8" =>
+        withSq8(vectors, "embedding").select(col("vec_id"), cid, col("q8"))
+      case "bq" =>
+        require(dim <= 64, s"binary code packs into one long; dim ($dim) > 64")
+        vectors.select(col("vec_id"), cid, bqCol(dim, col("embedding")).as("bq"))
+      case other => throw new IllegalArgumentException(
+        s"unknown index family '$other' (expected one of " +
+          s"${indexFamilies.keys.toSeq.sorted.mkString(", ")})")
+    }
   }
 
   /** Incremental index maintenance — the FAISS `add()` analog: encode
@@ -474,7 +525,12 @@ object Similarity {
                      modelDir: String = null,
                      compactTouchedCells: Boolean = false): Unit = {
     val mDir = Option(modelDir).getOrElse(dir)
-    val encoded = encodeForIndex(spark, mDir, newVectors, nClusters, iters, m, nCodes)
+    // the family comes from the INDEX (payload column name), never a
+    // caller argument — appending pq codes to an sq8 index is not a
+    // mistake this API can express
+    val family = indexFamilyOf(spark.read.parquet(indexPath).columns.toSeq)
+    val encoded = encodeForIndex(spark, mDir, newVectors, nClusters, iters,
+      m, nCodes, family)
     encoded.write.mode("append").partitionBy("cid").parquet(indexPath)
     if (compactTouchedCells) {
       // bounded collect: ≤ nClusters cell ids, the probed-cells pattern
@@ -558,15 +614,17 @@ object Similarity {
                            modelDir: String = null): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val dim = embDim(emb)
-    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
-    val subDim = dim / m
     val mDir = Option(modelDir).getOrElse(dir)
     val cents = centsFor(spark, mDir, nClusters, iters, trainFraction = 1.0)
-    val codebooks = booksFor(spark, mDir, m, nCodes, iters)
     val probes = ivfProbesOf(queries, cents, nprobe)
     val cids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
     val index = spark.read.parquet(indexPath)
       .filter(col("cid").isin(cids: _*))
+    // the encode family is read off the index's own schema (the
+    // payload column name, [[indexFamilyOf]]) — the caller picks the
+    // family at BUILD time only; serving adapts
+    val family = indexFamilyOf(index.columns.toSeq)
+    val payload = indexFamilies(family)
     // a vector-carrying index (writeAnnIndex includeVectors) rescores
     // from the probed cells' OWN files — without it the rescore join
     // scans the whole corpus relation to fetch rerank×queries rows
@@ -575,8 +633,23 @@ object Similarity {
       if (index.columns.contains("embedding"))
         index.select(col("vec_id"), col("embedding"))
       else emb.select(col("vec_id"), col("embedding"))
-    ivfPqAnswer(index.select(col("vec_id"), col("cid"), col("codes")),
-      probes, rescoreRel, codebooks, subDim, k, rerank)
+    // per-family approximate decode — each is THE SAME recon column the
+    // in-session operator scores with, so serve == in-session at equal
+    // dials (IndexServeSpec)
+    val recon = family match {
+      case "pq" =>
+        require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+        pqRecon(booksFor(spark, mDir, m, nCodes, iters), dim / m, col("codes"))
+      case "residual" =>
+        require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+        residualRecon(cents,
+          residBooksFor(spark, mDir, nClusters, iters, m, nCodes, iters),
+          dim / m, col("cid"), col("rcodes"))
+      case "sq8" => sq8Recon(col("q8"))
+      case "bq" => bqRecon(dim, col("bq"))
+    }
+    ivfPqAnswerRecon(index.select(col("vec_id"), col("cid"), col(payload)),
+      probes, rescoreRel, recon, k, rerank)
   }
 
   /** v16: IVF × scalar-quantization (int8) ANN — the FAISS IVF-SQ8
@@ -600,19 +673,54 @@ object Similarity {
                 nprobe: Int = 4, rerank: Int = 16): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val cents = centsFor(spark, dir, nClusters, iters, trainFraction = 1.0)
-    // scale materialized in its own projection (the v6 rationale: HOF
-    // lambda bodies get no common-subexpression elimination)
-    val withScale = emb.select(col("vec_id"), col("embedding"),
-      assignCol(cents, col("embedding")).as("cid"),
-      (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-        / 127.0).as("scale"))
-    val index = withScale.select(col("vec_id"), col("cid"),
-      when(col("scale") === 0,
-        transform(col("embedding"), _ => lit(0)))
-        .otherwise(transform(col("embedding"),
-          x => round(x.cast("double") / col("scale")).cast("int"))).as("q8"))
+    val index = withSq8(emb, "embedding")
+      .select(col("vec_id"), assignCol(cents, col("embedding")).as("cid"),
+        col("q8"))
     ivfPqAnswerRecon(index, ivfProbes(emb, cents, nQueries, nprobe), emb,
-      transform(col("q8"), x => x.cast("double")), k, rerank)
+      sq8Recon(col("q8")), k, rerank)
+  }
+
+  /** The SQ8 payload: per-vector symmetric int8 quantization (v6's
+    * construction), added as a `q8` column. Scale is materialized in
+    * its own projection first (the v6 rationale: HOF lambda bodies get
+    * no common-subexpression elimination — an inline array_max would
+    * re-scan the vector per element). ONE builder shared by the
+    * in-session form ([[annIvfSq8]]) and the at-rest encode
+    * ([[encodeForIndex]]) so index and session payloads cannot drift. */
+  private def withSq8(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("_sq8_scale",
+        array_max(transform(col(embCol), x => abs(x.cast("double")))) / 127.0)
+      .withColumn("q8",
+        when(col("_sq8_scale") === 0,
+          transform(col(embCol), _ => lit(0)))
+          .otherwise(transform(col(embCol),
+            x => round(x.cast("double") / col("_sq8_scale")).cast("int"))))
+      .drop("_sq8_scale")
+
+  /** SQ8 decode for approximate scoring: the int pattern as doubles
+    * (cosine is invariant under the dropped positive per-vector
+    * scale). */
+  private def sq8Recon(q8: Column): Column =
+    transform(q8, x => x.cast("double"))
+
+  /** The BQ payload: `dim` sign bits packed into one long (exact bit
+    * arithmetic — sum of distinct powers of two == OR, even at bit 63
+    * under two's complement). Shared by [[annIvfBq]] and
+    * [[encodeForIndex]]. */
+  private def bqCol(dim: Int, embCol: Column): Column = {
+    val powers = typedLit((0 until dim).map(1L << _))
+    aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
+      (acc, i) => acc + when(element_at(embCol, i + 1) >= 0,
+        element_at(powers, i + 1)).otherwise(0L))
+  }
+
+  /** BQ decode: the ±1 vector of the stored sign bits (a literal
+    * powers-table AND per component — stays inside codegen). */
+  private def bqRecon(dim: Int, bq: Column): Column = {
+    val powers = typedLit((0 until dim).map(1L << _))
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => when(bq.bitwiseAND(element_at(powers, i + 1)) =!= 0, lit(1.0))
+        .otherwise(lit(-1.0)))
   }
 
   /** v17: IVF × binary quantization (1-bit) ANN — the FOURTH encode
@@ -641,17 +749,11 @@ object Similarity {
     val dim = embDim(emb)
     require(dim <= 64, s"binary code packs into one long; dim ($dim) > 64")
     val cents = centsFor(spark, dir, nClusters, iters, trainFraction = 1.0)
-    val powers = typedLit((0 until dim).map(1L << _))
     val index = emb.select(col("vec_id"),
       assignCol(cents, col("embedding")).as("cid"),
-      aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
-        (acc, i) => acc + when(element_at(col("embedding"), i + 1) >= 0,
-          element_at(powers, i + 1)).otherwise(0L)).as("bq"))
-    val recon = transform(sequence(lit(0), lit(dim - 1)),
-      i => when(col("bq").bitwiseAND(element_at(powers, i + 1)) =!= 0, lit(1.0))
-        .otherwise(lit(-1.0)))
+      bqCol(dim, col("embedding")).as("bq"))
     ivfPqAnswerRecon(index, ivfProbes(emb, cents, nQueries, nprobe), emb,
-      recon, k, rerank)
+      bqRecon(dim, col("bq")), k, rerank)
   }
 
   /** v8: product-quantization ANN — the vector-COMPRESSION scale path
@@ -672,7 +774,7 @@ object Similarity {
     * at 100 TB the full-vector relation is only probed for
     * rerank × queries rows. On THIS corpus (near-random embeddings,
     * no cluster structure) the recall-complete rerank is large — the
-    * gate profile is chosen by tools/ProbePq and re-verified by
+    * gate profile is chosen by tools/Probe (pq family) and re-verified by
     * Verify's recall probe (the v4 pattern, auto-demoting); on real
     * corpora with structure a small rerank is the throughput setting. */
   def annPq(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
@@ -843,17 +945,31 @@ object Similarity {
     val books = residBooksFor(spark, dir, nClusters, iters, m, nCodes, iters)
     val index = emb.select(col("vec_id"),
       assignCol(cents, col("embedding")).as("cid"),
-      array(pqCodeColsOf(books, subDim,
-        residualCol(cents, col("embedding"))): _*).as("codes"))
-    // decode = centroid + residual reconstruction; centroid looked up
-    // by cid VALUE through the literal id list (cells are whole
-    // partitions of the join, so the lookup is one element_at per row)
+      residualCodesCol(cents, books, subDim, col("embedding")).as("rcodes"))
+    ivfPqAnswerRecon(index, ivfProbes(emb, cents, nQueries, nprobe), emb,
+      residualRecon(cents, books, subDim, col("cid"), col("rcodes")), k, rerank)
+  }
+
+  /** The residual-PQ payload: codes of r = x − centroid(cell(x)) under
+    * the residual codebooks. Shared by [[annIvfPqResidual]] and
+    * [[encodeForIndex]]. */
+  private def residualCodesCol(cents: Seq[(Long, Array[Float])],
+                               books: Seq[Seq[Array[Float]]], subDim: Int,
+                               embCol: Column): Column =
+    array(pqCodeColsOf(books, subDim, residualCol(cents, embCol)): _*)
+
+  /** Residual decode = centroid + codeword reconstruction; the
+    * centroid is looked up by cid VALUE through the literal id list
+    * (cells are whole partitions of the join, so the lookup is one
+    * element_at per row). Shared by the in-session form and the serve
+    * path. */
+  private def residualRecon(cents: Seq[(Long, Array[Float])],
+                            books: Seq[Seq[Array[Float]]], subDim: Int,
+                            cidCol: Column, codesCol: Column): Column = {
     val centIds = cents.map(_._1)
     val mat = typedLit(cents.map(_._2.map(_.toDouble).toSeq))
-    val cvec = element_at(mat, array_position(typedLit(centIds), col("cid")).cast("int"))
-    val recon = zip_with(cvec, pqRecon(books, subDim, col("codes")), (a, b) => a + b)
-    ivfPqAnswerRecon(index, ivfProbes(emb, cents, nQueries, nprobe), emb,
-      recon, k, rerank)
+    val cvec = element_at(mat, array_position(typedLit(centIds), cidCol).cast("int"))
+    zip_with(cvec, pqRecon(books, subDim, codesCol), (a, b) => a + b)
   }
 
   /** Embedding-cosine near-dup pairs above a threshold. Exact at test SF
@@ -1467,7 +1583,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v12_bitext_margin" -> ((s, d) => bitextMargin(s, d)),
     // v12 ANN gate profile: the cheapest recall-complete (nprobe,
-    // rerank) on the pinned corpora, found by tools/ProbeBitext
+    // rerank) on the pinned corpora, found by tools/Probe (bitext family)
     // (16:224 and 14:250 both lose pairs; 16:232 is complete at
     // sf0.001 AND sf0.01). Mining completeness is stricter than plain
     // ANN top-k — the candidate set must also contain each src's
@@ -1479,7 +1595,7 @@ object Similarity {
     // rerank=64) are the bench's prod line. Verify's probe re-checks
     // per run and auto-demotes.
     "v12_bitext_margin_ann" -> ((s, d) => bitextMarginAnn(s, d, nprobe = 16, rerank = 232)),
-    // v13 gate profile (ProbeKnn): completeness here is the MAX over
+    // v13 gate profile (tools/Probe, knn family): completeness here is the MAX over
     // every vector's top-k recall, and on these structureless
     // embeddings ADC ordering is nearly uninformative (v8 needed a
     // 272-of-500 shortlist for just 10 queries), so the only complete
@@ -1498,7 +1614,7 @@ object Similarity {
     "v6_quantize_int8" -> quantizeInt8Rows,
     // v2/v5 gate profiles: the CHEAPEST recall-complete settings on the
     // pinned corpora, found by sweeping (planes × tables) with
-    // tools/ProbeLsh (completeness is deterministic — signatures are
+    // tools/Probe (lsh family; completeness is deterministic — signatures are
     // seeded) and re-verified per run by Verify's recall probe before
     // attaching the exact oracle (the d3 pattern; auto-demotes to
     // rows-only if a regenerated corpus breaks it). v5: (3,12) — (3,10)
@@ -1517,7 +1633,7 @@ object Similarity {
     // production path (spec'd deterministic + variant-equal semantics)
     "v10_semdedup" -> ((s, d) => semDedup(s, d)),
     // v4 gate profile: the cheapest recall-complete nprobe on the pinned
-    // corpora, found by tools/ProbeIvf (nprobe=12 misses neighbors;
+    // corpora, found by tools/Probe (ivf family: nprobe=12 misses neighbors;
     // 14 is complete at sf0.001 AND sf0.01, and no slower at sf0.1 —
     // runtime is dominated by Lloyd training, not the candidate join).
     // 14-of-16 probes is nearly exhaustive because these embeddings are
@@ -1527,7 +1643,7 @@ object Similarity {
     // auto-demotes to rows-only if a regenerated corpus breaks it.
     "v4_ann_ivf" -> ((s, d) => annIvf(s, d, nprobe = 14)),
     // v9 gate profile: the cheapest recall-complete (nprobe, rerank) on
-    // the pinned corpora, found by tools/ProbeIvfPq (14:240 and 13:any
+    // the pinned corpora, found by tools/Probe (ivfpq family: 14:240 and 13:any
     // miss neighbors; 14:248 is complete at sf0.001 AND sf0.01). The
     // dials sit at/above the standalone-complete v4/v8 settings because
     // composition only shrinks the candidate pool. Near-exhaustive
@@ -1537,7 +1653,7 @@ object Similarity {
     // auto-demotes to rows-only if a regenerated corpus breaks it.
     "v9_ann_ivfpq" -> ((s, d) => annIvfPq(s, d, nprobe = 14, rerank = 248)),
     // v15 gate profile: cheapest recall-complete (nprobe, rerank) for
-    // the RESIDUAL encoding on the pinned corpora (tools/ProbeResidual:
+    // the RESIDUAL encoding on the pinned corpora (tools/Probe, residual family:
     // 14:200 misses neighbors, 14:208 is complete at sf0.001 AND
     // sf0.01). Note the dial vs raw v9's 14:248 — residual codes rank
     // well enough to shave the complete rerank 16% even on
@@ -1545,19 +1661,19 @@ object Similarity {
     // itself (ResidualPqSpec).
     "v15_ann_ivfpq_residual" -> ((s, d) =>
       annIvfPqResidual(s, d, nprobe = 14, rerank = 208)),
-    // v16 gate profile (tools/ProbeSq8): int8 error is ~0.4% per
+    // v16 gate profile (tools/Probe, sq8 family): int8 error is ~0.4% per
     // component, so the approximate ranking is nearly exact — complete
     // at rerank=8 (vs raw PQ's 272), with nprobe=14 the same IVF
     // routing floor as v4. The cheap end of the compression/recall
     // trade the three encode families span.
     "v16_ann_ivfsq8" -> ((s, d) => annIvfSq8(s, d, nprobe = 14, rerank = 8)),
-    // v17 gate profile (tools/ProbeBq): sign bits keep only the
+    // v17 gate profile (tools/Probe, bq family): sign bits keep only the
     // angle's octant, so the complete rerank lands at 192 (190 misses;
     // SQ8 needs 8, raw PQ 272) — the probed map of the four-family
     // compression/recall trade on the structureless pinned corpus.
     "v17_ann_ivfbq" -> ((s, d) => annIvfBq(s, d, nprobe = 14, rerank = 192)),
     // v8 gate profile: the cheapest recall-complete rerank shortlist on
-    // the pinned corpora, found by tools/ProbePq (256 misses neighbors,
+    // the pinned corpora, found by tools/Probe (pq family: 256 misses neighbors,
     // 272 is complete at sf0.001 AND sf0.01; runtime is dominated by
     // codebook training, not the shortlist). A large rerank is expected
     // HERE: near-random embeddings give PQ codes little to discriminate

@@ -253,14 +253,16 @@ object Runner {
                             indexPath: String, vectorStream: DataFrame,
                             checkpoint: String,
                             nClusters: Int = 16, iters: Int = 2,
-                            m: Int = 4, nCodes: Int = 16): StreamingQuery =
+                            m: Int = 4, nCodes: Int = 16,
+                            family: String = "pq"): StreamingQuery =
     vectorStream
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Similarity
-          .encodeForIndex(spark, modelDir, batch, nClusters, iters, m, nCodes)
+          .encodeForIndex(spark, modelDir, batch, nClusters, iters, m, nCodes,
+            family)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -496,7 +496,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("annIvfPq: gate profile equals exact; defaults answer k per query, deterministic") {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.mkString("|")).toSet
-    // gate profile (ProbeIvfPq-verified recall-complete): identical to
+    // gate profile (Probe-verified (ivfpq family) recall-complete): identical to
     // brute force — cell pruning + shortlist pruning only affect recall,
     // the rescore is exact
     assert(canon(Similarity.annIvfPq(spark, sf, nprobe = 14, rerank = 248)) ===
@@ -1246,6 +1246,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall { case (a, b, _, _, _, _) => a < b })
   }
 
+  test("sourceOverlap: refuses loudly past maxSources, pointing at the sketch path") {
+    // the corpus has a handful of sources; a cap of 1 must trip the
+    // guard BEFORE the sources² gram self-join runs
+    val e = intercept[IllegalArgumentException] {
+      Dedup.sourceOverlap(spark, sf, maxSources = 1)
+    }
+    assert(e.getMessage.contains("maxSources"))
+    assert(e.getMessage.contains("sourceOverlapMinhash"),
+      "the refusal must name the 100 TB path")
+    // and the default cap admits the real corpus unchanged
+    assert(Dedup.sourceOverlap(spark, sf).count() > 0)
+  }
+
   test("sourceOverlapMinhash: union sketch merges associatively; estimate tracks exact Jaccard") {
     // merge property: the per-source sketch equals the element-wise min
     // of sketches over ANY doc partition — computed driver-side from
@@ -1426,8 +1439,8 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("bitextMarginAnn: set-equal to exact bitextMargin under the probed gate dial") {
-    // the v5/ProbeLsh pattern: candidate pruning only affects recall,
-    // the rescore is exact — at the ProbeBitext-verified
+    // the v5/Probe-lsh pattern: candidate pruning only affects recall,
+    // the rescore is exact — at the Probe-verified (bitext family)
     // recall-complete dial the ANN output must be IDENTICAL to the
     // all-pairs baseline, margins, argmax, flag and all. Verify
     // re-probes this per run; here it gates sbt test too.

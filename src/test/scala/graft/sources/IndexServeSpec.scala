@@ -226,6 +226,64 @@ class IndexServeSpec extends AnyFunSuite with BeforeAndAfterAll {
       vecs.length.toLong)
   }
 
+  test("all four encode families: serve from the at-rest index == in-session operator") {
+    def canon(df: DataFrame) = df.collect().map(_.mkString("|")).toSet
+    // (family, in-session form at default dials, in-session at a
+    // NON-DEFAULT dial pair, the same dials for serve)
+    val nonDefault: (Int, Int) = (8, 96)
+    val inSession: Map[String, (Int, Int) => DataFrame] = Map(
+      "pq" -> ((np, rr) => Similarity.annIvfPq(spark, sf, nprobe = np, rerank = rr)),
+      "residual" -> ((np, rr) =>
+        Similarity.annIvfPqResidual(spark, sf, nprobe = np, rerank = rr)),
+      "sq8" -> ((np, rr) => Similarity.annIvfSq8(spark, sf, nprobe = np, rerank = rr)),
+      "bq" -> ((np, rr) => Similarity.annIvfBq(spark, sf, nprobe = np, rerank = rr)))
+    val defaults: Map[String, (Int, Int)] = Map(
+      "pq" -> ((4, 64)), "residual" -> ((4, 64)),
+      "sq8" -> ((4, 16)), "bq" -> ((4, 64)))
+    for (family <- Seq("pq", "residual", "sq8", "bq")) {
+      val idx = java.nio.file.Files
+        .createTempDirectory(s"graft-ann-fam-$family").toString
+      Similarity.writeAnnIndex(spark, sf, idx, family = family)
+      // self-describing: the family is recoverable from the schema alone
+      assert(Similarity.indexFamilyOf(
+        spark.read.parquet(idx).columns.toSeq) === family)
+      val (dnp, drr) = defaults(family)
+      assert(canon(Similarity.annIvfPqServe(spark, sf, idx,
+          nprobe = dnp, rerank = drr)) === canon(inSession(family)(dnp, drr)),
+        s"family $family: serve != in-session at default dials")
+      val (np, rr) = nonDefault
+      assert(canon(Similarity.annIvfPqServe(spark, sf, idx,
+          nprobe = np, rerank = rr)) === canon(inSession(family)(np, rr)),
+        s"family $family: serve != in-session at non-default dials")
+    }
+    graft.ScratchCache.drain()
+  }
+
+  test("append derives the family from the index schema (sq8 index gets sq8 rows)") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-sq8a").toString
+    Similarity.writeAnnIndex(spark, sf, idx, family = "sq8")
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val clone = base.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(100000L))
+    // no family argument: appendAnnIndex must sniff "sq8" off the index
+    Similarity.appendAnnIndex(spark, sf, idx,
+      clone.select(col("vec_id"), col("embedding")), modelDir = sf)
+    val appended = spark.read.parquet(idx).filter(col("vec_id") === 100000L)
+    assert(appended.count() === 1L)
+    assert(appended.columns.contains("q8"), "appended row must carry the sq8 payload")
+    // and the appended clone is served as vector 0's top neighbor
+    val grown = java.nio.file.Files.createTempDirectory("graft-ann-sq8g").toString
+    base.unionByName(clone).coalesce(1)
+      .write.mode("overwrite").parquet(s"$grown/embeddings.parquet")
+    val q0 = base.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val top = Similarity.annIvfPqServeQueries(spark, grown, idx, q0,
+        nprobe = 16, rerank = 501, modelDir = sf)
+      .orderBy(col("rank")).collect()
+    assert(top.head.getLong(2) === 100000L, "appended clone not served as top neighbor")
+  }
+
   test("serve from the at-rest index == in-session operator; scan reads only probed cells") {
     val out = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
     Similarity.writeAnnIndex(spark, sf, out)
