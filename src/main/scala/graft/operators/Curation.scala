@@ -73,25 +73,13 @@ object Curation {
                  nGroups: Int = 8): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val quality = TextOps.filterDecision(spark, dir)
-      .filter(col("keep")).select(col("doc_id"))
-    val survivors = Dedup.keepBest(spark, dir)
-      .select(col("keep_id").as("doc_id"))
-    val clean = TextOps.decontaminate(spark, dir, evalN)
-      .filter(!col("contaminated")).select(col("doc_id"))
-    val band = TextOps.quantileFilter(spark, dir, keepFrac)
-      .select(col("doc_id"))
     // the 4-decision composition is the expensive part of the recipe;
     // persist its (doc_id, lang) projection so the funnel counts, the
     // sample, and the packed write all read ONE evaluation of it
     // (id+lang only — tiny relative to corpus bytes). Explicit persist
     // rather than ScratchCache.arm: this method runs several actions
     // over the relation, and arm() sweeps after the first.
-    val curatedIds = docs.select(col("doc_id"), col("lang"))
-      .join(quality, Seq("doc_id"), "left_semi")
-      .join(survivors, Seq("doc_id"), "left_semi")
-      .join(clean, Seq("doc_id"), "left_semi")
-      .join(band, Seq("doc_id"), "left_semi")
+    val curatedIds = fullCuratedIds(spark, dir, evalN, keepFrac)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sampled = TextOps.stratifiedSampleOf(curatedIds, quota)
@@ -106,6 +94,51 @@ object Curation {
         "packed_written" -> spark.read.parquet(outDir).count())
         .toDF("stage", "n_docs")
     } finally curatedIds.unpersist(blocking = false)
+  }
+
+  /** [[curateFull]]'s decision composition as an id relation
+    * (doc_id, lang): rule filter (t10) ∩ keep-best (d8) ∩
+    * decontamination (t12) ∩ per-language quality-quantile band (t15).
+    * Shared by [[curateFull]] and [[curateFullPacked]] (the q35 gate
+    * form) so the two cannot drift. */
+  private def fullCuratedIds(spark: SparkSession, dir: String,
+                             evalN: Long, keepFrac: Double): DataFrame = {
+    val quality = TextOps.filterDecision(spark, dir)
+      .filter(col("keep")).select(col("doc_id"))
+    val survivors = Dedup.keepBest(spark, dir)
+      .select(col("keep_id").as("doc_id"))
+    val clean = TextOps.decontaminate(spark, dir, evalN)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    val band = TextOps.quantileFilter(spark, dir, keepFrac)
+      .select(col("doc_id"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .join(clean, Seq("doc_id"), "left_semi")
+      .join(band, Seq("doc_id"), "left_semi")
+  }
+
+  /** q35: [[curateFull]] as a pure relation for the correctness gate —
+    * the q34 treatment applied to the selection-centric recipe: the
+    * packed training-sequence assignment of filter ∩ dedup ∩
+    * decontaminate ∩ quantile band → per-language stratified sample OF
+    * THE SURVIVORS → fixed-budget packing of the ORIGINAL text.
+    * Membership pins all four decisions and the per-stratum sample
+    * cut; (grp, n_tokens, start_off, bin) pin the packing.
+    *
+    * The DuckDB oracle hard-codes the defaults; non-default invocations
+    * are NOT gate-checked. */
+  def curateFullPacked(spark: SparkSession, dir: String,
+                       evalN: Long = 50, keepFrac: Double = 0.5,
+                       quota: Int = 20, budget: Int = 512,
+                       nGroups: Int = 8): DataFrame = {
+    val curatedIds = graft.ScratchCache.arm(
+      fullCuratedIds(spark, dir, evalN, keepFrac))
+    val sampled = TextOps.stratifiedSampleOf(curatedIds, quota)
+      .select(col("doc_id"))
+    val selection = Tables.documents(spark, dir)
+      .join(sampled, Seq("doc_id"), "left_semi")
+    TextOps.packSequencesOf(selection, budget, nGroups)
   }
 
   /** The MODERN LLM-pretraining recipe — [[curateFull]]'s composition
@@ -208,80 +241,130 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q34_curate_llm" -> ((s, d) => curateLlmPacked(s, d)))
+    "q34_curate_llm" -> ((s, d) => curateLlmPacked(s, d)),
+    "q35_curate_full" -> ((s, d) => curateFullPacked(s, d)))
 
-  /** The q34 oracle is the CTE-chain composition of the already-gated
-    * per-stage oracles (t10/d7+d8/t12/t29 → d16-on-survivors →
-    * t30-on-survivors → t16-on-selection), each stage's SQL verbatim
-    * from its own oracle with the input relation swapped for the
-    * previous stage's output — so a drift between this oracle and a
-    * stage oracle would be a copy error, not a semantic fork. Constants
-    * interpolated from the same defaults the operators use. */
+  /** The t10 ∩ d7/d8 ∩ t12 decision CTEs both composition oracles
+    * share — each stage's SQL verbatim from its own oracle (a drift
+    * between this prefix and a stage oracle would be a copy error, not
+    * a semantic fork). Ends at `cleanids`; q34 appends the t29
+    * classifier + d16/t30 tail, q35 the t15 band + t14 sample tail. */
+  private def decisionCtes: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_distinct([array_to_string(t[i+1:i+3], ' ')
+       |                        FOR i IN range(0, GREATEST(LEN(t)-3, 0) + 1)]) AS shingles
+       |  FROM toks),
+       |inv AS (
+       |  SELECT doc_id, LEN(shingles) AS n_sh, UNNEST(shingles) AS s FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+       |         COUNT(*) AS n_common
+       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1,2,3,4),
+       |edges AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= ${Dedup.ngramMinJ}
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs
+       |  WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= ${Dedup.ngramMinJ}),
+       |reach AS (
+       |  SELECT doc_id AS src, doc_id AS dst FROM documents
+       |  UNION
+       |  SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a),
+       |clusters AS (
+       |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+       |q AS (
+       |  SELECT doc_id, LEN(list_distinct(t)) / CAST(LEN(t) AS DOUBLE) AS quality
+       |  FROM toks),
+       |rk AS (
+       |  SELECT c.doc_id,
+       |         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |                            ORDER BY q.quality DESC, c.doc_id) AS rn
+       |  FROM clusters c JOIN q USING (doc_id)),
+       |survivors AS (SELECT doc_id FROM rk WHERE rn = 1),
+       |tok AS (SELECT doc_id, UNNEST(t) AS tok FROM toks),
+       |tc AS (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+       |rep AS (
+       |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+       |         MAX(n) / CAST(SUM(n) AS DOUBLE) AS max_tok_frac
+       |  FROM tc GROUP BY 1),
+       |sw AS (
+       |  SELECT doc_id,
+       |         LEN(list_filter(t, x -> x IN ('a','the')))
+       |           / CAST(LEN(t) AS DOUBLE) AS stopword_ratio
+       |  FROM toks),
+       |keepq AS (
+       |  SELECT r.doc_id FROM rep r JOIN sw s USING (doc_id)
+       |  WHERE r.n_tokens >= 15 AND r.max_tok_frac <= 0.15
+       |    AND s.stopword_ratio <= 0.15),
+       |g5 AS (
+       |  SELECT doc_id,
+       |         UNNEST(list_distinct([array_to_string(t[i+1:i+5], ' ')
+       |                               FOR i IN range(0, GREATEST(LEN(t)-5, 0) + 1)])) AS gram
+       |  FROM toks),
+       |eg AS (SELECT DISTINCT gram FROM g5 WHERE doc_id < 50),
+       |contam AS (
+       |  SELECT DISTINCT g5.doc_id FROM g5 JOIN eg USING (gram)
+       |  WHERE g5.doc_id >= 50),
+       |cleanids AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id >= 50
+       |    AND doc_id NOT IN (SELECT doc_id FROM contam))""".stripMargin
+
+  /** The composition oracles are CTE chains of the already-gated
+    * per-stage oracles ([[decisionCtes]] + each recipe's tail), each
+    * stage's SQL verbatim with the input relation swapped for the
+    * previous stage's output. Constants interpolated from the same
+    * defaults the operators use. */
   val oracle: Map[String, String] = Map(
+    "q35_curate_full" ->
+      s"""$decisionCtes,
+         |band AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |           PERCENT_RANK() OVER (PARTITION BY lang
+         |             ORDER BY LEN(list_distinct(string_split_regex(TRIM(text), '\\s+')))
+         |                      / CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE),
+         |               doc_id) AS pr
+         |    FROM documents)
+         |  WHERE pr >= 0.5),
+         |curated AS (
+         |  SELECT doc_id, lang FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM keepq)
+         |    AND doc_id IN (SELECT doc_id FROM survivors)
+         |    AND doc_id IN (SELECT doc_id FROM cleanids)
+         |    AND doc_id IN (SELECT doc_id FROM band)),
+         |sampled AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |           ROW_NUMBER() OVER (PARTITION BY lang
+         |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |    FROM curated)
+         |  WHERE rk <= 20),
+         |pt AS (
+         |  SELECT doc_id,
+         |         LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tokens,
+         |         md5(CAST(doc_id AS VARCHAR)) AS rk_key
+         |  FROM documents JOIN sampled USING (doc_id)),
+         |pg AS (
+         |  SELECT *, CAST(CAST('0x' || substr(rk_key, 1, 8) AS BIGINT) % 8
+         |                 AS INTEGER) AS grp
+         |  FROM pt),
+         |pc AS (
+         |  SELECT doc_id, grp, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (PARTITION BY grp
+         |                                  ORDER BY rk_key, doc_id
+         |                                  ROWS UNBOUNDED PRECEDING)
+         |              - n_tokens AS BIGINT) AS start_off
+         |  FROM pg)
+         |SELECT doc_id, grp, n_tokens, start_off,
+         |       CAST(start_off // 512 AS INTEGER) AS bin
+         |FROM pc""".stripMargin,
     "q34_curate_llm" ->
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t FROM documents),
-         |sh AS (
-         |  SELECT doc_id,
-         |         list_distinct([array_to_string(t[i+1:i+3], ' ')
-         |                        FOR i IN range(0, GREATEST(LEN(t)-3, 0) + 1)]) AS shingles
-         |  FROM toks),
-         |inv AS (
-         |  SELECT doc_id, LEN(shingles) AS n_sh, UNNEST(shingles) AS s FROM sh),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
-         |         COUNT(*) AS n_common
-         |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1,2,3,4),
-         |edges AS (
-         |  SELECT id_a, id_b FROM pairs
-         |  WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= ${Dedup.ngramMinJ}
-         |  UNION ALL
-         |  SELECT id_b, id_a FROM pairs
-         |  WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= ${Dedup.ngramMinJ}),
-         |reach AS (
-         |  SELECT doc_id AS src, doc_id AS dst FROM documents
-         |  UNION
-         |  SELECT r.src, e.id_b FROM reach r JOIN edges e ON r.dst = e.id_a),
-         |clusters AS (
-         |  SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
-         |q AS (
-         |  SELECT doc_id, LEN(list_distinct(t)) / CAST(LEN(t) AS DOUBLE) AS quality
-         |  FROM toks),
-         |rk AS (
-         |  SELECT c.doc_id,
-         |         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
-         |                            ORDER BY q.quality DESC, c.doc_id) AS rn
-         |  FROM clusters c JOIN q USING (doc_id)),
-         |survivors AS (SELECT doc_id FROM rk WHERE rn = 1),
-         |tok AS (SELECT doc_id, UNNEST(t) AS tok FROM toks),
-         |tc AS (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY 1, 2),
-         |rep AS (
-         |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
-         |         MAX(n) / CAST(SUM(n) AS DOUBLE) AS max_tok_frac
-         |  FROM tc GROUP BY 1),
-         |sw AS (
-         |  SELECT doc_id,
-         |         LEN(list_filter(t, x -> x IN ('a','the')))
-         |           / CAST(LEN(t) AS DOUBLE) AS stopword_ratio
-         |  FROM toks),
-         |keepq AS (
-         |  SELECT r.doc_id FROM rep r JOIN sw s USING (doc_id)
-         |  WHERE r.n_tokens >= 15 AND r.max_tok_frac <= 0.15
-         |    AND s.stopword_ratio <= 0.15),
-         |g5 AS (
-         |  SELECT doc_id,
-         |         UNNEST(list_distinct([array_to_string(t[i+1:i+5], ' ')
-         |                               FOR i IN range(0, GREATEST(LEN(t)-5, 0) + 1)])) AS gram
-         |  FROM toks),
-         |eg AS (SELECT DISTINCT gram FROM g5 WHERE doc_id < 50),
-         |contam AS (
-         |  SELECT DISTINCT g5.doc_id FROM g5 JOIN eg USING (gram)
-         |  WHERE g5.doc_id >= 50),
-         |cleanids AS (
-         |  SELECT doc_id FROM documents
-         |  WHERE doc_id >= 50
-         |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+      s"""$decisionCtes,
          |nbm AS (
          |  SELECT tc.tok,
          |         CAST(SUM(CASE WHEN d.source = 'src0' THEN tc.n ELSE 0 END) AS BIGINT) AS cp,

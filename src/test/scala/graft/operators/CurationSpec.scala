@@ -92,6 +92,17 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(g.map(_._2).sum === g.map(r => r._3 + r._2).max)
     }
     assert(rows.forall { case (_, _, off, bin) => bin === (off / 64).toInt })
+
+    // the gate form (q35) is THE SAME relation curateFull writes at
+    // the same non-default dials — the q34 lockstep assertion applied
+    // to the selection-centric recipe
+    val gate = Curation.curateFullPacked(spark, sf, quota = quota,
+        budget = 64, nGroups = 2)
+      .collect().map(_.toSeq).toSet
+    val written = packed
+      .select("doc_id", "grp", "n_tokens", "start_off", "bin")
+      .collect().map(_.toSeq).toSet
+    assert(gate === written, "curateFullPacked must equal curateFull's written relation")
   }
 
   test("curateLlm: classifier decision honored, packed text is the span-cleaned rewrite") {
