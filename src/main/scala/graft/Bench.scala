@@ -366,10 +366,17 @@ object Bench {
     // outer wrapper for each stream section: setup code outside
     // guardedRate (counts, schema reads) can also throw — same rule,
     // named + messaged, never a bare -1. Also anchors the section's
-    // calib for the normalized rate.
+    // calib for the normalized rate — measured BEFORE and AFTER the
+    // section and averaged (the query sections' boundary-mean scheme):
+    // a single pre-section sample left the normalized rate noisier
+    // than the raw one when load shifted mid-section.
     def streamSection(name: String)(body: => Double): Double = {
-      streamCalibs(name) = calibrate()
-      try body catch { case e: Throwable => recordStreamFailure(name, e); -1.0 }
+      val c0 = calibrate()
+      val r = try body catch { case e: Throwable => recordStreamFailure(name, e); -1.0 }
+      val c1 = calibrate()
+      streamCalibs(name) =
+        if (c0 > 0 && c1 > 0) (c0 + c1) / 2 else math.max(c0, c1)
+      r
     }
     // streaming throughput: the DAU pipeline through a REAL streaming
     // query — file-stream source → watermark → state-store dedup → noop

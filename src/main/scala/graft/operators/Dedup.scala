@@ -511,9 +511,11 @@ object Dedup {
     * structurally includes training cost. */
   val memoDeps: Map[String, Seq[String]] = Map(
     "d8_keep_best" -> Seq("d7_near_dup_clusters"),
-    // q34's keep-best stage (Curation.curateLlmPacked) reuses the
-    // cluster labels d7 trains
-    "q34_curate_llm" -> Seq("d7_near_dup_clusters"))
+    // the curation compositions' keep-best stage (Curation
+    // .curateLlmPacked / curateFullPacked) reuses the cluster labels
+    // d7 trains
+    "q34_curate_llm" -> Seq("d7_near_dup_clusters"),
+    "q35_curate_full" -> Seq("d7_near_dup_clusters"))
 
   /** Gate queries that TRAIN [[clusterMemo]] (see [[memoDeps]]). */
   val memoTrainers: Set[String] = Set("d7_near_dup_clusters")
@@ -748,28 +750,24 @@ object Dedup {
   def sourceOverlap(spark: SparkSession, dir: String, k: Int = 3,
                     maxSources: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // persisted UNARMED while the guard counts (the decontaminateBloom
-    // pattern: an internal action would sweep an armed entry before the
-    // self-join reads it); armed below once the guard has passed, so
-    // the CALLER's action sweeps. Feeds sizes + both sides of the join.
-    val grams = Tables.documents(spark, dir)
-      .select(col("source"), tokens(col("text")).as("toks"))
-      .select(col("source"),
-        explode(array_distinct(tokenWindows(col("toks"), k, 1))).as("gram"))
-      .distinct()
-      .persist()
-    // loud guard BEFORE the self-join runs: the count materializes the
-    // gram relation the join would read anyway
-    val nSources = grams.select(col("source")).distinct().count()
-    if (nSources > maxSources) {
-      grams.unpersist(blocking = false) // refusal must not leak the cache
-      throw new IllegalArgumentException(
-        s"sourceOverlap: $nSources distinct sources exceeds maxSources=" +
-          s"$maxSources — the gram self-join fans out sources² per shared " +
-          "gram; use sourceOverlapMinhash (the mergeable-sketch estimate) " +
-          "or raise maxSources deliberately")
-    }
-    ScratchCache.arm(grams)
+    // loud guard BEFORE any gram work plans: one narrow scan of the
+    // corpus's source column (column-pruned at the parquet reader) —
+    // NOT a materialization of the gram explode, so the admitted path
+    // pays only a cheap distinct-count, and the refusal path never
+    // shuffles a gram
+    val nSources = Tables.documents(spark, dir)
+      .select(col("source")).distinct().count()
+    require(nSources <= maxSources,
+      s"sourceOverlap: $nSources distinct sources exceeds maxSources=" +
+        s"$maxSources — the gram self-join fans out sources² per shared " +
+        "gram; use sourceOverlapMinhash (the mergeable-sketch estimate) " +
+        "or raise maxSources deliberately")
+    val grams = ScratchCache.arm( // feeds sizes + both sides of the self-join
+      Tables.documents(spark, dir)
+        .select(col("source"), tokens(col("text")).as("toks"))
+        .select(col("source"),
+          explode(array_distinct(tokenWindows(col("toks"), k, 1))).as("gram"))
+        .distinct())
     val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     grams.select(col("source").as("source_a"), col("gram"))
       .join(grams.select(col("source").as("source_b"), col("gram")), "gram")
