@@ -60,6 +60,16 @@ object Bench {
     })
   private val servedFamilies = Seq("pq", "residual", "sq8", "bq")
 
+  /** Shared at-rest LSH dedup index per corpus dir (the annIndexMemo
+    * pattern — serving lines time PROBING, not index builds). */
+  private val dedupIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupIndexFor(s: SparkSession, d: String): String =
+    dedupIndexMemo.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-bench-dedupidx").toString
+      operators.Dedup.writeDedupIndex(s, d, p)
+      p
+    })
+
   /** The approximate operators at their PRODUCTION dials (defaults) —
     * keyed with a `_prod` suffix so they ride the same two-pass +
     * contention machinery as the gate surface. `v13_knn_graph_serve`
@@ -89,6 +99,13 @@ object Bench {
       operators.Similarity.annIvfPqServe(s, d, annIndexFor(s, d, "sq8"), rerank = 8)),
     "v17_ann_bq_serve" -> ((s, d) =>
       operators.Similarity.annIvfPqServe(s, d, annIndexFor(s, d, "bq"))),
+    // dedup-at-intake: the whole corpus probed as one batch against its
+    // own at-rest LSH index — the serve-side twin of the d3 gate line
+    "d3_lsh_serve" -> ((s, d) =>
+      operators.Dedup.dedupServeBatch(s, dedupIndexFor(s, d),
+        graft.Tables.documents(s, d)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text")))),
   )
 
   def main(args: Array[String]): Unit = {
@@ -104,6 +121,7 @@ object Bench {
     // build the serving index for the TIMED corpus outside the passes
     servedFamilies.foreach(f =>
       try annIndexFor(spark, sfDir, f) catch { case _: Throwable => () })
+    try dedupIndexFor(spark, sfDir) catch { case _: Throwable => () }
     spark.catalog.clearCache() // drop warm-up persists
     // CALIBRATION ANCHOR: a fixed CPU-bound reference job, timed like
     // the queries (min of 2). The within-run spread guard catches

@@ -174,7 +174,15 @@ object Dedup {
     * is a plain equi-shuffle — the LSH trick that makes near-dup
     * linear-ish at 100 TB. Defaults 16×4 target J≈0.5+. */
   def minhashLsh(spark: SparkSession, dir: String,
-                 numHashes: Int = 64, bands: Int = 16, minJ: Double = lshMinJ): DataFrame = {
+                 numHashes: Int = 64, bands: Int = 16, minJ: Double = lshMinJ): DataFrame =
+    minhashLshOn(Tables.documents(spark, dir), numHashes, bands, minJ)
+
+  /** [[minhashLsh]] over ANY (doc_id, text) relation — the batch-local
+    * pass the streaming intake loop runs over each arriving
+    * micro-batch ([[graft.streaming.Runner.dedupIntakeQuery]]). */
+  def minhashLshOn(documents: DataFrame,
+                   numHashes: Int = 64, bands: Int = 16,
+                   minJ: Double = lshMinJ): DataFrame = {
     // integer division would silently drop trailing hashes (64/10 → 6×10
     // used, 4 ignored), changing the effective LSH threshold — fail fast
     require(numHashes % bands == 0,
@@ -186,7 +194,7 @@ object Dedup {
     // measured ~2 s → sub-second at sf0.1), all minima in ONE fused
     // codegen loop (functions.MinHashSigs).
     val docs = ScratchCache.arm( // feeds the banded index and both verify joins (see d2)
-      withShingleHashes(Tables.documents(spark, dir), "text")
+      withShingleHashes(documents, "text")
         .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh")))
     // persist the banded index (plain (doc, band, bucket) rows): it sits
     // on both sides of the bucket self-join, which would otherwise run
@@ -836,6 +844,171 @@ object Dedup {
       .agg(count(when(col("mh_a") === col("mh_b"), 1)).as("n_agree"))
       .withColumn("est_jaccard",
         round(col("n_agree") / lit(numHashes).cast("double"), 6))
+  }
+
+  /** The banded LSH relation (doc_id, band, bucket, shard) of a
+    * (doc_id, sh_hashes) frame — ONE builder shared by the at-rest
+    * index build ([[writeDedupIndex]]), the online probe side
+    * ([[dedupServeBatch]]), the incremental append
+    * ([[appendDedupIndex]]) and the streaming maintenance sink, so no
+    * two paths can drift in how they band or shard. `shard` =
+    * pmod(bucket, shards) exists purely for partition pruning: bucket
+    * is a high-cardinality hash (unusable as a partition column), but
+    * its mod-`shards` residue makes each query batch's candidate read
+    * a static partition filter — the ANN index's probed-cells trick
+    * applied to LSH buckets. */
+  private def bandedOf(docs: DataFrame, numHashes: Int, bands: Int,
+                       shards: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    docs
+      .select(col("doc_id"),
+        graft.functions.MinHashSigs.minhash_sigs(
+          col("sh_hashes"), lit(numHashes)).as("sigs"))
+      .select(col("doc_id"),
+        posexplode(array(bandHashCols(col("sigs"), numHashes, bands): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .withColumn("shard", pmod(col("bucket"), lit(shards.toLong)).cast("int"))
+  }
+
+  /** The d3 LSH index AT REST — dedup-at-intake's build half (the
+    * `writeAnnIndex` deployment split applied to near-dup detection):
+    * two relations under `out/`,
+    *   - `buckets/`: the banded LSH rows partitioned by (band, shard) —
+    *     a probe batch's candidate join reads only its own shards'
+    *     partitions (static partition filter);
+    *   - `shingles/`: each indexed doc's sorted shingle-hash array,
+    *     range-clustered by doc_id — the exact-verification side; a
+    *     candidate set's lookup prunes at file/row-group/page level.
+    * Build offline once over the corpus; probe every arriving batch
+    * with [[dedupServeBatch]]; grow with [[appendAnnIndex]]-style
+    * appends ([[appendDedupIndex]]). At 100 TB the buckets relation is
+    * bands × corpus rows of three longs and the shingles relation is
+    * the corpus's hashed shingle sets — both a fraction of corpus
+    * text bytes, and neither is ever scanned whole by a probe. */
+  def writeDedupIndex(spark: SparkSession, dir: String, out: String,
+                      numHashes: Int = 64, bands: Int = 16,
+                      shards: Int = 64): Unit = {
+    // explicit persist, not arm(): TWO write actions read this relation
+    // (arm would sweep after the first and recompute for the second)
+    val docs = withShingleHashes(Tables.documents(spark, dir), "text")
+      .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
+      .persist()
+    try {
+      bandedOf(docs, numHashes, bands, shards)
+        .write.mode("overwrite").partitionBy("band", "shard")
+        .parquet(s"$out/buckets")
+      graft.sources.Layout.writeRangeClustered(
+        docs, s"$out/shingles", Seq("doc_id"))
+    } finally docs.unpersist(blocking = false)
+  }
+
+  /** Dedup-at-intake — probe a batch of NEW documents (doc_id, text)
+    * against a [[writeDedupIndex]] index: every (query_id, match_id)
+    * pair with exact shingle Jaccard ≥ `minJ` against the INDEXED
+    * corpus (intra-batch duplicates are the batch's own
+    * [[minhashLsh]] pass, deliberately out of scope — intake asks "is
+    * this new doc already in my corpus"). LSH dials must match the
+    * build (the model-ships-with-the-index contract; banding is
+    * deterministic given the dials).
+    *
+    * Scale shape: the batch's banded probes BROADCAST; the candidate
+    * join reads only the batch's shards' partitions of the buckets
+    * relation (`shard isin (...)` — a static partition filter, ≤
+    * `shards` values, far fewer for small batches); exact verification
+    * touches only candidates' shingle arrays, read through the
+    * range-clustered shingles relation (file/row-group pruned by the
+    * candidate ids). No stage scans the corpus. */
+  def dedupServeBatch(spark: SparkSession, indexPath: String,
+                      batch: DataFrame,
+                      numHashes: Int = 64, bands: Int = 16,
+                      shards: Int = 64, minJ: Double = lshMinJ): DataFrame = {
+    val q = ScratchCache.arm( // feeds probes AND the verify join
+      withShingleHashes(batch, "text")
+        .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh")))
+    val probes = bandedOf(q, numHashes, bands, shards)
+      .select(col("doc_id").as("query_id"), col("band"), col("bucket"),
+        col("shard"))
+    // bounded collect (≤ shards ints — the probed-cells pattern): the
+    // batch's shard set becomes the partition filter
+    val probedShards = probes.select(col("shard")).distinct()
+      .collect().map(_.getInt(0))
+    val idx = spark.read.parquet(s"$indexPath/buckets")
+      .filter(col("shard").isin(probedShards: _*))
+    val cand = idx.join(broadcast(probes.drop("shard")), Seq("band", "bucket"))
+      // a re-ingested identical id must not match itself
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id").as("match_id")).distinct()
+    val sh = spark.read.parquet(s"$indexPath/shingles")
+    cand
+      .join(sh.select(col("doc_id").as("match_id"), col("sh_hashes").as("m_sh"),
+        col("n_sh").as("n_m")), "match_id")
+      .join(q.select(col("doc_id").as("query_id"), col("sh_hashes").as("q_sh"),
+        col("n_sh").as("n_q")), "query_id")
+      .withColumn("n_common", graft.functions.SortedIntersectCount
+        .sorted_intersect_count(col("q_sh"), col("m_sh")))
+      .withColumn("jaccard",
+        col("n_common") / (col("n_q") + col("n_m") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("query_id"), col("match_id"), col("jaccard"))
+  }
+
+  /** Incremental dedup-index maintenance — the [[appendAnnIndex]]
+    * analog: band NEW accepted documents with the SAME deterministic
+    * dials and append them into the affected (band, shard) partitions
+    * plus the shingles relation (a new sorted file — range pruning
+    * still works per file). The intake loop is: probe a batch
+    * ([[dedupServeBatch]]), keep the non-duplicates, append THEM here
+    * so later batches dedup against everything accepted so far. */
+  def appendDedupIndex(spark: SparkSession, indexPath: String,
+                       newDocs: DataFrame,
+                       numHashes: Int = 64, bands: Int = 16,
+                       shards: Int = 64): Unit = {
+    val docs = withShingleHashes(newDocs, "text")
+      .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
+      .persist()
+    try {
+      bandedOf(docs, numHashes, bands, shards)
+        .write.mode("append").partitionBy("band", "shard")
+        .parquet(s"$indexPath/buckets")
+      docs.repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("append").parquet(s"$indexPath/shingles")
+    } finally docs.unpersist(blocking = false)
+  }
+
+  /** [[appendDedupIndex]]'s EXACTLY-ONCE streaming form — index rows
+    * land under (batch_id, band, shard) / (batch_id) with write-scoped
+    * dynamic partition OVERWRITE (the annIndexMaintainQuery recipe): a
+    * replayed micro-batch rewrites its own partitions instead of
+    * appending duplicates — and duplicate index rows are not benign
+    * (a duplicated candidate would double-verify; a duplicated shingle
+    * row would double-match). A maintained index is a directory the
+    * stream ALONE writes (partition-discovery depth must stay uniform,
+    * so a [[writeDedupIndex]] layout cannot be mixed in). */
+  def appendDedupIndexBatch(spark: SparkSession, indexPath: String,
+                            newDocs: DataFrame, batchId: Long,
+                            numHashes: Int = 64, bands: Int = 16,
+                            shards: Int = 64): Unit = {
+    val docs = withShingleHashes(newDocs, "text")
+      .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
+      .persist()
+    try {
+      bandedOf(docs, numHashes, bands, shards)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "band", "shard")
+        .parquet(s"$indexPath/buckets")
+      docs.repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(s"$indexPath/shingles")
+    } finally docs.unpersist(blocking = false)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

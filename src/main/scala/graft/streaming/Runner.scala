@@ -304,6 +304,109 @@ object Runner {
       .start()
   }
 
+  /** Streaming dedup-at-intake SERVING — probe each micro-batch of
+    * (doc_id, text) documents against a STATIC at-rest LSH index
+    * ([[graft.operators.Dedup.writeDedupIndex]]): per batch, every
+    * (query_id, match_id, jaccard) near-dup hit against the indexed
+    * corpus lands partitioned by `batch_id` under write-scoped dynamic
+    * partition overwrite (the K5 idempotent sink — a replayed batch
+    * rewrites its own partition). Stateless per batch: all state is
+    * the at-rest index. */
+  def dedupServeQuery(spark: SparkSession, indexPath: String,
+                      docStream: DataFrame, outDir: String,
+                      checkpoint: String,
+                      numHashes: Int = 64, bands: Int = 16,
+                      shards: Int = 64,
+                      minJ: Double = graft.operators.Dedup.lshMinJ): StreamingQuery =
+    docStream
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup
+          .dedupServeBatch(spark, indexPath, batch, numHashes, bands, shards, minJ)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
+      }
+      .start()
+
+  /** The FULL streaming intake-dedup loop on a STREAM-MAINTAINED
+    * index: per micro-batch, (1) probe the arriving documents against
+    * everything accepted so far ([[graft.operators.Dedup
+    * .dedupServeBatch]]), (2) write each doc's keep/drop DECISION
+    * (dup docs carry their best indexed match), (3) append ONLY the
+    * accepted documents' banded rows + shingles into the index — so
+    * later batches dedup against them. Exactly-once on BOTH sinks by
+    * the annIndexMaintainQuery recipe: decisions partition by
+    * `batch_id`; index rows land under (batch_id, band, shard) /
+    * (batch_id) dynamic partition overwrite, so a replayed batch
+    * rewrites its own partitions instead of appending duplicates.
+    *
+    * Like a maintained ANN index, the index directory is one the
+    * stream ALONE writes (partition-discovery depth must be uniform —
+    * a [[graft.operators.Dedup.writeDedupIndex]] layout cannot be
+    * mixed in); seed it by feeding the base corpus as the first
+    * batch(es). Intra-batch duplicates: the FIRST occurrence (lowest
+    * doc_id) is accepted, later ones are dropped as duplicates of it —
+    * the batch's own LSH pass scoped batch-local. */
+  def dedupIntakeQuery(spark: SparkSession, indexPath: String,
+                       docStream: DataFrame, decisionsDir: String,
+                       checkpoint: String,
+                       numHashes: Int = 64, bands: Int = 16,
+                       shards: Int = 64,
+                       minJ: Double = graft.operators.Dedup.lshMinJ): StreamingQuery =
+    docStream
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val hasIndex = new java.io.File(s"$indexPath/buckets").exists()
+          // (1) hits vs everything accepted in PRIOR batches
+          val indexHits =
+            if (hasIndex)
+              graft.operators.Dedup
+                .dedupServeBatch(spark, indexPath, b, numHashes, bands, shards, minJ)
+            else {
+              val sq = spark; import sq.implicits._
+              Seq.empty[(Long, Long, Double)]
+                .toDF("query_id", "match_id", "jaccard")
+            }
+          // intra-batch: lowest-id occurrence wins (batch-local LSH)
+          val intraHits = graft.operators.Dedup
+            .minhashLshOn(b, numHashes, bands, minJ)
+            .select(col("id_b").as("query_id"), col("id_a").as("match_id"),
+              col("jaccard"))
+          val hits = indexHits.unionByName(intraHits).persist()
+          try {
+            // best match per flagged doc (highest J, lowest match id)
+            val best = hits.groupBy(col("query_id"))
+              .agg(max_by(struct(col("match_id"), col("jaccard")),
+                struct(col("jaccard"), (-col("match_id")).as("neg"))).as("m"))
+              .select(col("query_id").as("doc_id"),
+                col("m.match_id").as("dup_of"), col("m.jaccard").as("jaccard"))
+            val decisions = b.select(col("doc_id"))
+              .join(best, Seq("doc_id"), "left")
+              .withColumn("accepted", col("dup_of").isNull)
+              .withColumn("batch_id", lit(batchId))
+            decisions.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(decisionsDir)
+            // (3) append ONLY the accepted docs, idempotently
+            val accepted = b.join(
+              spark.read.parquet(decisionsDir)
+                .filter(col("batch_id") === batchId && col("accepted"))
+                .select(col("doc_id")), Seq("doc_id"), "left_semi")
+            graft.operators.Dedup.appendDedupIndexBatch(
+              spark, indexPath, accepted, batchId, numHashes, bands, shards)
+          } finally hits.unpersist(blocking = false)
+        } finally b.unpersist(blocking = false)
+      }
+      .start()
+
   def annServeQuery(spark: SparkSession, dir: String, indexPath: String,
                     queryStream: DataFrame, outDir: String, checkpoint: String,
                     k: Int = 5, nprobe: Int = 4, rerank: Int = 64): StreamingQuery =

@@ -1,0 +1,146 @@
+package graft.sources
+
+import graft.GraftSession
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Dedup-at-intake: the d3 LSH machinery split into an at-rest index
+  * (Dedup.writeDedupIndex — banded buckets partitioned (band, shard) +
+  * range-clustered shingle arrays) and an online probe
+  * (dedupServeBatch). Asserts (a) probing the corpus against its own
+  * index reproduces EXACTLY the batch d3 pairs, (b) the candidate scan
+  * reads only the batch's shards' partitions, (c) appends serve
+  * without a rebuild, and (d) the full streaming intake loop
+  * (probe → decide → append accepted) is exactly-once under replay. */
+class DedupServeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = GraftSession.tune(
+    SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = {
+    graft.ScratchCache.drain()
+    spark.stop()
+  }
+
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  test("probing the corpus against its own index == the batch d3 pairs") {
+    val idx = tmp("graft-dedup-idx")
+    Dedup.writeDedupIndex(spark, sf, idx)
+    val corpus = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val served = Dedup.dedupServeBatch(spark, idx, corpus).collect()
+      // canonicalize both directions to unordered pairs
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    val batch = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served === batch,
+      "serve-from-index pairs must equal the in-session d3 pairs")
+    assert(served.nonEmpty, "the pinned corpus has near-dups — empty = broken probe")
+    // and each pair was found in BOTH directions (every doc probes)
+    val directed = Dedup.dedupServeBatch(spark, idx, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(directed.size === 2 * batch.size)
+  }
+
+  test("the candidate scan reads only the probed shards' partitions") {
+    val idx = tmp("graft-dedup-pidx")
+    Dedup.writeDedupIndex(spark, sf, idx)
+    val total = spark.read.parquet(s"$idx/buckets").count()
+    // one tiny batch: its 16 band-probes cover few of the 64 shards
+    val one = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 100).select(col("doc_id"), col("text"))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val served = Dedup.dedupServeBatch(spark, idx, one)
+      served.collect()
+      val scanned = served.queryExecution.executedPlan.collectLeaves()
+        .filter(_.toString.contains("bucket"))
+        .flatMap(_.metrics.get("numOutputRows").map(_.value))
+        .maxOption.getOrElse(fail("no plan leaf reads the buckets relation"))
+      assert(scanned < total / 2,
+        s"bucket scan should be shard-pruned: read $scanned of $total rows")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("appended docs are served without a rebuild") {
+    val idx = tmp("graft-dedup-aidx")
+    Dedup.writeDedupIndex(spark, sf, idx)
+    // append a clone of doc 0 under a fresh id
+    val clone = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0)
+      .select(lit(900000L).as("doc_id"), col("text"))
+    Dedup.appendDedupIndex(spark, idx, clone)
+    // a batch carrying the same text must now match BOTH doc 0 and the
+    // appended clone at J = 1
+    val probe = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0)
+      .select(lit(900001L).as("doc_id"), col("text"))
+    val hits = Dedup.dedupServeBatch(spark, idx, probe).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(hits.contains(0L) && hits.contains(900000L),
+      s"expected matches on the original AND the appended clone, got ${hits.keySet}")
+    // the two exact clones match at J = 1; doc 0's genuine corpus
+    // near-dups may also appear (correctly) at lower J
+    assert(hits(0L) >= 0.999999 && hits(900000L) >= 0.999999)
+  }
+
+  test("streaming intake loop: first-wins decisions, cross-batch dedup, replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // feed: batch 1 = two distinct docs + an intra-batch clone of the
+    // first; batch 2 = a clone of an ACCEPTED batch-1 doc + a new doc
+    val d = graft.Tables.documents(spark, sf)
+      .orderBy(col("doc_id")).limit(3)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val b1 = Seq((1L, d(0)._2), (2L, d(1)._2), (3L, d(0)._2))
+    val b2 = Seq((4L, d(1)._2), (5L, d(2)._2))
+    val idx = tmp("graft-dedup-midx")
+    val out = tmp("graft-dedup-mout")
+    def runFeed(): Unit = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val ckpt = tmp("graft-dedup-mckpt")
+      val q = graft.streaming.Runner.dedupIntakeQuery(spark, idx,
+        mem.toDS().toDF("doc_id", "text"), out, ckpt)
+      try {
+        mem.addData(b1); q.processAllAvailable()
+        mem.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+    }
+    runFeed()
+    def decisions() = spark.read.parquet(out)
+      .select(col("doc_id"), col("accepted"), col("dup_of"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val dec = decisions()
+    assert(dec(1L) === ((true, -1L)), "first occurrence accepted")
+    assert(dec(2L) === ((true, -1L)), "distinct doc accepted")
+    assert(dec(3L) === ((false, 1L)), "intra-batch clone dropped, first wins")
+    assert(dec(4L) === ((false, 2L)), "cross-batch clone dropped against batch-1 acceptee")
+    assert(dec(5L) === ((true, -1L)), "new doc accepted")
+    // the index holds exactly the accepted ids
+    val indexed = spark.read.parquet(s"$idx/shingles")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed === Set(1L, 2L, 5L))
+    // replay from a fresh checkpoint: same batches, same batch ids —
+    // dynamic overwrite must leave decisions AND index unchanged
+    runFeed()
+    assert(decisions() === dec, "replay changed the decisions")
+    assert(spark.read.parquet(s"$idx/shingles").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 5L))
+    assert(spark.read.parquet(s"$idx/buckets").count() ===
+      spark.read.parquet(s"$idx/buckets").select("doc_id", "band").distinct().count(),
+      "replay appended duplicate bucket rows")
+  }
+}
