@@ -1011,6 +1011,34 @@ object Dedup {
     } finally docs.unpersist(blocking = false)
   }
 
+  /** Per-batch duplicate hits for the streaming intake loops
+    * ([[graft.streaming.Runner.dedupIntakeQuery]] /
+    * `curateIntakeQuery`): hits against the maintained index (when it
+    * exists yet — the first batch of a fresh intake has none) UNION
+    * intra-batch LSH pairs flagged later-id-against-earlier-id
+    * (first-wins). `via` says which path found the hit ("index" /
+    * "intra") so callers can treat them differently (the curation
+    * intake only honors intra hits whose earlier partner survived its
+    * other stages). */
+  def intakeDupHits(spark: SparkSession, indexPath: String, batch: DataFrame,
+                    numHashes: Int = 64, bands: Int = 16,
+                    shards: Int = 64, minJ: Double = lshMinJ): DataFrame = {
+    val indexHits =
+      if (new java.io.File(s"$indexPath/buckets").exists())
+        dedupServeBatch(spark, indexPath, batch, numHashes, bands, shards, minJ)
+          .withColumn("via", lit("index"))
+      else {
+        val sq = spark; import sq.implicits._
+        Seq.empty[(Long, Long, Double, String)]
+          .toDF("query_id", "match_id", "jaccard", "via")
+      }
+    val intraHits = minhashLshOn(batch, numHashes, bands, minJ)
+      .select(col("id_b").as("query_id"), col("id_a").as("match_id"),
+        col("jaccard"))
+      .withColumn("via", lit("intra"))
+    indexHits.unionByName(intraHits)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d15_source_overlap_minhash" -> ((s, d) => sourceOverlapMinhash(s, d)),
     "d14_leakage_safe_split" -> ((s, d) => leakageSafeSplit(s, d)),

@@ -35,9 +35,14 @@ object TextOps {
 
   /** Quality scoring: char/token counts, type-token ratio inputs, and
     * stopword ratio (tiny built-in stopword set). One pass, no shuffle. */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    qualityOn(Tables.documents(spark, dir))
+
+  /** [[quality]] over ANY (doc_id, text) relation — the per-batch form
+    * the streaming intake scores each arriving micro-batch with. */
+  def qualityOn(docs: DataFrame): DataFrame = {
     val stop = Seq("a", "the")
-    Tables.documents(spark, dir)
+    docs
       .withColumn("toks", tokens("text"))
       .select(
         col("doc_id"),
@@ -157,8 +162,13 @@ object TextOps {
     * filtered before training. Two keyed aggregations on (doc, gram) —
     * partial/map-side combine keeps the shuffle proportional to DISTINCT
     * grams per doc, not tokens, at any corpus size. */
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOn(Tables.documents(spark, dir))
+
+  /** [[repetition]] over ANY (doc_id, text) relation (the qualityOn
+    * rationale). */
+  def repetitionOn(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), tokens("text").as("toks"))
     val tokStats = toks
       .select(col("doc_id"), explode(col("toks")).as("tok"))
@@ -202,8 +212,15 @@ object TextOps {
     * features, this emits the survivors. Rules ordered, thresholds
     * chosen so the corpus exercises every branch. */
   def filterDecision(spark: SparkSession, dir: String): DataFrame =
-    quality(spark, dir)
-      .join(repetition(spark, dir).select(col("doc_id"), col("max_tok_frac")), "doc_id")
+    filterDecisionOn(Tables.documents(spark, dir))
+
+  /** [[filterDecision]] over ANY (doc_id, text) relation — the rule
+    * stage the streaming intake applies per micro-batch; ONE
+    * implementation with the batch gate query so stream and batch
+    * verdicts cannot drift. */
+  def filterDecisionOn(docs: DataFrame): DataFrame =
+    qualityOn(docs)
+      .join(repetitionOn(docs).select(col("doc_id"), col("max_tok_frac")), "doc_id")
       .select(col("doc_id"), col("n_tokens"), col("max_tok_frac"),
         col("stopword_ratio"),
         when(col("n_tokens") < 15, "too_short")
@@ -579,7 +596,10 @@ object TextOps {
     * dedup family does) to shrink the shuffled keys 10×; strings keep
     * these two under the DuckDB value gate. */
   private def docGrams(spark: SparkSession, dir: String, k: Int): DataFrame =
-    Tables.documents(spark, dir)
+    docGramsOn(Tables.documents(spark, dir), k)
+
+  private def docGramsOn(docs: DataFrame, k: Int): DataFrame =
+    docs
       .select(col("doc_id"), tokens("text").as("toks"))
       .select(col("doc_id"),
         explode(array_distinct(tokenWindows(col("toks"), k, 1))).as("gram"))
@@ -594,15 +614,32 @@ object TextOps {
     * one narrow explode + one map-side join + one per-doc count; no
     * all-pairs, no corpus shuffle on gram. */
   def decontaminate(spark: SparkSession, dir: String, evalN: Long = 50,
-                    k: Int = 5): DataFrame = {
-    val grams = docGrams(spark, dir, k)
-    val evalGrams = grams.filter(col("doc_id") < evalN)
+                    k: Int = 5): DataFrame =
+    decontaminateOn(
+      Tables.documents(spark, dir).filter(col("doc_id") >= evalN),
+      evalGrams(spark, dir, evalN, k), k)
+
+  /** The held-out eval set's distinct k-gram dictionary — the
+    * decontamination REFERENCE, built once and reused across batches
+    * by the streaming intake (persist it caller-side; tiny vs any
+    * corpus). */
+  def evalGrams(spark: SparkSession, dir: String, evalN: Long = 50,
+                k: Int = 5): DataFrame =
+    docGrams(spark, dir, k).filter(col("doc_id") < evalN)
       .select(col("gram")).distinct()
-    val matched = grams.filter(col("doc_id") >= evalN)
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+
+  /** [[decontaminate]] over ANY (doc_id, text) relation against a
+    * caller-supplied eval-gram dictionary — ONE implementation with
+    * the batch gate query (which passes the ≥ evalN corpus and
+    * [[evalGrams]]), reused per micro-batch by the streaming intake so
+    * stream and batch verdicts cannot drift. The eval side broadcasts;
+    * the input side is one narrow explode + map-side semi-join. */
+  def decontaminateOn(docs: DataFrame, evalGramDict: DataFrame,
+                      k: Int = 5): DataFrame = {
+    val matched = docGramsOn(docs, k)
+      .join(broadcast(evalGramDict), Seq("gram"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
-    Tables.documents(spark, dir).filter(col("doc_id") >= evalN)
-      .select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(matched, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_matched"), lit(0L)).as("n_matched"))

@@ -364,23 +364,12 @@ object Runner {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
-          val hasIndex = new java.io.File(s"$indexPath/buckets").exists()
-          // (1) hits vs everything accepted in PRIOR batches
-          val indexHits =
-            if (hasIndex)
-              graft.operators.Dedup
-                .dedupServeBatch(spark, indexPath, b, numHashes, bands, shards, minJ)
-            else {
-              val sq = spark; import sq.implicits._
-              Seq.empty[(Long, Long, Double)]
-                .toDF("query_id", "match_id", "jaccard")
-            }
-          // intra-batch: lowest-id occurrence wins (batch-local LSH)
-          val intraHits = graft.operators.Dedup
-            .minhashLshOn(b, numHashes, bands, minJ)
-            .select(col("id_b").as("query_id"), col("id_a").as("match_id"),
-              col("jaccard"))
-          val hits = indexHits.unionByName(intraHits).persist()
+          // hits vs everything accepted in PRIOR batches + intra-batch
+          // first-wins pairs (shared builder: Dedup.intakeDupHits)
+          val hits = graft.operators.Dedup
+            .intakeDupHits(spark, indexPath, b, numHashes, bands, shards, minJ)
+            .drop("via")
+            .persist()
           try {
             // best match per flagged doc (highest J, lowest match id)
             val best = hits.groupBy(col("query_id"))
@@ -406,6 +395,112 @@ object Runner {
         } finally b.unpersist(blocking = false)
       }
       .start()
+
+  /** The FULL streaming CURATION intake — the crawl-intake deployment
+    * of curateLlm's decision stages, per micro-batch of (doc_id, text):
+    *
+    *   1. rule filter (t10, [[graft.operators.TextOps
+    *      .filterDecisionOn]] — the same implementation as the batch
+    *      gate query);
+    *   2. trained NB quality classifier (t29, `nbScoreOf` against the
+    *      model derived ONCE from `dir`'s seed classes and persisted
+    *      across batches — the fastText deployment shape);
+    *   3. benchmark decontamination (t12, `decontaminateOn` against
+    *      the eval-gram dictionary built once from `dir` and
+    *      persisted — broadcast per batch);
+    *   4. near-dup check against everything ACCEPTED so far (the
+    *      [[dedupIntakeQuery]] machinery: maintained LSH index +
+    *      intra-batch first-wins; an intra-batch hit only counts when
+    *      its earlier partner survived stages 1–3 — a near-dup of a
+    *      rejected doc is judged on its own merits).
+    *
+    * Each doc gets ONE decision row: `accepted`, or the FIRST failing
+    * stage as `drop_reason` (too_short / repetitive / stopword_heavy /
+    * classifier / contaminated / duplicate — the production pipeline
+    * order), with `dup_of`/`jaccard` when the reason is duplicate.
+    * Decisions land by `batch_id`; ONLY accepted docs' banded rows +
+    * shingles append to the index ((batch_id, band, shard) dynamic
+    * overwrite) — both sinks exactly-once under replay. All model
+    * state is broadcast (NB counts, eval grams) or at rest (the LSH
+    * index); the batch itself never shuffles wider than its own
+    * (doc, gram) pairs. */
+  def curateIntakeQuery(spark: SparkSession, dir: String, indexPath: String,
+                        docStream: DataFrame, decisionsDir: String,
+                        checkpoint: String, evalN: Long = 50,
+                        numHashes: Int = 64, bands: Int = 16,
+                        shards: Int = 64,
+                        minJ: Double = graft.operators.Dedup.lshMinJ): StreamingQuery = {
+    import graft.operators.{Dedup, TextOps}
+    // train/build the broadcast-side models ONCE, reuse every batch
+    val model = TextOps.nbModel(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalDict = TextOps.evalGrams(spark, dir, evalN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docStream
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val rules = TextOps.filterDecisionOn(b)
+            .select(col("doc_id"), col("drop_reason").as("rule_reason"))
+          val nb = TextOps.nbScoreOf(b, model)
+            .select(col("doc_id"), col("keep").as("nb_keep"))
+          val contam = TextOps.decontaminateOn(b, evalDict)
+            .select(col("doc_id"), col("contaminated"))
+          // stage decisions for every doc — needed BEFORE dup logic
+          // (intra-batch dup hits only count against stage-clean docs)
+          val stages = b.select(col("doc_id"))
+            .join(rules, Seq("doc_id"), "left")
+            .join(nb, Seq("doc_id"), "left")
+            .join(contam, Seq("doc_id"), "left")
+            .withColumn("stage_reason",
+              coalesce(col("rule_reason"),
+                when(!col("nb_keep"), "classifier"),
+                when(col("contaminated"), "contaminated")))
+            .select(col("doc_id"), col("stage_reason"))
+            .persist()
+          try {
+            val hits = Dedup.intakeDupHits(spark, indexPath, b,
+              numHashes, bands, shards, minJ)
+            val cleanIds = stages.filter(col("stage_reason").isNull)
+              .select(col("doc_id").as("match_id"))
+            // index hits always count (the index holds accepted docs);
+            // intra hits only against a stage-clean earlier partner
+            val honored = hits.filter(col("via") === "index")
+              .unionByName(hits.filter(col("via") === "intra")
+                .join(cleanIds, Seq("match_id"), "left_semi"))
+            val best = honored.groupBy(col("query_id"))
+              .agg(max_by(struct(col("match_id"), col("jaccard")),
+                struct(col("jaccard"), (-col("match_id")).as("neg"))).as("m"))
+              .select(col("query_id").as("doc_id"),
+                col("m.match_id").as("dup_of"), col("m.jaccard").as("jaccard"))
+            val decisions = stages
+              .join(best, Seq("doc_id"), "left")
+              .withColumn("drop_reason",
+                coalesce(col("stage_reason"),
+                  when(col("dup_of").isNotNull, "duplicate")))
+              .withColumn("accepted", col("drop_reason").isNull)
+              .select(col("doc_id"), col("accepted"), col("drop_reason"),
+                // dup details only when duplicate IS the verdict
+                when(col("drop_reason") === "duplicate", col("dup_of")).as("dup_of"),
+                when(col("drop_reason") === "duplicate", col("jaccard")).as("jaccard"))
+              .withColumn("batch_id", lit(batchId))
+            decisions.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id").parquet(decisionsDir)
+            val accepted = b.join(
+              spark.read.parquet(decisionsDir)
+                .filter(col("batch_id") === batchId && col("accepted"))
+                .select(col("doc_id")), Seq("doc_id"), "left_semi")
+            Dedup.appendDedupIndexBatch(spark, indexPath, accepted, batchId,
+              numHashes, bands, shards)
+          } finally stages.unpersist(blocking = false)
+        } finally b.unpersist(blocking = false)
+      }
+      .start()
+  }
 
   def annServeQuery(spark: SparkSession, dir: String, indexPath: String,
                     queryStream: DataFrame, outDir: String, checkpoint: String,
