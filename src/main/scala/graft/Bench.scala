@@ -99,13 +99,16 @@ object Bench {
       operators.Similarity.annIvfPqServe(s, d, annIndexFor(s, d, "sq8"), rerank = 8)),
     "v17_ann_bq_serve" -> ((s, d) =>
       operators.Similarity.annIvfPqServe(s, d, annIndexFor(s, d, "bq"))),
-    // dedup-at-intake: the whole corpus probed as one batch against its
-    // own at-rest LSH index — the serve-side twin of the d3 gate line
-    "d3_lsh_serve" -> ((s, d) =>
+    // dedup-at-intake: a 100-doc batch probed against the corpus's
+    // at-rest LSH index — the DEPLOYMENT shape (a bounded arriving
+    // batch vs a large index; the shard partition filter actually
+    // prunes), mirroring the ANN serve lines' bounded query batches
+    "d3_lsh_serve" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
       operators.Dedup.dedupServeBatch(s, dedupIndexFor(s, d),
         graft.Tables.documents(s, d)
-          .select(org.apache.spark.sql.functions.col("doc_id"),
-            org.apache.spark.sql.functions.col("text")))),
+          .filter(col("doc_id") < 100).select(col("doc_id"), col("text")))
+    }),
   )
 
   def main(args: Array[String]): Unit = {

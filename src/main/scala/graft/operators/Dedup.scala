@@ -875,9 +875,12 @@ object Dedup {
   /** The d3 LSH index AT REST — dedup-at-intake's build half (the
     * `writeAnnIndex` deployment split applied to near-dup detection):
     * two relations under `out/`,
-    *   - `buckets/`: the banded LSH rows partitioned by (band, shard) —
-    *     a probe batch's candidate join reads only its own shards'
-    *     partitions (static partition filter);
+    *   - `buckets/`: the banded LSH rows partitioned by `shard` (band
+    *     and bucket stay DATA columns: every band is probed by every
+    *     batch, so a band partition level would multiply file count 16×
+    *     for zero pruning — measured as the dominant serve cost) — a
+    *     probe batch's candidate join reads only its own shards'
+    *     partitions (static partition filter), one file each;
     *   - `shingles/`: each indexed doc's sorted shingle-hash array,
     *     range-clustered by doc_id — the exact-verification side; a
     *     candidate set's lookup prunes at file/row-group/page level.
@@ -896,8 +899,13 @@ object Dedup {
       .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
       .persist()
     try {
+      // one shuffle so each (band, shard) partition lands as ONE file —
+      // without it every map task writes a sliver into every partition
+      // (tasks × bands × shards files; measured 4× serve latency at
+      // sf0.1 from file-open overhead alone)
       bandedOf(docs, numHashes, bands, shards)
-        .write.mode("overwrite").partitionBy("band", "shard")
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard")
         .parquet(s"$out/buckets")
       graft.sources.Layout.writeRangeClustered(
         docs, s"$out/shingles", Seq("doc_id"))
@@ -970,7 +978,8 @@ object Dedup {
       .persist()
     try {
       bandedOf(docs, numHashes, bands, shards)
-        .write.mode("append").partitionBy("band", "shard")
+        .repartition(col("shard")) // one file per touched partition
+        .write.mode("append").partitionBy("shard")
         .parquet(s"$indexPath/buckets")
       docs.repartitionByRange(col("doc_id"))
         .sortWithinPartitions(col("doc_id"))
@@ -996,10 +1005,11 @@ object Dedup {
       .persist()
     try {
       bandedOf(docs, numHashes, bands, shards)
+        .repartition(col("shard")) // one file per touched partition
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id", "band", "shard")
+        .partitionBy("batch_id", "shard")
         .parquet(s"$indexPath/buckets")
       docs.repartitionByRange(col("doc_id"))
         .sortWithinPartitions(col("doc_id"))

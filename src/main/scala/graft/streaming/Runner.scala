@@ -340,7 +340,7 @@ object Runner {
     * accepted documents' banded rows + shingles into the index — so
     * later batches dedup against them. Exactly-once on BOTH sinks by
     * the annIndexMaintainQuery recipe: decisions partition by
-    * `batch_id`; index rows land under (batch_id, band, shard) /
+    * `batch_id`; index rows land under (batch_id, shard) /
     * (batch_id) dynamic partition overwrite, so a replayed batch
     * rewrites its own partitions instead of appending duplicates.
     *
@@ -419,7 +419,7 @@ object Runner {
     * classifier / contaminated / duplicate — the production pipeline
     * order), with `dup_of`/`jaccard` when the reason is duplicate.
     * Decisions land by `batch_id`; ONLY accepted docs' banded rows +
-    * shingles append to the index ((batch_id, band, shard) dynamic
+    * shingles append to the index ((batch_id, shard) dynamic
     * overwrite) — both sinks exactly-once under replay. All model
     * state is broadcast (NB counts, eval grams) or at rest (the LSH
     * index); the batch itself never shuffles wider than its own
