@@ -893,6 +893,7 @@ object Dedup {
   def writeDedupIndex(spark: SparkSession, dir: String, out: String,
                       numHashes: Int = 64, bands: Int = 16,
                       shards: Int = 64): Unit = {
+    writeDedupMeta(out, numHashes, bands, shards)
     // explicit persist, not arm(): TWO write actions read this relation
     // (arm would sweep after the first and recompute for the second)
     val docs = withShingleHashes(Tables.documents(spark, dir), "text")
@@ -912,6 +913,40 @@ object Dedup {
     } finally docs.unpersist(blocking = false)
   }
 
+  /** The dedup index's LSH dials, persisted AT the index
+    * (`meta.json`) so serve and append read them off the index itself
+    * — the [[indexFamilyOf]] self-description idea taken one step
+    * further, because here a silently mismatched dial is worse than a
+    * missing column: a serve probing with a different `shards` modulus
+    * computes shard residues the stored partitioning doesn't use and
+    * the partition filter silently drops true candidates (recall loss
+    * with no error). numHashes/bands drift is equally silent (different
+    * banding → different buckets). One tiny deterministic file,
+    * written at build / first maintained batch, REQUIRED at read. */
+  private def writeDedupMeta(indexPath: String, numHashes: Int,
+                             bands: Int, shards: Int): Unit = {
+    val dir = new java.io.File(indexPath)
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$indexPath/meta.json"),
+      s"""{"numHashes":$numHashes,"bands":$bands,"shards":$shards}"""
+        .getBytes("UTF-8"))
+  }
+
+  private[graft] def readDedupMeta(indexPath: String): (Int, Int, Int) = {
+    val f = java.nio.file.Paths.get(s"$indexPath/meta.json")
+    require(java.nio.file.Files.exists(f),
+      s"$indexPath/meta.json not found — not a writeDedupIndex index " +
+        "(or a pre-meta layout; rebuild with writeDedupIndex)")
+    val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    def field(k: String): Int = {
+      val m = ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(s)
+      require(m.isDefined, s"meta.json missing $k: $s")
+      m.get.group(1).toInt
+    }
+    (field("numHashes"), field("bands"), field("shards"))
+  }
+
   /** Dedup-at-intake — probe a batch of NEW documents (doc_id, text)
     * against a [[writeDedupIndex]] index: every (query_id, match_id)
     * pair with exact shingle Jaccard ≥ `minJ` against the INDEXED
@@ -927,11 +962,17 @@ object Dedup {
     * `shards` values, far fewer for small batches); exact verification
     * touches only candidates' shingle arrays, read through the
     * range-clustered shingles relation (file/row-group pruned by the
-    * candidate ids). No stage scans the corpus. */
+    * candidate ids). No stage scans the corpus.
+    *
+    * LSH dials come from the INDEX's own `meta.json` — a caller
+    * repeating them could silently repeat them WRONG: a mismatched
+    * `shards` modulus makes the partition filter drop true candidates,
+    * and mismatched banding probes buckets the index never wrote —
+    * both silent recall loss, neither an error. */
   def dedupServeBatch(spark: SparkSession, indexPath: String,
                       batch: DataFrame,
-                      numHashes: Int = 64, bands: Int = 16,
-                      shards: Int = 64, minJ: Double = lshMinJ): DataFrame = {
+                      minJ: Double = lshMinJ): DataFrame = {
+    val (numHashes, bands, shards) = readDedupMeta(indexPath)
     val q = ScratchCache.arm( // feeds probes AND the verify join
       withShingleHashes(batch, "text")
         .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh")))
@@ -970,9 +1011,8 @@ object Dedup {
     * ([[dedupServeBatch]]), keep the non-duplicates, append THEM here
     * so later batches dedup against everything accepted so far. */
   def appendDedupIndex(spark: SparkSession, indexPath: String,
-                       newDocs: DataFrame,
-                       numHashes: Int = 64, bands: Int = 16,
-                       shards: Int = 64): Unit = {
+                       newDocs: DataFrame): Unit = {
+    val (numHashes, bands, shards) = readDedupMeta(indexPath)
     val docs = withShingleHashes(newDocs, "text")
       .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
       .persist()
@@ -1000,6 +1040,16 @@ object Dedup {
                             newDocs: DataFrame, batchId: Long,
                             numHashes: Int = 64, bands: Int = 16,
                             shards: Int = 64): Unit = {
+    // first maintained batch CREATES the meta; later batches (and any
+    // replay) must match it — a restarted stream with different dials
+    // would otherwise silently corrupt the index's banding
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$indexPath/meta.json"))) {
+      val meta = readDedupMeta(indexPath)
+      require(meta == ((numHashes, bands, shards)),
+        s"maintained-index dial mismatch: index has $meta, stream passed " +
+          s"(${(numHashes, bands, shards)})")
+    } else writeDedupMeta(indexPath, numHashes, bands, shards)
     val docs = withShingleHashes(newDocs, "text")
       .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
       .persist()
@@ -1035,7 +1085,7 @@ object Dedup {
                     shards: Int = 64, minJ: Double = lshMinJ): DataFrame = {
     val indexHits =
       if (new java.io.File(s"$indexPath/buckets").exists())
-        dedupServeBatch(spark, indexPath, batch, numHashes, bands, shards, minJ)
+        dedupServeBatch(spark, indexPath, batch, minJ)
           .withColumn("via", lit("index"))
       else {
         val sq = spark; import sq.implicits._

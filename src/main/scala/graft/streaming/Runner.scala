@@ -315,8 +315,6 @@ object Runner {
   def dedupServeQuery(spark: SparkSession, indexPath: String,
                       docStream: DataFrame, outDir: String,
                       checkpoint: String,
-                      numHashes: Int = 64, bands: Int = 16,
-                      shards: Int = 64,
                       minJ: Double = graft.operators.Dedup.lshMinJ): StreamingQuery =
     docStream
       .writeStream
@@ -324,7 +322,7 @@ object Runner {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.Dedup
-          .dedupServeBatch(spark, indexPath, batch, numHashes, bands, shards, minJ)
+          .dedupServeBatch(spark, indexPath, batch, minJ)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -95,6 +95,26 @@ class DedupServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits(0L) >= 0.999999 && hits(900000L) >= 0.999999)
   }
 
+  test("the index is self-describing: serve refuses meta-less dirs; maintained dials must match") {
+    // a directory without meta.json is not a dedup index — serving it
+    // must fail loudly, not probe with assumed dials (a wrong `shards`
+    // modulus would silently drop candidates)
+    val notAnIndex = tmp("graft-dedup-noidx")
+    val batch = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0).select(col("doc_id"), col("text"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupServeBatch(spark, notAnIndex, batch)
+    }
+    assert(e.getMessage.contains("meta.json"))
+    // a maintained index refuses a batch append under different dials
+    val midx = tmp("graft-dedup-dialidx")
+    Dedup.appendDedupIndexBatch(spark, midx, batch, 0L) // creates meta @ defaults
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendDedupIndexBatch(spark, midx, batch, 1L, shards = 32)
+    }
+    assert(e2.getMessage.contains("dial mismatch"))
+  }
+
   test("streaming intake loop: first-wins decisions, cross-batch dedup, replay-idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
