@@ -427,6 +427,61 @@ object Similarity {
           .select(col("vec_id"), col("embedding")), "vec_id")
       else enc
     rows.write.mode("overwrite").partitionBy("cid").parquet(out)
+    writeAnnMeta(out, family, nClusters, iters, m, nCodes)
+  }
+
+  /** The index's MODEL dials, persisted AT the index (`_meta.json` —
+    * underscore-prefixed so parquet partition discovery ignores it,
+    * the index root being the dataset itself): training is
+    * deterministic given (model corpus, dials), so a serve that reads
+    * the dials off the index re-derives exactly the build-time model —
+    * a caller repeating them could repeat them WRONG (a different
+    * nClusters trains a different coarse quantizer, whose probes route
+    * to cells the index never wrote: silent recall loss, no error).
+    * The Dedup index's meta.json precedent, applied to ANN. */
+  private def writeAnnMeta(indexPath: String, family: String,
+                           nClusters: Int, iters: Int,
+                           m: Int, nCodes: Int): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$indexPath/_meta.json"),
+      (s"""{"family":"$family","nClusters":$nClusters,"iters":$iters,""" +
+        s""""m":$m,"nCodes":$nCodes}""").getBytes("UTF-8"))
+
+  /** Create the index `_meta.json` if absent; if present, REQUIRE the
+    * dials match (the maintained-index drift guard — shared with the
+    * Dedup index's appendDedupIndexBatch). */
+  private[graft] def ensureAnnMeta(indexPath: String, family: String,
+                                   nClusters: Int, iters: Int,
+                                   m: Int, nCodes: Int): Unit = {
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$indexPath/_meta.json"))) {
+      val meta = readAnnMeta(indexPath)
+      require(meta == ((family, nClusters, iters, m, nCodes)),
+        s"maintained-index dial mismatch: index has $meta, stream passed " +
+          s"(${(family, nClusters, iters, m, nCodes)})")
+    } else {
+      new java.io.File(indexPath).mkdirs()
+      writeAnnMeta(indexPath, family, nClusters, iters, m, nCodes)
+    }
+  }
+
+  /** (family, nClusters, iters, m, nCodes) from the index's
+    * `_meta.json`; loud on a meta-less directory. */
+  private[graft] def readAnnMeta(indexPath: String): (String, Int, Int, Int, Int) = {
+    val f = java.nio.file.Paths.get(s"$indexPath/_meta.json")
+    require(java.nio.file.Files.exists(f),
+      s"$indexPath/_meta.json not found — not a writeAnnIndex index " +
+        "(or a pre-meta layout; rebuild with writeAnnIndex)")
+    val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    def intField(k: String): Int = {
+      val m0 = ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(s)
+      require(m0.isDefined, s"_meta.json missing $k: $s")
+      m0.get.group(1).toInt
+    }
+    val fam = ("\"family\"\\s*:\\s*\"(\\w+)\"").r.findFirstMatchIn(s)
+    require(fam.isDefined, s"_meta.json missing family: $s")
+    (fam.get.group(1), intField("nClusters"), intField("iters"),
+      intField("m"), intField("nCodes"))
   }
 
   /** The four index payload families and their payload COLUMN NAMES —
@@ -520,15 +575,16 @@ object Similarity {
     * untouched partitions are never read or rewritten). */
   def appendAnnIndex(spark: SparkSession, dir: String, indexPath: String,
                      newVectors: DataFrame,
-                     nClusters: Int = 16, iters: Int = 2,
-                     m: Int = 4, nCodes: Int = 16,
                      modelDir: String = null,
                      compactTouchedCells: Boolean = false): Unit = {
     val mDir = Option(modelDir).getOrElse(dir)
-    // the family comes from the INDEX (payload column name), never a
-    // caller argument — appending pq codes to an sq8 index is not a
+    // family AND model dials come from the INDEX (_meta.json + payload
+    // column name), never caller arguments — appending pq codes to an
+    // sq8 index, or codes from a differently-dialed model, is not a
     // mistake this API can express
-    val family = indexFamilyOf(spark.read.parquet(indexPath).columns.toSeq)
+    val (family, nClusters, iters, m, nCodes) = readAnnMeta(indexPath)
+    require(family == indexFamilyOf(spark.read.parquet(indexPath).columns.toSeq),
+      s"index schema and _meta.json disagree on the family")
     val encoded = encodeForIndex(spark, mDir, newVectors, nClusters, iters,
       m, nCodes, family)
     encoded.write.mode("append").partitionBy("cid").parquet(indexPath)
@@ -585,13 +641,12 @@ object Similarity {
     * index. */
   def annIvfPqServe(spark: SparkSession, dir: String, indexPath: String,
                     nQueries: Int = 10, k: Int = 5,
-                    nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4,
-                    m: Int = 4, nCodes: Int = 16, rerank: Int = 64): DataFrame = {
+                    nprobe: Int = 4, rerank: Int = 64): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     annIvfPqServeQueries(spark, dir, indexPath,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-      k, nClusters, iters, nprobe, m, nCodes, rerank)
+      k, nprobe, rerank)
   }
 
   /** [[annIvfPqServe]] for an arbitrary BATCH of queries (query_id,
@@ -609,9 +664,13 @@ object Similarity {
     * retrain because the corpus grew). */
   def annIvfPqServeQueries(spark: SparkSession, dir: String, indexPath: String,
                            queries: DataFrame, k: Int = 5,
-                           nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4,
-                           m: Int = 4, nCodes: Int = 16, rerank: Int = 64,
+                           nprobe: Int = 4, rerank: Int = 64,
                            modelDir: String = null): DataFrame = {
+    // MODEL dials from the index's own _meta.json — a caller-repeated
+    // nClusters would train a different coarse quantizer whose probes
+    // route to cells the index never wrote (silent recall loss); only
+    // the QUERY dials (k, nprobe, rerank) are the caller's to choose
+    val (metaFamily, nClusters, iters, m, nCodes) = readAnnMeta(indexPath)
     val emb = Tables.embeddings(spark, dir)
     val dim = embDim(emb)
     val mDir = Option(modelDir).getOrElse(dir)
@@ -620,10 +679,12 @@ object Similarity {
     val cids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
     val index = spark.read.parquet(indexPath)
       .filter(col("cid").isin(cids: _*))
-    // the encode family is read off the index's own schema (the
-    // payload column name, [[indexFamilyOf]]) — the caller picks the
-    // family at BUILD time only; serving adapts
+    // the encode family is ALSO visible in the schema (the payload
+    // column name) — cross-check it against the meta so a hand-edited
+    // or mismatched index fails loudly
     val family = indexFamilyOf(index.columns.toSeq)
+    require(family == metaFamily,
+      s"index schema says family '$family' but _meta.json says '$metaFamily'")
     val payload = indexFamilies(family)
     // a vector-carrying index (writeAnnIndex includeVectors) rescores
     // from the probed cells' OWN files — without it the rescore join
@@ -1370,10 +1431,15 @@ object Similarity {
     * contract). Identical output to [[knnGraph]] at the same dials
     * (spec-pinned). */
   def knnGraphServe(spark: SparkSession, dir: String, indexPath: String,
-                    k: Int = 5, nClusters: Int = 16, iters: Int = 2,
-                    nprobe: Int = 4, m: Int = 4, nCodes: Int = 16,
+                    k: Int = 5, nprobe: Int = 4,
                     rerank: Int = 64, modelDir: String = null): DataFrame = {
     require(k >= 1 && rerank >= k, s"need 1 <= k <= rerank, got k=$k rerank=$rerank")
+    // model dials from the index's _meta.json (the serve contract);
+    // the ADC-LUT mining path reads 2-byte PQ codes — other families
+    // fail loudly here rather than mis-decode
+    val (family, nClusters, iters, m, nCodes) = readAnnMeta(indexPath)
+    require(family == "pq",
+      s"knnGraphServe mines from a pq index (ADC lookup tables); got '$family'")
     val emb = Tables.embeddings(spark, dir)
     val dim = embDim(emb)
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
@@ -1453,11 +1519,14 @@ object Similarity {
     * probe every cell). */
   def bitextMarginAnnServe(spark: SparkSession, dir: String, indexPath: String,
                            k: Int = 4, minMargin: Double = 1.0,
-                           nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4,
-                           m: Int = 4, nCodes: Int = 16, rerank: Int = 64,
+                           nprobe: Int = 4, rerank: Int = 64,
                            modelDir: String = null): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    // model dials off the index (the knnGraphServe contract)
+    val (family, nClusters, iters, m, nCodes) = readAnnMeta(indexPath)
+    require(family == "pq",
+      s"bitextMarginAnnServe mines from a pq index (ADC lookup tables); got '$family'")
     val emb = Tables.embeddings(spark, dir)
     val dim = embDim(emb)
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")

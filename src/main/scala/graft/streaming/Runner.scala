@@ -260,6 +260,12 @@ object Runner {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // first maintained batch CREATES the index _meta.json (the
+        // appendDedupIndexBatch pattern); later batches and replays
+        // must match it — a restarted stream with different dials
+        // would silently encode against a different model
+        graft.operators.Similarity
+          .ensureAnnMeta(indexPath, family, nClusters, iters, m, nCodes)
         graft.operators.Similarity
           .encodeForIndex(spark, modelDir, batch, nClusters, iters, m, nCodes,
             family)

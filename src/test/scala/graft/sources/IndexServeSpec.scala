@@ -284,6 +284,51 @@ class IndexServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(top.head.getLong(2) === 100000L, "appended clone not served as top neighbor")
   }
 
+  test("the index is self-describing: serve refuses meta-less dirs; maintained dials must match") {
+    import spark.implicits._
+    // a directory without _meta.json is not an ANN index — serving it
+    // must fail loudly, not re-derive a model from assumed dials (a
+    // wrong nClusters routes probes to cells the index never wrote)
+    val notAnIndex = java.nio.file.Files
+      .createTempDirectory("graft-ann-noidx").toString
+    val q = graft.Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annIvfPqServeQueries(spark, sf, notAnIndex, q)
+    }
+    assert(e.getMessage.contains("_meta.json"))
+    // mining from a non-pq family refuses with a clear message
+    val sq8idx = java.nio.file.Files
+      .createTempDirectory("graft-ann-sq8m").toString
+    Similarity.writeAnnIndex(spark, sf, sq8idx, family = "sq8")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.knnGraphServe(spark, sf, sq8idx)
+    }
+    assert(e2.getMessage.contains("pq index"))
+    // a maintained index refuses a restart under different dials
+    implicit val sqlCtx = spark.sqlContext
+    val midx = java.nio.file.Files
+      .createTempDirectory("graft-ann-dialm").toString
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    def feed(nClusters: Int): Unit = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-ann-dialc").toString
+      val mq = graft.streaming.Runner.annIndexMaintainQuery(spark, sf, midx,
+        mem.toDS().toDF("vec_id", "embedding"), ckpt, nClusters = nClusters)
+      try { mem.addData(vecs); mq.processAllAvailable() } finally mq.stop()
+    }
+    feed(nClusters = 16)
+    val e3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      feed(nClusters = 8)
+    }
+    assert(e3.getMessage.contains("dial mismatch") ||
+      Option(e3.getCause).exists(_.getMessage.contains("dial mismatch")))
+  }
+
   test("serve from the at-rest index == in-session operator; scan reads only probed cells") {
     val out = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
     Similarity.writeAnnIndex(spark, sf, out)

@@ -78,9 +78,10 @@ object DriveAnnScale {
       def queriesOf(nq: Int) = graft.Tables.embeddings(spark, dir)
         .filter(col("vec_id") < nq)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      // model dials (nClusters, iters) come from each index's own
+      // _meta.json now — only the query dials are passed
       def serve(path: String, nq: Int): Unit = Similarity.annIvfPqServeQueries(
-        spark, dir, path, queriesOf(nq),
-        nClusters = nClusters, iters = 1, nprobe = 8).count()
+        spark, dir, path, queriesOf(nq), nprobe = 8).count()
       serve(idx, 10); serve(vidx, 10) // warm (plan + model memo — production serves memo-warm)
       val serveS = minOf2(serve(idx, 10))
       val vServeS = minOf2(serve(vidx, 10))
