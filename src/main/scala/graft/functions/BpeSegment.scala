@@ -115,7 +115,8 @@ object BpeSegment {
     * memoized per thread on the literal arrays' identity
     * ([[LiteralTableMemo]]) — paid once per task, not per row. */
   def segment(text: UTF8String, lefts: ArrayData, rights: ArrayData): ArrayData = {
-    val table = tableMemo.get(lefts, rights)(decodeTable(lefts, rights))
+    val table = tableMemo.get(lefts, lefts.numElements(),
+      rights, rights.numElements())(decodeTable(lefts, rights))
     if (table == null) return null
     val ls = table.ls
     val rs = table.rs

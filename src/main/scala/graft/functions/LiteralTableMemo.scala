@@ -11,6 +11,19 @@ package graft.functions
   * and safely conservative otherwise: per-row computed arrays are fresh
   * objects, miss the memo, and decode as before — never a stale hit.
   *
+  * The identity key leans on an internals invariant: a reused container
+  * must imply unchanged contents. This HOLDS on Spark 4.1.2 —
+  * `UnsafeRow.getArray` and `WritableColumnVector.getArray` allocate a
+  * fresh wrapper per call (verified in the shipped jars), so the only
+  * way to see the same `ArrayData` object twice is a plan literal,
+  * which is immutable. Because that is an undocumented invariant, each
+  * hit ALSO re-checks the operands' `numElements` stamps (O(1)): a
+  * future row implementation that hands back a mutated-in-place
+  * container with a different length misses the memo loudly (fresh
+  * decode) instead of returning a silently stale table. A same-length
+  * in-place mutation would still slip through — the stamp is a cheap
+  * tripwire for the likely regression shape, not a content hash.
+  *
   * One entry per thread (ThreadLocal): rows of a task arrive on one
   * thread, so a single slot gives a ~100% hit rate while bounding
   * retention to one decoded table per executor thread — no eviction
@@ -19,16 +32,20 @@ package graft.functions
   * not stored; the error path re-scans per row, which only costs on
   * malformed input. */
 private[functions] final class LiteralTableMemo[T <: AnyRef] {
-  private val slot = new ThreadLocal[(AnyRef, AnyRef, T)]
+  private final case class Entry(k1: AnyRef, n1: Int, k2: AnyRef, n2: Int,
+                                 value: T)
+  private val slot = new ThreadLocal[Entry]
 
   /** Return the decoded table for (k1, k2), reusing the thread's last
-    * decode when both operands are the SAME objects (`eq`). */
-  def get(k1: AnyRef, k2: AnyRef)(decode: => T): T = {
+    * decode when both operands are the SAME objects (`eq`) AND their
+    * length stamps (`n1`, `n2` — pass `numElements()`) are unchanged. */
+  def get(k1: AnyRef, n1: Int, k2: AnyRef, n2: Int)(decode: => T): T = {
     val cur = slot.get()
-    if (cur != null && (cur._1 eq k1) && (cur._2 eq k2)) cur._3
+    if (cur != null && (cur.k1 eq k1) && (cur.k2 eq k2) &&
+        cur.n1 == n1 && cur.n2 == n2) cur.value
     else {
       val v = decode
-      if (v != null) slot.set((k1, k2, v))
+      if (v != null) slot.set(Entry(k1, n1, k2, n2, v))
       v
     }
   }

@@ -171,7 +171,8 @@ object UnigramSegment {
     * scores) — yields null (never a crash or a silently partial
     * segmentation). */
   def segment(text: UTF8String, pieces: ArrayData, logprobs: ArrayData): ArrayData = {
-    val table = tableMemo.get(pieces, logprobs)(decodeTable(pieces, logprobs))
+    val table = tableMemo.get(pieces, pieces.numElements(),
+      logprobs, logprobs.numElements())(decodeTable(pieces, logprobs))
     if (table == null) return null
     // the trainer's word derivation: trim + whitespace split (TextOps
     // .tokens semantics)

@@ -754,7 +754,14 @@ object Dedup {
     * sources the method fails loudly and names [[sourceOverlapMinhash]]
     * (the `driverMaxEdges` pattern) — a common gram across S sources
     * fans out S² rows, so an unexpectedly fine-grained source column
-    * (e.g. per-URL) must refuse fast instead of shuffling slowly. */
+    * (e.g. per-URL) must refuse fast instead of shuffling slowly.
+    *
+    * NOTE: the guard makes BUILDING this relation run one eager Spark
+    * job (a column-pruned distinct-count of `source`) — the only
+    * builder on the gate surface that is not action-free. Deliberate:
+    * refusing BEFORE the doomed self-join even plans beats a deferred
+    * in-plan assert that would race the shuffle it exists to prevent;
+    * plan-only workflows (explain audits) pay one narrow scan for it. */
   def sourceOverlap(spark: SparkSession, dir: String, k: Int = 3,
                     maxSources: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -914,37 +921,26 @@ object Dedup {
   }
 
   /** The dedup index's LSH dials, persisted AT the index
-    * (`meta.json`) so serve and append read them off the index itself
-    * — the [[indexFamilyOf]] self-description idea taken one step
-    * further, because here a silently mismatched dial is worse than a
-    * missing column: a serve probing with a different `shards` modulus
-    * computes shard residues the stored partitioning doesn't use and
-    * the partition filter silently drops true candidates (recall loss
-    * with no error). numHashes/bands drift is equally silent (different
-    * banding → different buckets). One tiny deterministic file,
-    * written at build / first maintained batch, REQUIRED at read. */
+    * ([[graft.sources.IndexMeta]]'s `_meta.json` — the one convention
+    * shared with the ANN index) so serve and append read them off the
+    * index itself — the `indexFamilyOf` self-description idea taken one
+    * step further, because here a silently mismatched dial is worse
+    * than a missing column: a serve probing with a different `shards`
+    * modulus computes shard residues the stored partitioning doesn't
+    * use and the partition filter silently drops true candidates
+    * (recall loss with no error). numHashes/bands drift is equally
+    * silent (different banding → different buckets). One tiny
+    * deterministic file, written at build / first maintained batch,
+    * REQUIRED at read. */
   private def writeDedupMeta(indexPath: String, numHashes: Int,
-                             bands: Int, shards: Int): Unit = {
-    val dir = new java.io.File(indexPath)
-    dir.mkdirs()
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$indexPath/meta.json"),
-      s"""{"numHashes":$numHashes,"bands":$bands,"shards":$shards}"""
-        .getBytes("UTF-8"))
-  }
+                             bands: Int, shards: Int): Unit =
+    graft.sources.IndexMeta.write(indexPath, Seq(
+      "numHashes" -> numHashes, "bands" -> bands, "shards" -> shards))
 
   private[graft] def readDedupMeta(indexPath: String): (Int, Int, Int) = {
-    val f = java.nio.file.Paths.get(s"$indexPath/meta.json")
-    require(java.nio.file.Files.exists(f),
-      s"$indexPath/meta.json not found — not a writeDedupIndex index " +
-        "(or a pre-meta layout; rebuild with writeDedupIndex)")
-    val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-    def field(k: String): Int = {
-      val m = ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(s)
-      require(m.isDefined, s"meta.json missing $k: $s")
-      m.get.group(1).toInt
-    }
-    (field("numHashes"), field("bands"), field("shards"))
+    import graft.sources.IndexMeta.intField
+    val s = graft.sources.IndexMeta.readRaw(indexPath, "writeDedupIndex")
+    (intField(s, "numHashes"), intField(s, "bands"), intField(s, "shards"))
   }
 
   /** Dedup-at-intake — probe a batch of NEW documents (doc_id, text)
@@ -964,7 +960,7 @@ object Dedup {
     * range-clustered shingles relation (file/row-group pruned by the
     * candidate ids). No stage scans the corpus.
     *
-    * LSH dials come from the INDEX's own `meta.json` — a caller
+    * LSH dials come from the INDEX's own `_meta.json` — a caller
     * repeating them could silently repeat them WRONG: a mismatched
     * `shards` modulus makes the partition filter drop true candidates,
     * and mismatched banding probes buckets the index never wrote —
@@ -980,9 +976,16 @@ object Dedup {
       .select(col("doc_id").as("query_id"), col("band"), col("bucket"),
         col("shard"))
     // bounded collect (≤ shards ints — the probed-cells pattern): the
-    // batch's shard set becomes the partition filter
+    // batch's shard set becomes the partition filter. Driven through the
+    // RDD API ON PURPOSE: a Dataset action here would fire the
+    // ScratchCache listener, whose sweep unpersists `q` BEFORE the
+    // candidate and verify joins (the two consumers this cache exists
+    // for) ever run — the batch's shingle hashing would then recompute
+    // for both join sides on the hot serve path. RDD actions bypass
+    // QueryExecutionListener (documented ScratchCache semantics), so
+    // `q` stays armed until the caller's own materialization sweeps it.
     val probedShards = probes.select(col("shard")).distinct()
-      .collect().map(_.getInt(0))
+      .rdd.map(_.getInt(0)).collect()
     val idx = spark.read.parquet(s"$indexPath/buckets")
       .filter(col("shard").isin(probedShards: _*))
     val cand = idx.join(broadcast(probes.drop("shard")), Seq("band", "bucket"))
@@ -1043,8 +1046,7 @@ object Dedup {
     // first maintained batch CREATES the meta; later batches (and any
     // replay) must match it — a restarted stream with different dials
     // would otherwise silently corrupt the index's banding
-    if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$indexPath/meta.json"))) {
+    if (graft.sources.IndexMeta.exists(indexPath)) {
       val meta = readDedupMeta(indexPath)
       require(meta == ((numHashes, bands, shards)),
         s"maintained-index dial mismatch: index has $meta, stream passed " +

@@ -438,14 +438,14 @@ object Similarity {
     * a caller repeating them could repeat them WRONG (a different
     * nClusters trains a different coarse quantizer, whose probes route
     * to cells the index never wrote: silent recall loss, no error).
-    * The Dedup index's meta.json precedent, applied to ANN. */
+    * Mechanics shared with the dedup index via
+    * [[graft.sources.IndexMeta]] — one file name, one failure mode. */
   private def writeAnnMeta(indexPath: String, family: String,
                            nClusters: Int, iters: Int,
                            m: Int, nCodes: Int): Unit =
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$indexPath/_meta.json"),
-      (s"""{"family":"$family","nClusters":$nClusters,"iters":$iters,""" +
-        s""""m":$m,"nCodes":$nCodes}""").getBytes("UTF-8"))
+    graft.sources.IndexMeta.write(indexPath, Seq(
+      "family" -> family, "nClusters" -> nClusters, "iters" -> iters,
+      "m" -> m, "nCodes" -> nCodes))
 
   /** Create the index `_meta.json` if absent; if present, REQUIRE the
     * dials match (the maintained-index drift guard — shared with the
@@ -453,35 +453,21 @@ object Similarity {
   private[graft] def ensureAnnMeta(indexPath: String, family: String,
                                    nClusters: Int, iters: Int,
                                    m: Int, nCodes: Int): Unit = {
-    if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$indexPath/_meta.json"))) {
+    if (graft.sources.IndexMeta.exists(indexPath)) {
       val meta = readAnnMeta(indexPath)
       require(meta == ((family, nClusters, iters, m, nCodes)),
         s"maintained-index dial mismatch: index has $meta, stream passed " +
           s"(${(family, nClusters, iters, m, nCodes)})")
-    } else {
-      new java.io.File(indexPath).mkdirs()
-      writeAnnMeta(indexPath, family, nClusters, iters, m, nCodes)
-    }
+    } else writeAnnMeta(indexPath, family, nClusters, iters, m, nCodes)
   }
 
   /** (family, nClusters, iters, m, nCodes) from the index's
     * `_meta.json`; loud on a meta-less directory. */
   private[graft] def readAnnMeta(indexPath: String): (String, Int, Int, Int, Int) = {
-    val f = java.nio.file.Paths.get(s"$indexPath/_meta.json")
-    require(java.nio.file.Files.exists(f),
-      s"$indexPath/_meta.json not found — not a writeAnnIndex index " +
-        "(or a pre-meta layout; rebuild with writeAnnIndex)")
-    val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-    def intField(k: String): Int = {
-      val m0 = ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(s)
-      require(m0.isDefined, s"_meta.json missing $k: $s")
-      m0.get.group(1).toInt
-    }
-    val fam = ("\"family\"\\s*:\\s*\"(\\w+)\"").r.findFirstMatchIn(s)
-    require(fam.isDefined, s"_meta.json missing family: $s")
-    (fam.get.group(1), intField("nClusters"), intField("iters"),
-      intField("m"), intField("nCodes"))
+    import graft.sources.IndexMeta.{intField, strField}
+    val s = graft.sources.IndexMeta.readRaw(indexPath, "writeAnnIndex")
+    (strField(s, "family"), intField(s, "nClusters"), intField(s, "iters"),
+      intField(s, "m"), intField(s, "nCodes"))
   }
 
   /** The four index payload families and their payload COLUMN NAMES —

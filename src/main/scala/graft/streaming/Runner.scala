@@ -435,12 +435,16 @@ object Runner {
                         shards: Int = 64,
                         minJ: Double = graft.operators.Dedup.lshMinJ): StreamingQuery = {
     import graft.operators.{Dedup, TextOps}
-    // train/build the broadcast-side models ONCE, reuse every batch
+    // train/build the broadcast-side models ONCE, reuse every batch —
+    // their lifetime is the QUERY's: a termination listener below
+    // unpersists both when this query ends, so repeated start/stop
+    // cycles (the bench's guarded attempts, test suites, supervised
+    // restarts) don't accrete two cached relations per start
     val model = TextOps.nbModel(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalDict = TextOps.evalGrams(spark, dir, evalN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    docStream
+    val query = docStream
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -466,8 +470,14 @@ object Runner {
             .select(col("doc_id"), col("stage_reason"))
             .persist()
           try {
+            // persisted (the dedupIntakeQuery pattern): hits feeds BOTH
+            // union branches of `honored` plus the best-match aggregate —
+            // unpersisted, the intra-batch LSH pass would re-evaluate
+            // per consumer every micro-batch
             val hits = Dedup.intakeDupHits(spark, indexPath, b,
               numHashes, bands, shards, minJ)
+              .persist()
+            try {
             val cleanIds = stages.filter(col("stage_reason").isNull)
               .select(col("doc_id").as("match_id"))
             // index hits always count (the index holds accepted docs);
@@ -500,10 +510,31 @@ object Runner {
                 .select(col("doc_id")), Seq("doc_id"), "left_semi")
             Dedup.appendDedupIndexBatch(spark, indexPath, accepted, batchId,
               numHashes, bands, shards)
+            } finally hits.unpersist(blocking = false)
           } finally stages.unpersist(blocking = false)
         } finally b.unpersist(blocking = false)
       }
       .start()
+    // release the per-query model caches when THIS query terminates
+    // (stop or failure) and retire the listener itself — the listener
+    // bus is asynchronous, so a query stopped before the listener
+    // registers leaks at most these two small relations once, bounded
+    // and cold-correct (unpersist is a cache hint, never correctness)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            model.unpersist(blocking = false)
+            evalDict.unpersist(blocking = false)
+            spark.streams.removeListener(this)
+          }
+      })
+    query
   }
 
   def annServeQuery(spark: SparkSession, dir: String, indexPath: String,

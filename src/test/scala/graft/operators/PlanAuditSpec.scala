@@ -94,7 +94,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // sparkPlan (pre-AQE) shows the static join strategy; building it
-        // does not run the query, so the whole surface audits in seconds
+        // does not run the query (sole documented exception: d13's
+        // builder runs one narrow distinct-count as its loud maxSources
+        // guard — see Dedup.sourceOverlap), so the surface audits in
+        // seconds
         val (bnlj, cart) = loopJoins(fn(spark, sf).queryExecution.sparkPlan)
         val ok =
           if (allPairsBaselines(name)) true
