@@ -588,6 +588,59 @@ object Bench {
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       }
     }
+    // the two streaming INTAKE loops — the library's flagship
+    // deployment shapes (r9 verdict Next #2: measured ad hoc by
+    // TimeDedupServe/TimeCurateIntake, now round-over-round comparable
+    // on the artifact). The documents table is split into 4 files and
+    // fed as 4 micro-batches (maxFilesPerTrigger=1): each batch probes
+    // the index maintained by the PREVIOUS batches, so the measured
+    // path is the real loop (probe + intra-batch first-wins + two
+    // exactly-once sinks), not a single-batch special case. Rate over
+    // input docs; fresh index/decisions/checkpoint per attempt (a
+    // reused index would change the work); the 4-file fixture is
+    // shared, built once untimed. Guard: one decision row per doc, or
+    // -1. For curate_intake the NB model + eval-gram builds land
+    // INSIDE the timed window (they amortize over a real stream's
+    // lifetime, but belong in an honest single-feed number —
+    // TimeCurateIntake's convention).
+    val intakeFixtureMemo = new java.util.concurrent.atomic.AtomicReference[String]()
+    def intakeFixture(): String = {
+      import org.apache.spark.sql.functions.col
+      if (intakeFixtureMemo.get == null) {
+        val d = java.nio.file.Files.createTempDirectory("graft-bench-intakefix").toString
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .repartition(4).write.mode("overwrite").parquet(d)
+        intakeFixtureMemo.set(d)
+      }
+      intakeFixtureMemo.get
+    }
+    def intakeRate(name: String)(
+        start: (DataFrame, String, String, String) =>
+          org.apache.spark.sql.streaming.StreamingQuery): Double = {
+      val fix = intakeFixture()
+      val nDocs = spark.read.parquet(fix).count()
+      val schema = spark.read.parquet(fix).schema
+      guardedRate(name) { () =>
+        val idx = java.nio.file.Files.createTempDirectory(s"graft-bench-$name-idx").toString
+        val out = java.nio.file.Files.createTempDirectory(s"graft-bench-$name-out").toString
+        val ckpt = java.nio.file.Files.createTempDirectory(s"graft-bench-$name-ckpt").toString
+        val docStream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(fix)
+        val sec = timedStream(partitions = 8) { () =>
+          start(docStream, idx, out, ckpt)
+        }
+        if (spark.read.parquet(out).count() != nDocs) -1.0 else nDocs / sec
+      }
+    }
+    val streamDedupIntakeRate: Double = streamSection("stream_dedup_intake") {
+      intakeRate("stream_dedup_intake")((ds, idx, out, ckpt) =>
+        streaming.Runner.dedupIntakeQuery(spark, idx, ds, out, ckpt))
+    }
+    val streamCurateIntakeRate: Double = streamSection("stream_curate_intake") {
+      intakeRate("stream_curate_intake")((ds, idx, out, ckpt) =>
+        streaming.Runner.curateIntakeQuery(spark, sfDir, idx, ds, out, ckpt))
+    }
     // second anchor: sustained load that began after the first
     // calibration (mid-queries or mid-streams) is only visible here —
     // compare calib_end_sec to calib_sec before trusting a slow run
@@ -634,7 +687,9 @@ object Bench {
       "stream_join" -> streamJoinRate,
       "stream_cdc_apply" -> streamCdcRate,
       "stream_topology" -> streamTopologyRate,
-      "stream_heavy_hitters_rocksdb" -> streamHhRate)
+      "stream_heavy_hitters_rocksdb" -> streamHhRate,
+      "stream_dedup_intake" -> streamDedupIntakeRate,
+      "stream_curate_intake" -> streamCurateIntakeRate)
       .map { case (n, r) => s""""${n}_rows_per_calib":${streamNorm(n, r)}""" }
       .mkString(",")
     val streamCalibsJson = streamCalibs
@@ -657,6 +712,8 @@ object Bench {
       s""""stream_cdc_apply_rows_per_sec":${streamCdcRate.toLong},""" +
       s""""stream_topology_rows_per_sec":${streamTopologyRate.toLong},""" +
       s""""stream_heavy_hitters_rocksdb_rows_per_sec":${streamHhRate.toLong},""" +
+      s""""stream_dedup_intake_rows_per_sec":${streamDedupIntakeRate.toLong},""" +
+      s""""stream_curate_intake_rows_per_sec":${streamCurateIntakeRate.toLong},""" +
       streamNormJson + "," +
       s""""stream_calibs":$streamCalibsJson,""" +
       s""""calib_sec":$calibSec,"calib_end_sec":$calibEndSec,""" +

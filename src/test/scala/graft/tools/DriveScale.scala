@@ -16,12 +16,19 @@ import org.apache.spark.sql.functions._
   * worst case for state growth per input row — every row inserts).
   * The feed is file-edged parquet like the bench streams.
   *
-  * `Test/runMain graft.tools.DriveScale [keys ...]` (default ladder
-  * 100000 1000000 10000000)
+  * `Test/runMain graft.tools.DriveScale [keys ...] [dau|cdc_apply ...]`
+  * (default ladder 100000 1000000 10000000, both pipelines; naming
+  * one or both pipeline selectors restricts the run — a 3e8 cdc-only
+  * rung must not pay for a dau rung it already has)
   */
 object DriveScale {
   def main(args: Array[String]): Unit = {
-    val ladder = if (args.nonEmpty) args.map(_.toLong).toSeq
+    val pipeSel = args.filter(a => !a.forall(_.isDigit)).toSet
+    val numeric = args.filter(_.forall(_.isDigit)).toSeq
+    require(pipeSel.subsetOf(Set("dau", "cdc_apply")),
+      s"unknown pipeline selector(s): ${pipeSel -- Set("dau", "cdc_apply")}")
+    def want(name: String): Boolean = pipeSel.isEmpty || pipeSel(name)
+    val ladder = if (numeric.nonEmpty) numeric.map(_.toLong)
                  else Seq(100000L, 1000000L, 10000000L)
     val spark = GraftSession.streamingTune(
       SparkSession.builder().master("local[32]")
@@ -71,9 +78,11 @@ object DriveScale {
     }
 
     ladder.foreach { k =>
-      run("dau", k)(ev => graft.streaming.Pipelines.dauFirstVisits(
-        ev.selectExpr("cast(user_id as string) as mid", "ts")))
-      run("cdc_apply", k)(ev => graft.streaming.Pipelines.cdcApplyStream(ev).toDF())
+      if (want("dau"))
+        run("dau", k)(ev => graft.streaming.Pipelines.dauFirstVisits(
+          ev.selectExpr("cast(user_id as string) as mid", "ts")))
+      if (want("cdc_apply"))
+        run("cdc_apply", k)(ev => graft.streaming.Pipelines.cdcApplyStream(ev).toDF())
     }
     spark.stop()
   }
