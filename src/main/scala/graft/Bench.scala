@@ -70,6 +70,15 @@ object Bench {
       p
     })
 
+  /** Shared at-rest HNSW graph index per corpus dir (same pattern). */
+  private val hnswIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def hnswIndexFor(s: SparkSession, d: String): String =
+    hnswIndexMemo.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-bench-hnswidx").toString
+      operators.Hnsw.writeHnswIndex(s, d, p)
+      p
+    })
+
   /** The approximate operators at their PRODUCTION dials (defaults) —
     * keyed with a `_prod` suffix so they ride the same two-pass +
     * contention machinery as the gate surface. `v13_knn_graph_serve`
@@ -99,6 +108,12 @@ object Bench {
       operators.Similarity.annIvfPqServe(s, d, annIndexFor(s, d, "sq8"), rerank = 8)),
     "v17_ann_bq_serve" -> ((s, d) =>
       operators.Similarity.annIvfPqServe(s, d, annIndexFor(s, d, "bq"))),
+    // the graph family at its production dial, in-session and served
+    // from the at-rest graph (family #5 — the serve line includes the
+    // per-pass graph load, servedMemo is invalidated each pass)
+    "v18_ann_hnsw_prod" -> ((s, d) => operators.Hnsw.annHnsw(s, d)),
+    "v18_ann_hnsw_serve" -> ((s, d) =>
+      operators.Hnsw.annHnswServe(s, d, hnswIndexFor(s, d))),
     // dedup-at-intake: a 100-doc batch probed against the corpus's
     // at-rest LSH index — the DEPLOYMENT shape (a bounded arriving
     // batch vs a large index; the shard partition filter actually
@@ -125,6 +140,7 @@ object Bench {
     servedFamilies.foreach(f =>
       try annIndexFor(spark, sfDir, f) catch { case _: Throwable => () })
     try dedupIndexFor(spark, sfDir) catch { case _: Throwable => () }
+    try hnswIndexFor(spark, sfDir) catch { case _: Throwable => () }
     spark.catalog.clearCache() // drop warm-up persists
     // CALIBRATION ANCHOR: a fixed CPU-bound reference job, timed like
     // the queries (min of 2). The within-run spread guard catches
@@ -181,6 +197,8 @@ object Bench {
       operators.Similarity.invalidateModelMemo()
       operators.TextOps.invalidateBpeMemo()
       operators.TextOps.invalidateUnigramMemo()
+      operators.Hnsw.invalidateGraphMemo()
+      operators.Hnsw.invalidateServedMemo()
       // anchor at every section BOUNDARY; a section's calib is the MEAN
       // of its two surrounding anchors — load ramping mid-section is
       // half-captured by the trailing anchor instead of missed entirely,

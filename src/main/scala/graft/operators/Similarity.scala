@@ -223,10 +223,15 @@ object Similarity {
     "v9_ann_ivfpq_serve" -> Seq("v4_ann_ivf", "v8_ann_pq"),
     "v15_ann_residual_serve" -> Seq("v4_ann_ivf"),
     "v16_ann_sq8_serve" -> Seq("v4_ann_ivf"),
-    "v17_ann_bq_serve" -> Seq("v4_ann_ivf"))
+    "v17_ann_bq_serve" -> Seq("v4_ann_ivf"),
+    // the hnsw prod line reuses the graph the gate line builds (same
+    // (m, efConstruction) memo key — only the search dial differs);
+    // the serve line reads the at-rest graph, no in-session dep
+    "v18_ann_hnsw_prod" -> Seq("v18_ann_hnsw"))
 
   /** Gate queries that TRAIN the model memos (see [[memoDeps]]). */
-  val memoTrainers: Set[String] = Set("v4_ann_ivf", "v8_ann_pq")
+  val memoTrainers: Set[String] = Set("v4_ann_ivf", "v8_ann_pq",
+    "v18_ann_hnsw")
 
   /** Coarse-quantizer training (Lloyd) shared by [[annIvf]] and
     * [[annIvfPq]]. The MODEL (≤ nClusters × dim floats) lives on the
@@ -1736,6 +1741,18 @@ object Similarity {
     // the throughput setting. Verify's recall probe re-checks per run
     // and auto-demotes to rows-only if a regenerated corpus breaks it.
     "v8_ann_pq" -> ((s, d) => annPq(s, d, rerank = 272)),
+    // v18 gate profile (tools/Probe, hnsw family): the graph family —
+    // candidate generation is a driver-held HNSW walk (see
+    // operators.Hnsw), rescoring the same exact Spark expression as
+    // every family. efSearch=24 is the cheapest Probe-complete dial
+    // (16 misses neighbors; complete at sf0.001 AND sf0.01) — a
+    // STRIKING contrast with the inverted-file families on the same
+    // structureless corpus (v8 needs rerank=272 of 500, v13 499): the
+    // beam walk re-ranks with EXACT distances at every hop, so its
+    // shortlist quality doesn't degrade with quantization grain, which
+    // is exactly why graph indexes dominate high-recall serving.
+    // Verify's recall probe re-checks per run and auto-demotes.
+    "v18_ann_hnsw" -> ((s, d) => Hnsw.annHnsw(s, d, efSearch = 24)),
   )
 
   /** Oracles set in SparkEntry after empirical float-parity validation
@@ -1805,6 +1822,10 @@ object Similarity {
     // v17 under the same precondition (sign-bit scoring only affects
     // which candidates reach the exact rescore).
     "v17_ann_ivfbq" -> exactAnnSql,
+    // v18 under the same precondition: the graph walk only decides
+    // which candidates reach the exact rescore — recall-complete
+    // (probed per run by Verify) ⇒ the exact oracle applies.
+    "v18_ann_hnsw" -> exactAnnSql,
     "v3_near_dup_pairs" -> exactNearDupSql,
     "v5_near_dup_lsh" -> exactNearDupSql,
     // boolean/integer output only — the cosine appears solely inside

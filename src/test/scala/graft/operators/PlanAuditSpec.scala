@@ -94,9 +94,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // sparkPlan (pre-AQE) shows the static join strategy; building it
-        // does not run the query (sole documented exception: d13's
-        // builder runs one narrow distinct-count as its loud maxSources
-        // guard — see Dedup.sourceOverlap), so the surface audits in
+        // does not run the query (documented exceptions: d13's builder
+        // runs one narrow distinct-count as its loud maxSources guard —
+        // see Dedup.sourceOverlap — and v18's builder runs the
+        // driver-held graph build + walk that GENERATES its shortlist
+        // relation — see operators.Hnsw), so the surface audits in
         // seconds
         val (bnlj, cart) = loopJoins(fn(spark, sf).queryExecution.sparkPlan)
         val ok =
