@@ -55,10 +55,14 @@ object DriveDedupScale {
     def writeCorpus(n: Long, dir: String): Unit =
       spark.range(n).select(col("id").as("doc_id"), docText(col("id")).as("text"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    // 100 NEW docs (ids beyond the corpus): evens are near-dups of
-    // indexed docs (template token block of doc q*97 % n), odds fresh
-    def probeBatch(n: Long): DataFrame =
-      spark.range(n, n + 100).select(
+    // `size` NEW docs (ids beyond the corpus): evens are near-dups of
+    // indexed docs (template token block of doc q*97 % n), odds fresh.
+    // Batch size is the pruning variable: 100 docs × 16 bands ≈ 1600
+    // buckets saturate every shard (the candidate join reads the whole
+    // buckets relation); a 2-doc batch probes ≤ 32 buckets → ≤ 32
+    // shards' partitions, where the static filter actually prunes.
+    def probeBatch(n: Long, size: Int = 100): DataFrame =
+      spark.range(n, n + size).select(
         col("id").as("doc_id"),
         when(pmod(col("id"), lit(2L)) === 0,
           docText(pmod(col("id") * 97, lit(n))))
@@ -94,20 +98,24 @@ object DriveDedupScale {
           val buildS = (System.nanoTime() - tb) / 1e9
           val bucketsB = duBytes(s"$idx/buckets")
           val shinglesB = duBytes(s"$idx/shingles")
-          val batch = probeBatch(n)
-          def serve(): Unit = {
-            Dedup.dedupServeBatch(spark, idx, batch).count()
-            spark.catalog.clearCache()
+          def serveOf(size: Int): Double = {
+            val batch = probeBatch(n, size)
+            def serve(): Unit = {
+              Dedup.dedupServeBatch(spark, idx, batch).count()
+              spark.catalog.clearCache()
+            }
+            serve() // warm (plan + filesystem metadata)
+            minOf2(serve())
           }
-          serve() // warm (plan + filesystem metadata)
-          val serveS = minOf2(serve())
-          val hits = Dedup.dedupServeBatch(spark, idx, batch).count()
+          val serveS = serveOf(100)
+          val serve2S = serveOf(2)
+          val hits = Dedup.dedupServeBatch(spark, idx, probeBatch(n)).count()
           spark.catalog.clearCache()
           println(f"DEDUPSCALE n=$n%-9d shards=$shards%-4d build=$buildS%7.1fs " +
             f"input=${inputB / 1e6}%8.1fMB buckets=${bucketsB / 1e6}%8.1fMB " +
             f"shingles=${shinglesB / 1e6}%8.1fMB " +
             f"bytesPerDoc=${(bucketsB + shinglesB).toDouble / n}%6.1f " +
-            f"serve100=$serveS%6.2fs hits=$hits%3d")
+            f"serve100=$serveS%6.2fs serve2=$serve2S%6.2fs hits=$hits%3d")
           if (shards != 64) rmrf(idx) // keep disk bounded during sweeps
         }
       } finally rmrf(dir)
