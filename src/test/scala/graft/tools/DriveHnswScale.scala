@@ -1,0 +1,92 @@
+package graft.tools
+
+import graft.GraftSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HNSW scale rungs (the DriveAnnScale generator, graph-family edition):
+  * build the driver-held graph at 1e5/1e6 CLUSTERED vectors
+  * (hash-jittered, incompressible — real-embedding shape), persist it
+  * (`writeHnswIndex`), and measure what the family's deployment story
+  * claims: build wall (driver-bound, single-threaded — the per-shard
+  * cost of the sharded deployment, NOT a distributed pass like IVF's),
+  * on-disk bytes/vector, serve latency from the at-rest graph at
+  * production ef, and recall@5 vs the exact sweep on a corpus with
+  * real cluster structure (the testdata's structureless corpus forces
+  * ef≈24-complete; clustered corpora are the family's home turf).
+  *
+  * `Test/runMain graft.tools.DriveHnswScale [n:nClusters ...]`
+  * (default 100000:64 1000000:256) */
+object DriveHnswScale {
+  def main(args: Array[String]): Unit = {
+    val ladder: Seq[(Long, Int)] =
+      if (args.nonEmpty) args.toSeq.map { a =>
+        val Array(n, c) = a.split(":"); (n.toLong, c.toInt)
+      }
+      else Seq((100000L, 64), (1000000L, 256))
+    val spark = GraftSession.local("graft-hnsw-scale")
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.{Hnsw, Similarity}
+
+    val dim = 64
+    // the DriveAnnScale corpus: deterministic cluster centers ±200,
+    // hash-derived jitter < 8 so the floats are incompressible
+    def corpus(n: Long, g: Int): DataFrame =
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), i => {
+          val grp = pmod(col("id"), lit(g))
+          val center = pmod(grp * (i + 7) + grp * grp * 13, lit(401))
+            .cast("double") - 200.0
+          (center + pmod(xxhash64(col("id"), i), lit(160000)).cast("double")
+            / 10000.0 - 8.0).cast("float")
+        }).as("embedding"))
+
+    def duBytes(path: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else f.length()
+      walk(new java.io.File(path))
+    }
+    def minOf2(f: => Unit): Double = (1 to 2).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
+    def setOf(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    for ((n, g) <- ladder) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-hnswscale-$n").toString
+      corpus(n, g).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      Hnsw.invalidateGraphMemo(); Hnsw.invalidateServedMemo()
+      val tb = System.nanoTime()
+      val graph = Hnsw.graphFor(spark, dir, 8, 96) // includes corpus collect
+      val buildS = (System.nanoTime() - tb) / 1e9
+      val idx = s"$dir/hnsw"
+      Hnsw.writeHnswIndex(spark, dir, idx)
+      val bytesPerVec = duBytes(idx).toDouble / n
+      // serve from the at-rest graph, memo-warm (production shape);
+      // also memo-COLD once so the reload cost is visible
+      Hnsw.invalidateServedMemo()
+      val tc = System.nanoTime()
+      Hnsw.annHnswServe(spark, dir, idx, nQueries = 10).count()
+      val coldS = (System.nanoTime() - tc) / 1e9
+      val serve10 = minOf2(Hnsw.annHnswServe(spark, dir, idx, nQueries = 10).count())
+      val serve100 = minOf2(Hnsw.annHnswServe(spark, dir, idx, nQueries = 100).count())
+      val bruteS = minOf2(Similarity.annBruteForce(spark, dir, nQueries = 100).count())
+      // recall@5 vs exact over 100 queries at the production ef=64
+      val got = setOf(Hnsw.annHnswServe(spark, dir, idx, nQueries = 100))
+      val want = setOf(Similarity.annBruteForce(spark, dir, nQueries = 100))
+      val recall = (want & got).size.toDouble / want.size
+      println(f"HNSWSCALE n=$n%-8d nClusters=$g%-4d buildDriver=$buildS%7.1fs " +
+        f"idx=$bytesPerVec%6.1f B/vec loadCold=$coldS%6.2fs " +
+        f"serve10=$serve10%5.2fs serve100=$serve100%5.2fs " +
+        f"brute100=$bruteS%7.2fs recall@5(ef=64)=$recall%5.3f " +
+        f"maxLevel=${graph.maxLevel}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    spark.stop()
+  }
+}

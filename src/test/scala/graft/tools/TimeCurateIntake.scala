@@ -3,23 +3,37 @@ package graft.tools
 import org.apache.spark.sql.functions.col
 
 /** Dev-side throughput for the full streaming curation intake
-  * (Runner.curateIntakeQuery): feed the sf corpus's documents through
-  * the rules + classifier + decontamination + dedup-vs-accepted
-  * pipeline in `nBatches` micro-batches against a fresh maintained
-  * index, and report docs/s end-to-end (model/eval-dict build included
-  * — they amortize across a real stream's lifetime but belong in an
-  * honest single-feed number). `Test/runMain
-  * graft.tools.TimeCurateIntake [sfDir] [nBatches]` */
+  * (Runner.curateIntakeQuery): feed documents through the rules +
+  * classifier + decontamination + dedup-vs-accepted pipeline in
+  * `nBatches` micro-batches against a fresh maintained index, and
+  * report docs/s end-to-end (model/eval-dict build included — they
+  * amortize across a real stream's lifetime but belong in an honest
+  * single-feed number).
+  *
+  * The feed is the sf corpus's documents by default; passing `nDocs`
+  * swaps in the DriveDedupScale synthetic corpus (distinct ~40-token
+  * docs, ~2% near-dups — a realistic mix, unlike replicating the
+  * 5 000 testdata docs, which would drown the dup path) so the
+  * FIXED-COST AMORTIZATION claim in SCALE.md carries measured
+  * points: per-trigger cost is ~15 Spark jobs regardless of batch
+  * size, so docs/s must rise with batch size until the stages' own
+  * work dominates. Models still come from `sfDir`'s seed classes.
+  *
+  * `Test/runMain graft.tools.TimeCurateIntake [sfDir] [nBatches]
+  * [nDocs]` */
 object TimeCurateIntake {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val nBatches = if (args.length > 1) args(1).toInt else 4
+    val nDocs = if (args.length > 2) args(2).toLong else 0L
     val spark = graft.GraftSession.local("graft-time-curate-intake")
+    spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val docs = graft.Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)].collect().sortBy(_._1)
+    val feed =
+      if (nDocs > 0) DriveDedupScale.syntheticDocs(spark, nDocs)
+      else graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val docs = feed.as[(Long, String)].collect().sortBy(_._1)
     val idx = java.nio.file.Files.createTempDirectory("graft-tci-idx").toString
     val out = java.nio.file.Files.createTempDirectory("graft-tci-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-tci-ckpt").toString
