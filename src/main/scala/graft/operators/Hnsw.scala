@@ -124,6 +124,35 @@ object Hnsw {
 
   private val emptyAdj: scala.collection.IndexedSeq[Int] = Vector.empty
 
+  /** Neighbor selection, Malkov Alg. 4 (the HEURISTIC, with pruned
+    * backfill — hnswlib's default): walk candidates nearest-first and
+    * keep one only if it is closer to `base` than to every
+    * already-kept neighbor, then backfill remaining slots from the
+    * pruned, nearest-first. Plain top-M selection fills a node's list
+    * with its own cluster's members and drops the long-range links
+    * greedy navigation needs — measured on the clustered ladder
+    * corpus as a recall PLATEAU (~0.60 at ANY ef: the walk cannot
+    * reach 40% of true neighbors); the heuristic keeps one edge per
+    * "direction" instead, restoring reachability. Deterministic:
+    * candidates arrive (dist, id)-sorted and ties prune (strict <),
+    * with the backfill re-adding them in the same order. */
+  private def selectHeuristic(base: Array[Float], cands: Seq[(Double, Int)],
+                              m: Int, vecs: Array[Array[Float]]): Seq[(Double, Int)] = {
+    val sorted = cands.sorted(ord)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+    val pruned = scala.collection.mutable.ArrayBuffer.empty[(Double, Int)]
+    val it = sorted.iterator
+    while (it.hasNext && kept.length < m) {
+      val c = it.next()
+      if (kept.forall { case (_, r) => c._1 < dist(vecs(c._2), vecs(r)) })
+        kept += c
+      else pruned += c
+    }
+    val fill = pruned.iterator
+    while (kept.length < m && fill.hasNext) kept += fill.next()
+    kept.toSeq
+  }
+
   /** Build the graph: ascending-vec_id insertion, simple-heuristic
     * neighbor selection (top-M by distance — deterministic), Mmax = m
     * above level 0 and 2m at level 0 (the paper's defaults). */
@@ -163,16 +192,17 @@ object Hnsw {
         while (l >= 0) {
           val cands = searchLayer(q, ep, efConstruction, live(l), vecs, visited)
           val mmax = if (l == 0) 2 * m else m
-          val chosen = cands.sorted(ord).take(m)
+          val chosen = selectHeuristic(q, cands, m, vecs)
           chosen.foreach { case (_, c) =>
             adj(l)(i) += c
             val back = adj(l)(c)
             back += i
             if (back.length > mmax) {
-              // prune to the mmax closest (simple heuristic, deterministic)
-              val kept = back.map(x => (dist(vecs(c), vecs(x)), x))
-                .sorted(ord).take(mmax).map(_._2)
-              back.clear(); back ++= kept
+              // shrink with the same heuristic, base = the overflowing
+              // node (keeps ITS long-range links too)
+              val kept = selectHeuristic(vecs(c),
+                back.map(x => (dist(vecs(c), vecs(x)), x)).toSeq, mmax, vecs)
+              back.clear(); back ++= kept.map(_._2)
             }
           }
           ep = cands

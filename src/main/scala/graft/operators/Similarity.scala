@@ -1744,15 +1744,18 @@ object Similarity {
     // v18 gate profile (tools/Probe, hnsw family): the graph family —
     // candidate generation is a driver-held HNSW walk (see
     // operators.Hnsw), rescoring the same exact Spark expression as
-    // every family. efSearch=24 is the cheapest Probe-complete dial
-    // (16 misses neighbors; complete at sf0.001 AND sf0.01) — a
-    // STRIKING contrast with the inverted-file families on the same
-    // structureless corpus (v8 needs rerank=272 of 500, v13 499): the
+    // every family. With Alg.-4 heuristic neighbor selection the
+    // probe finds ef=6 — k+1, the STRUCTURAL floor (the shortlist
+    // must hold k non-self candidates) — already complete at sf0.001
+    // AND sf0.01 (5 misses); the gate runs ef=8, one step off the
+    // floor so a self-exclusion tie on a regenerated corpus can't sit
+    // exactly on the edge. Contrast the inverted-file families on the
+    // same structureless corpus (v8 rerank=272 of 500, v13 499): the
     // beam walk re-ranks with EXACT distances at every hop, so its
-    // shortlist quality doesn't degrade with quantization grain, which
-    // is exactly why graph indexes dominate high-recall serving.
-    // Verify's recall probe re-checks per run and auto-demotes.
-    "v18_ann_hnsw" -> ((s, d) => Hnsw.annHnsw(s, d, efSearch = 24)),
+    // shortlist quality doesn't degrade with quantization grain —
+    // why graph indexes dominate high-recall serving. Verify's
+    // recall probe re-checks per run and auto-demotes.
+    "v18_ann_hnsw" -> ((s, d) => Hnsw.annHnsw(s, d, efSearch = 8)),
   )
 
   /** Oracles set in SparkEntry after empirical float-parity validation

@@ -35,7 +35,7 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the Probe-chosen gate dial (see SparkEntry v18) — a regenerated
     // corpus that breaks this demotes in Verify rather than failing
     val exact = rows(Similarity.annBruteForce(spark, sf))
-    val got = rows(Hnsw.annHnsw(spark, sf, efSearch = 24))
+    val got = rows(Hnsw.annHnsw(spark, sf, efSearch = 8))
     assert(got == exact)
   }
 

@@ -73,15 +73,21 @@ object DriveHnswScale {
       val serve10 = minOf2(Hnsw.annHnswServe(spark, dir, idx, nQueries = 10).count())
       val serve100 = minOf2(Hnsw.annHnswServe(spark, dir, idx, nQueries = 100).count())
       val bruteS = minOf2(Similarity.annBruteForce(spark, dir, nQueries = 100).count())
-      // recall@5 vs exact over 100 queries at the production ef=64
-      val got = setOf(Hnsw.annHnswServe(spark, dir, idx, nQueries = 100))
+      // recall@5 vs exact over 100 queries ACROSS the ef dial (one
+      // graph, many dials — serve is the cheap part), with the serve
+      // wall per dial so the recall/latency trade is one table row
       val want = setOf(Similarity.annBruteForce(spark, dir, nQueries = 100))
-      val recall = (want & got).size.toDouble / want.size
+      val efCurve = Seq(64, 128, 256, 512).map { ef =>
+        val t0 = System.nanoTime()
+        val got = setOf(Hnsw.annHnswServe(spark, dir, idx, nQueries = 100,
+          efSearch = ef))
+        val dt = (System.nanoTime() - t0) / 1e9
+        f"ef=$ef:recall=${(want & got).size.toDouble / want.size}%5.3f@$dt%4.2fs"
+      }.mkString(" ")
       println(f"HNSWSCALE n=$n%-8d nClusters=$g%-4d buildDriver=$buildS%7.1fs " +
         f"idx=$bytesPerVec%6.1f B/vec loadCold=$coldS%6.2fs " +
         f"serve10=$serve10%5.2fs serve100=$serve100%5.2fs " +
-        f"brute100=$bruteS%7.2fs recall@5(ef=64)=$recall%5.3f " +
-        f"maxLevel=${graph.maxLevel}")
+        f"brute100=$bruteS%7.2fs maxLevel=${graph.maxLevel} $efCurve")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
