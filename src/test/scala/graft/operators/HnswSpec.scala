@@ -91,6 +91,51 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("hnsw"))
   }
 
+  test("clustered-corpus recall: the Alg.-4 heuristic keeps the " +
+      "long-range links simple selection starves") {
+    // the DriveHnswScale finding as a regression gate: on a CLUSTERED
+    // corpus, plain top-M neighbor selection fills every adjacency
+    // list with same-cluster members and recall PLATEAUS (~0.58 at
+    // ANY ef, measured at 1e5); heuristic selection keeps one edge
+    // per direction and lifts it to ~0.97. Pin the healthy number on
+    // a small deterministic clustered corpus, pure driver-side —
+    // reverting the selection rule fails here, not in a ladder run.
+    val nVec = 2000; val nClusters = 16; val dim = 16
+    def jitter(id: Int, d: Int): Float = {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      (Math.floorMod(XXH64.hashLong(id.toLong * dim + d, 7L), 1600L)
+        / 100.0f) - 8.0f
+    }
+    val vecs = Array.tabulate(nVec) { id =>
+      val g = id % nClusters
+      Array.tabulate(dim)(d =>
+        (Math.floorMod(g * (d + 7) + g * g * 13, 401) - 200).toFloat +
+          jitter(id, d))
+    }
+    val ids = Array.tabulate(nVec)(_.toLong)
+    val g = Hnsw.buildGraph(ids, vecs, 8, 96)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val visited = new java.util.BitSet(nVec)
+    val recalls = (0 until 50).map { q =>
+      val want = (0 until nVec).filter(_ != q)
+        .sortBy(i => (-cos(vecs(q), vecs(i)), i)).take(5).toSet
+      val got = Hnsw.search(g, vecs(q), 64, visited)
+        .map(_._2).filter(_ != q).take(5).toSet
+      (want & got).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9,
+      f"clustered recall@5 fell to $mean%.3f (heuristic selection " +
+        "regressed? simple top-M plateaus near 0.6 here)")
+  }
+
   test("every node is reachable at layer 0 (the connectivity the " +
       "ef=n exhaustiveness test leans on)") {
     val g = Hnsw.graphFor(spark, sf, 8, 96)
