@@ -31,11 +31,17 @@ import org.apache.spark.storage.StorageLevel
   *     shingle-hash relation), materializing the first sweeps the
   *     shared entry and the second recomputes it. Cost is a recompute,
   *     never wrong results.
-  *   - Actions driven through the RDD API (`df.rdd.foreachPartition`)
-  *     bypass QueryExecutionListener and sweep nothing; [[maxArmed]]
-  *     (entry count) and [[maxArmedBytes]] (estimated bytes) bound the
-  *     damage — arming beyond either force-unpersists the oldest
-  *     entries (oldest ≈ most likely abandoned).
+  *   - Do NOT count on the RDD API to dodge the sweep: on Spark 4
+  *     even materializing `df.rdd` posts an execution event
+  *     (`withNewRDDExecutionId`), so the listener fires — verified
+  *     the hard way in dedupServeBatch, whose internal shard-set
+  *     collect must instead run BEFORE arming and over a plan no
+  *     subtree of which sameResults the armed relation. Abandoned
+  *     never-swept entries (plan-only workflows, results never
+  *     materialized) are bounded by [[maxArmed]] (entry count) and
+  *     [[maxArmedBytes]] (estimated bytes) — arming beyond either
+  *     force-unpersists the oldest entries (oldest ≈ most likely
+  *     abandoned).
   */
 object ScratchCache {
   private case class Armed(df: DataFrame,

@@ -955,8 +955,12 @@ object Dedup {
     * Scale shape: the batch's banded probes BROADCAST; the candidate
     * join reads only the batch's shards' partitions of the buckets
     * relation (`shard isin (...)` — a static partition filter, ≤
-    * `shards` values, far fewer for small batches); exact verification
-    * touches only candidates' shingle arrays, read through the
+    * `shards` values, far fewer for small batches; the shard set is
+    * collected eagerly at build, one cheap pass over the bounded
+    * batch — dynamic partition pruning cannot express this, because
+    * an arbitrary probe batch carries no selective predicate for
+    * Catalyst's DPP heuristic to accept); exact verification touches
+    * only candidates' shingle arrays, read through the
     * range-clustered shingles relation (file/row-group pruned by the
     * candidate ids). No stage scans the corpus.
     *
@@ -969,26 +973,34 @@ object Dedup {
                       batch: DataFrame,
                       minJ: Double = lshMinJ): DataFrame = {
     val (numHashes, bands, shards) = readDedupMeta(indexPath)
+    // bounded collect (≤ shards ints — the probed-cells pattern): the
+    // batch's shard set becomes the static partition filter. Runs
+    // BEFORE the armed cache below, over a DELIBERATELY DISTINCT plan
+    // (a 2-column projection — no n_sh): the collect's completion
+    // event fires the ScratchCache listener, and the sweep matches
+    // armed entries by plan sameResult — a collect over the armed
+    // 3-column relation (or any plan CONTAINING it) would unpersist
+    // `q` before the candidate and verify joins ever ran, even via a
+    // late-delivered event from a pre-arm action (the listener bus is
+    // asynchronous; on Spark 4 even `Dataset.rdd` posts an execution
+    // event via withNewRDDExecutionId, so no action style avoids it).
+    // Neither this plan nor any of its subtrees sameResult-matches
+    // the armed projection, so no delivery order can sweep it —
+    // DedupServeSpec pins `pending >= 1` after the builder. Cost: one
+    // uncached shingle-hash pass over the (bounded) probe batch for
+    // the shard set; the two expensive consumers share the cache.
+    val probedShards = bandedOf(
+      withShingleHashes(batch, "text").select(col("doc_id"), col("sh_hashes")),
+      numHashes, bands, shards)
+      .select(col("shard")).distinct().collect().map(_.getInt(0))
     val q = ScratchCache.arm( // feeds probes AND the verify join
       withShingleHashes(batch, "text")
         .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh")))
     val probes = bandedOf(q, numHashes, bands, shards)
-      .select(col("doc_id").as("query_id"), col("band"), col("bucket"),
-        col("shard"))
-    // bounded collect (≤ shards ints — the probed-cells pattern): the
-    // batch's shard set becomes the partition filter. Driven through the
-    // RDD API ON PURPOSE: a Dataset action here would fire the
-    // ScratchCache listener, whose sweep unpersists `q` BEFORE the
-    // candidate and verify joins (the two consumers this cache exists
-    // for) ever run — the batch's shingle hashing would then recompute
-    // for both join sides on the hot serve path. RDD actions bypass
-    // QueryExecutionListener (documented ScratchCache semantics), so
-    // `q` stays armed until the caller's own materialization sweeps it.
-    val probedShards = probes.select(col("shard")).distinct()
-      .rdd.map(_.getInt(0)).collect()
+      .select(col("doc_id").as("query_id"), col("band"), col("bucket"))
     val idx = spark.read.parquet(s"$indexPath/buckets")
-      .filter(col("shard").isin(probedShards: _*))
-    val cand = idx.join(broadcast(probes.drop("shard")), Seq("band", "bucket"))
+      .filter(col("shard").isin(probedShards.toSeq: _*))
+    val cand = idx.join(broadcast(probes), Seq("band", "bucket"))
       // a re-ingested identical id must not match itself
       .filter(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id").as("match_id")).distinct()

@@ -52,6 +52,28 @@ class DedupServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(directed.size === 2 * batch.size)
   }
 
+  test("the serve builder's internal shard collect does not sweep the " +
+      "armed batch cache") {
+    // the round-10 advisory fix: dedupServeBatch arms the hashed batch
+    // (q feeds the probes AND the verify join), then collects the
+    // probed shard set INTERNALLY. A Dataset action there fires the
+    // ScratchCache listener, which sweeps q before the caller's own
+    // action ever runs — the fix drives the bounded collect through
+    // the RDD API, which the listener ignores. Pin it: after the
+    // builder returns (the internal collect has run), the armed entry
+    // must still be cached for the caller's materialization.
+    val idx = tmp("graft-dedup-cidx")
+    Dedup.writeDedupIndex(spark, sf, idx)
+    graft.ScratchCache.drain()
+    val batch = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
+    val rel = Dedup.dedupServeBatch(spark, idx, batch)
+    assert(graft.ScratchCache.pending >= 1,
+      "the armed batch cache was swept by the builder's internal " +
+        "collect — the shard-set action must stay on the RDD API")
+    rel.count() // the caller's action consumes (and then sweeps) it
+  }
+
   test("the candidate scan reads only the probed shards' partitions") {
     val idx = tmp("graft-dedup-pidx")
     Dedup.writeDedupIndex(spark, sf, idx)
