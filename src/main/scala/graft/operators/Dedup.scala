@@ -937,8 +937,42 @@ object Dedup {
     graft.sources.IndexMeta.write(indexPath, Seq(
       "numHashes" -> numHashes, "bands" -> bands, "shards" -> shards))
 
+  /** Pre-IndexMeta dedup indexes (rounds ≤ 9) wrote the same JSON body
+    * under `meta.json`. Renaming the convention without a migration had
+    * TWO failure modes on an old index: reads failed loudly (annoying
+    * but safe), and — worse — [[appendDedupIndexBatch]]'s
+    * create-or-match guard saw no `_meta.json`, "created" one from the
+    * restarted stream's dials, and silently bypassed the dial-mismatch
+    * check it exists for (new banding over old buckets = silent recall
+    * loss). So every meta read/exists check funnels through here: a
+    * legacy file migrates in place (the body is byte-compatible), and
+    * both layouts present at once is refused as ambiguous. */
+  private def migrateLegacyMeta(indexPath: String): Unit = {
+    val legacy = java.nio.file.Paths.get(s"$indexPath/meta.json")
+    if (java.nio.file.Files.exists(legacy)) {
+      val current = java.nio.file.Paths.get(
+        s"$indexPath/${graft.sources.IndexMeta.fileName}")
+      require(!java.nio.file.Files.exists(current),
+        s"$indexPath has BOTH meta.json (legacy) and " +
+          s"${graft.sources.IndexMeta.fileName} — ambiguous dials; delete " +
+          "the stale one (they should be byte-identical if this index " +
+          "was migrated and then appended by a newer build)")
+      java.nio.file.Files.move(legacy, current)
+    }
+  }
+
+  /** [[graft.sources.IndexMeta.exists]] with the legacy-layout
+    * migration applied first — the ONLY exists check append paths may
+    * use (a bare exists on an un-migrated index would "create" fresh
+    * dials over old buckets). */
+  private def dedupMetaExists(indexPath: String): Boolean = {
+    migrateLegacyMeta(indexPath)
+    graft.sources.IndexMeta.exists(indexPath)
+  }
+
   private[graft] def readDedupMeta(indexPath: String): (Int, Int, Int) = {
     import graft.sources.IndexMeta.intField
+    migrateLegacyMeta(indexPath)
     val s = graft.sources.IndexMeta.readRaw(indexPath, "writeDedupIndex")
     (intField(s, "numHashes"), intField(s, "bands"), intField(s, "shards"))
   }
@@ -1058,7 +1092,7 @@ object Dedup {
     // first maintained batch CREATES the meta; later batches (and any
     // replay) must match it — a restarted stream with different dials
     // would otherwise silently corrupt the index's banding
-    if (graft.sources.IndexMeta.exists(indexPath)) {
+    if (dedupMetaExists(indexPath)) {
       val meta = readDedupMeta(indexPath)
       require(meta == ((numHashes, bands, shards)),
         s"maintained-index dial mismatch: index has $meta, stream passed " +

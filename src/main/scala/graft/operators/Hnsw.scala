@@ -237,12 +237,15 @@ object Hnsw {
     * deterministic function of (corpus, m, efConstruction), so a session
     * answering many queries builds it once (the production shape: build
     * once, serve). */
-  private val graphMemo = new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Graph]()
+  private val graphMemo = new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), Graph]()
   private[graft] def invalidateGraphMemo(): Unit = graphMemo.clear()
 
   private[graft] def graphFor(spark: SparkSession, dir: String,
                               m: Int, efConstruction: Int): Graph =
-    graphMemo.computeIfAbsent((dir, m, efConstruction), _ => {
+    // keyed by applicationId like every model memo in Similarity
+    // (centsFor/booksFor): a corpus regenerated under a new session at
+    // the same path must rebuild, never serve a stale graph
+    graphMemo.computeIfAbsent((spark.sparkContext.applicationId, dir, m, efConstruction), _ => {
       // bounded collect: the corpus vector relation, checked against
       // driverMaxVectors BEFORE collecting (count is a cheap column-
       // pruned scan; collecting first would OOM before the require)
@@ -336,15 +339,23 @@ object Hnsw {
 
   /** Serve memo: at-rest graphs reloaded once per (indexPath) — the
     * annIvfPqServeQueries model-memo idea for the graph family. */
-  private val servedMemo = new java.util.concurrent.ConcurrentHashMap[String, Graph]()
+  private val servedMemo = new java.util.concurrent.ConcurrentHashMap[(String, String, String), Graph]()
   private[graft] def invalidateServedMemo(): Unit = servedMemo.clear()
 
   /** Load a [[writeHnswIndex]] graph: dials and entry from `_meta.json`
     * (REQUIRED — the self-description contract), adjacency from
     * `graph/`, vectors from the CORPUS relation (which must contain
-    * every indexed vec_id — the codes-only rescore contract). */
+    * EXACTLY the indexed vec_ids — checked loudly below, because both
+    * drift directions are silent recall loss: an indexed id missing
+    * from the corpus has no vector to walk through, and a corpus
+    * vector missing from the graph has no in-edges, so no walk can
+    * ever shortlist it). */
   private def loadGraph(spark: SparkSession, dir: String, indexPath: String): Graph =
-    servedMemo.computeIfAbsent(indexPath, _ => {
+    // keyed by (applicationId, dir, indexPath) — the graph's VECTORS
+    // come from `dir`, so the same index served against a different
+    // corpus relation (or a regenerated one in a new session) must
+    // reload, never reuse shortlists walked over the wrong vectors
+    servedMemo.computeIfAbsent((spark.sparkContext.applicationId, dir, indexPath), _ => {
       import graft.sources.IndexMeta.{intField, strField}
       val meta = graft.sources.IndexMeta.readRaw(indexPath, "writeHnswIndex")
       require(strField(meta, "family") == "hnsw",
@@ -368,14 +379,29 @@ object Hnsw {
         .as[(Long, Array[Float])].collect().sortBy(_._1)
       val ids = rows.map(_._1)
       val idx = ids.zipWithIndex.toMap
+      // loud on BOTH drift directions (refuse-loudly house style):
+      def resolve(id: Long, what: String): Int = idx.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"Hnsw serve: indexed $what vec_id=$id is not in the corpus at " +
+            s"$dir — the index at $indexPath was built over a different " +
+            "corpus; rebuild it (writeHnswIndex) or serve the right dir"))
       val layers = Array.fill(maxLevel + 1, ids.length)(Array.empty[Int])
+      val graphIds = scala.collection.mutable.LongMap.empty[Unit]
       spark.read.parquet(s"$indexPath/graph")
         .select(col("vec_id"), col("level"), col("neighbor_ids"))
         .as[(Long, Int, Seq[Long])].collect()
         .foreach { case (id, l, ns) =>
-          layers(l)(idx(id)) = ns.map(idx(_)).toArray
+          graphIds.update(id, ())
+          layers(l)(resolve(id, "graph-node")) =
+            ns.map(resolve(_, "neighbor")).toArray
         }
-      new Graph(ids, rows.map(_._2), layers, idx(entryId), maxLevel, m, efC)
+      val orphans = ids.count(!graphIds.contains(_))
+      require(orphans == 0,
+        s"Hnsw serve: corpus at $dir has $orphans vectors the index at " +
+          s"$indexPath never saw — un-indexed vectors have no in-edges, " +
+          "so no graph walk can ever reach them (silent recall loss); " +
+          "appendHnswIndex the new vectors or rebuild")
+      new Graph(ids, rows.map(_._2), layers, resolve(entryId, "entry"), maxLevel, m, efC)
     })
 
   /** Serve v18 from the at-rest graph — same shortlist + exact Spark

@@ -91,6 +91,47 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("hnsw"))
   }
 
+  test("serve refuses corpus/index drift in BOTH directions, loudly") {
+    // the graph stores vec_ids; vectors come from the corpus relation.
+    // Drift either way is silent recall loss (an indexed id with no
+    // vector, or a corpus vector no walk can reach) — so loadGraph
+    // must refuse with a message naming the mismatch, not NPE or serve
+    import org.apache.spark.sql.functions.col
+    def forge(n: Int, from: Int = 0): String = {
+      val d = java.nio.file.Files.createTempDirectory("hnsw-corpus").toString
+      graft.Tables.embeddings(spark, sf)
+        .filter(col("vec_id") >= from && col("vec_id") < from + n)
+        .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+      d
+    }
+    val base = forge(100)
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-drift").toString
+    Hnsw.writeHnswIndex(spark, base, idx)
+    // corpus GREW past the index: un-indexed vectors are unreachable
+    Hnsw.invalidateServedMemo()
+    val grown = forge(120)
+    val e1 = intercept[IllegalArgumentException] {
+      Hnsw.annHnswServe(spark, grown, idx).collect()
+    }
+    assert(e1.getMessage.contains("never saw") &&
+      e1.getMessage.contains("appendHnswIndex"), e1.getMessage)
+    // corpus MISSING indexed ids: a graph node has no vector to walk
+    Hnsw.invalidateServedMemo()
+    val shifted = forge(100, from = 50)
+    val e2 = intercept[IllegalArgumentException] {
+      Hnsw.annHnswServe(spark, shifted, idx).collect()
+    }
+    assert(e2.getMessage.contains("not in the corpus"), e2.getMessage)
+    // and the memo keys on the corpus dir: a correct serve against
+    // `base` right after the failed ones must reload, not reuse
+    Hnsw.invalidateServedMemo()
+    assert(Hnsw.annHnswServe(spark, base, idx, nQueries = 3, k = 2)
+      .count() > 0)
+    intercept[IllegalArgumentException] { // same index, wrong dir again
+      Hnsw.annHnswServe(spark, grown, idx).collect()
+    }
+  }
+
   test("clustered-corpus recall: the Alg.-4 heuristic keeps the " +
       "long-range links simple selection starves") {
     // the DriveHnswScale finding as a regression gate: on a CLUSTERED

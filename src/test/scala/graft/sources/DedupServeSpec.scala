@@ -54,14 +54,16 @@ class DedupServeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("the serve builder's internal shard collect does not sweep the " +
       "armed batch cache") {
-    // the round-10 advisory fix: dedupServeBatch arms the hashed batch
-    // (q feeds the probes AND the verify join), then collects the
-    // probed shard set INTERNALLY. A Dataset action there fires the
-    // ScratchCache listener, which sweeps q before the caller's own
-    // action ever runs — the fix drives the bounded collect through
-    // the RDD API, which the listener ignores. Pin it: after the
-    // builder returns (the internal collect has run), the armed entry
-    // must still be cached for the caller's materialization.
+    // the round-10 fix (cd0a99d): dedupServeBatch collects the probed
+    // shard set BEFORE arming the hashed batch (q feeds the probes AND
+    // the verify join), and over a deliberately DISTINCT plan (a
+    // 2-column projection that sameResult-matches neither the armed
+    // relation nor any subtree of it), so no listener delivery order
+    // can sweep the armed entry — on Spark 4 NO action style dodges
+    // the listener (even Dataset.rdd posts an execution event via
+    // withNewRDDExecutionId; see ScratchCache's doc). Pin it: after
+    // the builder returns (the internal collect has run), the armed
+    // entry must still be cached for the caller's materialization.
     val idx = tmp("graft-dedup-cidx")
     Dedup.writeDedupIndex(spark, sf, idx)
     graft.ScratchCache.drain()
@@ -70,7 +72,8 @@ class DedupServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rel = Dedup.dedupServeBatch(spark, idx, batch)
     assert(graft.ScratchCache.pending >= 1,
       "the armed batch cache was swept by the builder's internal " +
-        "collect — the shard-set action must stay on the RDD API")
+        "collect — the shard-set collect must run BEFORE arm(), over " +
+        "a plan that sameResult-matches no armed subtree")
     rel.count() // the caller's action consumes (and then sweeps) it
   }
 
@@ -135,6 +138,46 @@ class DedupServeSpec extends AnyFunSuite with BeforeAndAfterAll {
       Dedup.appendDedupIndexBatch(spark, midx, batch, 1L, shards = 32)
     }
     assert(e2.getMessage.contains("dial mismatch"))
+  }
+
+  test("a legacy meta.json index migrates: serve reads it, append keeps its dials") {
+    // rounds ≤ 9 wrote the same JSON body under meta.json; the rename
+    // to _meta.json must not strand old indexes — and critically must
+    // not let appendDedupIndexBatch's create-or-match guard "create"
+    // fresh dials over legacy buckets (silent banding corruption)
+    val idx = tmp("graft-dedup-legacy")
+    Dedup.writeDedupIndex(spark, sf, idx, numHashes = 32, bands = 8)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$idx/_meta.json"),
+      java.nio.file.Paths.get(s"$idx/meta.json")) // forge the old layout
+    val batch = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0).select(col("doc_id"), col("text"))
+    Dedup.dedupServeBatch(spark, idx, batch).collect() // migrates + serves
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/_meta.json")), "legacy meta not migrated")
+    assert(Dedup.readDedupMeta(idx) === ((32, 8, 64)))
+    // the maintained-batch guard must SEE the migrated dials: an append
+    // under different dials refuses instead of overwriting the meta
+    val legacy2 = tmp("graft-dedup-legacy2")
+    Dedup.writeDedupIndex(spark, sf, legacy2, numHashes = 32, bands = 8)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$legacy2/_meta.json"),
+      java.nio.file.Paths.get(s"$legacy2/meta.json"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendDedupIndexBatch(spark, legacy2, batch, 0L) // defaults ≠ (32,8)
+    }
+    assert(e.getMessage.contains("dial mismatch"),
+      s"append over a legacy index must match ITS dials, got: ${e.getMessage}")
+    // both layouts at once is ambiguous — refuse loudly
+    val both = tmp("graft-dedup-bothmeta")
+    Dedup.writeDedupIndex(spark, sf, both)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$both/_meta.json"),
+      java.nio.file.Paths.get(s"$both/meta.json"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.dedupServeBatch(spark, both, batch)
+    }
+    assert(e2.getMessage.contains("BOTH"))
   }
 
   test("streaming intake loop: first-wins decisions, cross-batch dedup, replay-idempotent") {
