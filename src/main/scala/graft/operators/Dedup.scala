@@ -756,33 +756,40 @@ object Dedup {
     * fans out S² rows, so an unexpectedly fine-grained source column
     * (e.g. per-URL) must refuse fast instead of shuffling slowly.
     *
-    * NOTE: the guard makes BUILDING this relation run one eager Spark
-    * job (a column-pruned distinct-count of `source`) — the only
-    * builder on the gate surface that is not action-free. Deliberate:
-    * refusing BEFORE the doomed self-join even plans beats a deferred
-    * in-plan assert that would race the shuffle it exists to prevent;
-    * plan-only workflows (explain audits) pay one narrow scan for it. */
+    * The guard is IN the plan (builders stay action-free — the
+    * PlanAuditSpec convention): a one-row distinct-source count is
+    * cross-joined broadcast under the gram column's projection
+    * (the t19/t23 scalar-broadcast shape, raise_error-armed like
+    * [[Ranges.pointInIntervalJoin]]'s span guard). Ordering holds by
+    * stage dependency, not luck: the armed gram relation is CACHED,
+    * and its materialization — which evaluates every row's guarded
+    * projection — must COMPLETE before the self-join stage that fans
+    * out S² can consume it; even uncached, the guard wraps the join
+    * key itself, so the first candidate row raises before the fan-out
+    * aggregates anything. The refusal costs one narrow source-column
+    * scan inside the failing job; the admitted path pays the same
+    * one-row broadcast the other scalar-guard operators do. */
   def sourceOverlap(spark: SparkSession, dir: String, k: Int = 3,
                     maxSources: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // loud guard BEFORE any gram work plans: one narrow scan of the
-    // corpus's source column (column-pruned at the parquet reader) —
-    // NOT a materialization of the gram explode, so the admitted path
-    // pays only a cheap distinct-count, and the refusal path never
-    // shuffles a gram
-    val nSources = Tables.documents(spark, dir)
-      .select(col("source")).distinct().count()
-    require(nSources <= maxSources,
-      s"sourceOverlap: $nSources distinct sources exceeds maxSources=" +
-        s"$maxSources — the gram self-join fans out sources² per shared " +
-        "gram; use sourceOverlapMinhash (the mergeable-sketch estimate) " +
-        "or raise maxSources deliberately")
+    val nSrc = Tables.documents(spark, dir)
+      .select(col("source")).distinct()
+      .agg(count(lit(1)).as("n_sources"))
     val grams = ScratchCache.arm( // feeds sizes + both sides of the self-join
       Tables.documents(spark, dir)
         .select(col("source"), tokens(col("text")).as("toks"))
         .select(col("source"),
           explode(array_distinct(tokenWindows(col("toks"), k, 1))).as("gram"))
-        .distinct())
+        .distinct()
+        .crossJoin(broadcast(nSrc))
+        .select(col("source"),
+          when(col("n_sources") > maxSources, raise_error(concat(
+            lit("sourceOverlap: "), col("n_sources").cast("string"),
+            lit(s" distinct sources exceeds maxSources=$maxSources — the " +
+              "gram self-join fans out sources² per shared gram; use " +
+              "sourceOverlapMinhash (the mergeable-sketch estimate) or " +
+              "raise maxSources deliberately"))))
+            .otherwise(col("gram")).as("gram")))
     val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     grams.select(col("source").as("source_a"), col("gram"))
       .join(grams.select(col("source").as("source_b"), col("gram")), "gram")

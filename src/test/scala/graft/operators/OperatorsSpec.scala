@@ -1247,13 +1247,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("sourceOverlap: refuses loudly past maxSources, pointing at the sketch path") {
-    // the corpus has a handful of sources; a cap of 1 must trip the
-    // guard BEFORE the sources² gram self-join runs
-    val e = intercept[IllegalArgumentException] {
-      Dedup.sourceOverlap(spark, sf, maxSources = 1)
-    }
-    assert(e.getMessage.contains("maxSources"))
-    assert(e.getMessage.contains("sourceOverlapMinhash"),
+    // the guard is IN the plan (builders stay action-free), so the
+    // refusal surfaces at the first ACTION, raised from the guarded
+    // gram projection before the sources² fan-out aggregates anything
+    val rel = Dedup.sourceOverlap(spark, sf, maxSources = 1) // action-free
+    val e = intercept[Exception] { rel.count() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(msgs.contains("maxSources"), msgs)
+    assert(msgs.contains("sourceOverlapMinhash"),
       "the refusal must name the 100 TB path")
     // and the default cap admits the real corpus unchanged
     assert(Dedup.sourceOverlap(spark, sf).count() > 0)

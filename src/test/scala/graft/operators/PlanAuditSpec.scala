@@ -64,7 +64,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t29_nb_quality" -> 1, "t30_dsir_sample" -> 1,
     // q34 composes t29 AND t30, inheriting exactly their two one-row
     // scalar broadcasts (classifier totals + DSIR totals)
-    "q34_curate_llm" -> 2)
+    "q34_curate_llm" -> 2,
+    // d13's maxSources guard: a one-row distinct-source count
+    // cross-joined under the gram projection (raise_error-armed) —
+    // the in-plan replacement for the eager builder-side count
+    "d13_source_overlap" -> 1)
 
   /** Count loop joins by TREE TRAVERSAL, not string search: the plan
     * printer re-prints every cached relation's subplan at each scan
@@ -94,12 +98,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         // sparkPlan (pre-AQE) shows the static join strategy; building it
-        // does not run the query (documented exceptions: d13's builder
-        // runs one narrow distinct-count as its loud maxSources guard —
-        // see Dedup.sourceOverlap — and v18's builder runs the
-        // driver-held graph build + walk that GENERATES its shortlist
-        // relation — see operators.Hnsw), so the surface audits in
-        // seconds
+        // does not run the query (documented exception: v18's builder
+        // runs the driver-held graph build + walk that GENERATES its
+        // shortlist relation — see operators.Hnsw), so the surface
+        // audits in seconds
         val (bnlj, cart) = loopJoins(fn(spark, sf).queryExecution.sparkPlan)
         val ok =
           if (allPairsBaselines(name)) true
