@@ -120,6 +120,8 @@ object Verify {
        else Seq("v17_ann_ivfbq")) ++
       (if (lshTrusted("v18_ann_hnsw", "v1_ann_bruteforce")) Nil
        else Seq("v18_ann_hnsw")) ++
+      (if (lshTrusted("v19_ann_hnsw_sharded", "v1_ann_bruteforce")) Nil
+       else Seq("v19_ann_hnsw_sharded")) ++
       (if (lshTrusted("v5_near_dup_lsh", "v3_near_dup_pairs")) Nil else Seq("v5_near_dup_lsh")) ++
       (if (lshTrusted("v12_bitext_margin_ann", "v12_bitext_margin")) Nil
        else Seq("v12_bitext_margin_ann")) ++

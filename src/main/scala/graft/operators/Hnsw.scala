@@ -153,29 +153,25 @@ object Hnsw {
     kept.toSeq
   }
 
-  /** Build the graph: ascending-vec_id insertion, simple-heuristic
-    * neighbor selection (top-M by distance — deterministic), Mmax = m
-    * above level 0 and 2m at level 0 (the paper's defaults). */
-  def buildGraph(ids: Array[Long], vecs: Array[Array[Float]],
-                 m: Int, efConstruction: Int): Graph = {
-    require(ids.length == vecs.length, "ids/vecs length mismatch")
-    require(ids.length <= driverMaxVectors,
-      s"Hnsw.buildGraph: ${ids.length} vectors exceeds driverMaxVectors=" +
-        s"$driverMaxVectors — the graph is driver-held; shard the corpus " +
-        "(one graph per shard, merge per-shard top-k) past this bound")
+  /** The shared insertion loop (Malkov Alg. 1): insert nodes
+    * `from until n` into the live adjacency `adj`, starting from
+    * (`entry0`, `entryLevel0`) (−1/−1 for an empty graph). Mutates
+    * `adj` in place; returns the final (entry, entryLevel). Both the
+    * fresh [[buildGraph]] and the incremental [[insertAll]] run
+    * EXACTLY this loop — append is not a second algorithm, it is the
+    * same insertion continued. */
+  private def insertRange(ids: Array[Long], vecs: Array[Array[Float]],
+                          levels: Array[Int],
+                          adj: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]],
+                          from: Int, entry0: Int, entryLevel0: Int,
+                          m: Int, efConstruction: Int): (Int, Int) = {
     val n = ids.length
-    val levels = Array.tabulate(n)(i => levelOf(ids(i), m))
-    val maxLevel = if (n == 0) 0 else levels.max
-    // layers(l)(node): growable neighbor lists during build
-    val adj = Array.fill(maxLevel + 1, n)(null: scala.collection.mutable.ArrayBuffer[Int])
-    for (l <- 0 to maxLevel; i <- 0 until n)
-      if (levels(i) >= l) adj(l)(i) = scala.collection.mutable.ArrayBuffer.empty[Int]
     val visited = new java.util.BitSet(n)
-    var entry = -1
-    var entryLevel = -1
+    var entry = entry0
+    var entryLevel = entryLevel0
     def live(l: Int): Int => scala.collection.IndexedSeq[Int] =
       node => { val b = adj(l)(node); if (b == null) emptyAdj else b }
-    for (i <- 0 until n) {
+    for (i <- from until n) {
       val q = vecs(i)
       val lvl = levels(i)
       if (entry < 0) { entry = i; entryLevel = lvl }
@@ -211,10 +207,74 @@ object Hnsw {
         if (lvl > entryLevel) { entry = i; entryLevel = lvl }
       }
     }
+    (entry, entryLevel)
+  }
+
+  /** Build the graph: ascending-vec_id insertion, Alg.-4 heuristic
+    * neighbor selection, Mmax = m above level 0 and 2m at level 0
+    * (the paper's defaults). */
+  def buildGraph(ids: Array[Long], vecs: Array[Array[Float]],
+                 m: Int, efConstruction: Int): Graph = {
+    require(ids.length == vecs.length, "ids/vecs length mismatch")
+    require(ids.length <= driverMaxVectors,
+      s"Hnsw.buildGraph: ${ids.length} vectors exceeds driverMaxVectors=" +
+        s"$driverMaxVectors — the graph is driver-held; shard the corpus " +
+        "(one graph per shard, merge per-shard top-k) past this bound")
+    val n = ids.length
+    val levels = Array.tabulate(n)(i => levelOf(ids(i), m))
+    val maxLevel = if (n == 0) 0 else levels.max
+    // layers(l)(node): growable neighbor lists during build
+    val adj = Array.fill(maxLevel + 1, n)(null: scala.collection.mutable.ArrayBuffer[Int])
+    for (l <- 0 to maxLevel; i <- 0 until n)
+      if (levels(i) >= l) adj(l)(i) = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val (entry, entryLevel) =
+      insertRange(ids, vecs, levels, adj, 0, -1, -1, m, efConstruction)
     new Graph(ids, vecs,
       Array.tabulate(maxLevel + 1)(l =>
         adj(l).map(b => if (b == null) Array.empty[Int] else b.toArray)),
       entry, entryLevel, m, efConstruction)
+  }
+
+  /** Incremental insertion — the hnswlib `addItems` analog: continue
+    * the SAME insertion loop on an existing graph with `newIds`
+    * (ascending among themselves), returning a NEW graph; `base` is
+    * untouched (its adjacency arrays are copied into fresh buffers).
+    * The result is NOT byte-identical to a fresh build of the merged
+    * corpus — insertion order there is globally ascending, here it is
+    * base-then-new — but it is the same deterministic function of
+    * (base graph, new batch), and the recall contract (probed ef,
+    * exact rescore) is order-independent. */
+  private[graft] def insertAll(base: Graph, newIds: Array[Long],
+                               newVecs: Array[Array[Float]]): Graph = {
+    require(newIds.length == newVecs.length, "ids/vecs length mismatch")
+    val n0 = base.ids.length
+    val n = n0 + newIds.length
+    require(n <= driverMaxVectors,
+      s"Hnsw.insertAll: $n vectors exceeds driverMaxVectors=$driverMaxVectors")
+    val existing = scala.collection.mutable.LongMap.empty[Unit]
+    base.ids.foreach(existing.update(_, ()))
+    newIds.foreach(id => require(!existing.contains(id),
+      s"Hnsw.insertAll: vec_id=$id is already in the graph"))
+    val m = base.m
+    val ids = base.ids ++ newIds
+    val vecs = base.vecs ++ newVecs
+    // levels are a deterministic hash of the vec_id — recomputing for
+    // base nodes reproduces exactly the levels their build assigned
+    val levels = Array.tabulate(n)(i => levelOf(ids(i), m))
+    val maxLevel = math.max(base.maxLevel,
+      if (newIds.isEmpty) 0 else (n0 until n).map(levels).max)
+    val adj = Array.fill(maxLevel + 1, n)(null: scala.collection.mutable.ArrayBuffer[Int])
+    for (l <- 0 to maxLevel; i <- 0 until n) if (levels(i) >= l) {
+      val b = scala.collection.mutable.ArrayBuffer.empty[Int]
+      if (i < n0 && l <= base.maxLevel) b ++= base.layers(l)(i)
+      adj(l)(i) = b
+    }
+    val (entry, entryLevel) = insertRange(ids, vecs, levels, adj,
+      n0, base.entry, base.maxLevel, m, base.efConstruction)
+    new Graph(ids, vecs,
+      Array.tabulate(maxLevel + 1)(l =>
+        adj(l).map(b => if (b == null) Array.empty[Int] else b.toArray)),
+      entry, entryLevel, m, base.efConstruction)
   }
 
   /** Search the graph for `q`: greedy descent to layer 0, then one
@@ -274,25 +334,26 @@ object Hnsw {
     shortlistRescore(spark, emb, g, nQueries, k, efSearch)
   }
 
-  /** Shared by [[annHnsw]] and the at-rest serve path: search the
-    * graph for the first `nQueries` corpus vectors, rescore in Spark. */
-  private def shortlistRescore(spark: SparkSession, emb: DataFrame, g: Graph,
-                               nQueries: Int, k: Int, efSearch: Int): DataFrame = {
+  /** Driver-held query set (≤ `nQueries` rows — the model-collect
+    * pattern), ascending vec_id. */
+  private def collectQueries(spark: SparkSession, emb: DataFrame,
+                             nQueries: Int): Array[(Long, Array[Float])] = {
     import spark.implicits._
-    // driver-held queries (≤ nQueries rows — the model-collect pattern)
-    val qs = emb.filter(col("vec_id") < nQueries)
+    emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val visited = new java.util.BitSet(g.ids.length)
-    // shortlist pairs: (query_id, candidate vec_id); self-matches are
-    // dropped here AND filtered in the rescore (belt and braces)
-    val pairs = qs.flatMap { case (qid, qv) =>
-      search(g, qv, efSearch, visited)
-        .map { case (_, node) => (qid, g.ids(node)) }
-        .filter(_._2 != qid)
-    }
-    val shortlist = spark.createDataset(pairs.toSeq)
-      .toDF("query_id", "vec_id")
+  }
+
+  /** The family's exact-rescore tail, shared by every HNSW path
+    * (driver graph, sharded in-session, at-rest fan-out): join the
+    * (query_id, vec_id) shortlist back to the corpus, score with the
+    * same `cosine` expression and (cos desc, vec_id) window every
+    * graft ANN family uses, cut top-k. Precondition: the shortlist
+    * carries no duplicate (query_id, vec_id) pair — true for one
+    * graph (search returns distinct nodes) and for sharded unions
+    * (shards partition the id space). */
+  private def rescore(emb: DataFrame, shortlist: DataFrame,
+                      nQueries: Int, k: Int): DataFrame = {
     val qdf = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -304,6 +365,312 @@ object Hnsw {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
+  /** Shared by [[annHnsw]] and the at-rest serve path: search the
+    * graph for the first `nQueries` corpus vectors, rescore in Spark. */
+  private def shortlistRescore(spark: SparkSession, emb: DataFrame, g: Graph,
+                               nQueries: Int, k: Int, efSearch: Int): DataFrame = {
+    import spark.implicits._
+    val qs = collectQueries(spark, emb, nQueries)
+    val visited = new java.util.BitSet(g.ids.length)
+    // shortlist pairs: (query_id, candidate vec_id); self-matches are
+    // dropped here AND filtered in the rescore (belt and braces)
+    val pairs = qs.flatMap { case (qid, qv) =>
+      search(g, qv, efSearch, visited)
+        .map { case (_, node) => (qid, g.ids(node)) }
+        .filter(_._2 != qid)
+    }
+    val shortlist = spark.createDataset(pairs.toSeq)
+      .toDF("query_id", "vec_id")
+    rescore(emb, shortlist, nQueries, k)
+  }
+
+  // ---------------------------------------------------------------
+  // Sharded family (v19): the 100 TB deployment made code
+  // ---------------------------------------------------------------
+
+  /** Deterministic shard assignment: id-modulo (balanced for the
+    * corpus's dense id space AND hash-like ids; no RNG state). */
+  private def shardOf(vecId: Long, nShards: Int): Int =
+    Math.floorMod(vecId, nShards.toLong).toInt
+
+  /** One at-rest / shuffled row of a sharded graph. `level == -1`
+    * marks the shard's entry-point row (neighbor_ids empty); level-0
+    * rows carry the node's vector (the graph walk needs vectors WHERE
+    * the graph lives — unlike the codes-only IVF layouts, a sharded
+    * HNSW index is self-contained, which is also what makes its serve
+    * executor-side instead of a driver collect). */
+  private[graft] case class ShardRow(shard: Int, vec_id: Long, level: Int,
+                                     neighbor_ids: Seq[Long],
+                                     embedding: Option[Array[Float]])
+
+  /** A built shard graph flattened to [[ShardRow]]s: every node's
+    * level-0 row (with vector), non-empty higher-level adjacency rows,
+    * and the entry marker. */
+  private def graphRows(g: Graph, shard: Int): Iterator[ShardRow] = {
+    val level0 = g.ids.indices.iterator.map { node =>
+      ShardRow(shard, g.ids(node), 0,
+        g.layers(0)(node).map(g.ids(_)).toSeq, Some(g.vecs(node)))
+    }
+    val upper = for {
+      l <- (1 to g.maxLevel).iterator
+      node <- g.layers(l).indices.iterator
+      if g.layers(l)(node).nonEmpty
+    } yield ShardRow(shard, g.ids(node), l, g.layers(l)(node).map(g.ids(_)).toSeq, None)
+    val entry = Iterator.single(
+      ShardRow(shard, g.ids(g.entry), -1, Nil, None))
+    level0 ++ upper ++ entry
+  }
+
+  /** Rebuild one shard's [[Graph]] from its rows (executor-side — the
+    * whole point: the graph is reconstructed where the search runs,
+    * never on the driver). Loud on malformed shards. */
+  private def graphFromRows(rows: Iterator[ShardRow], m: Int, efC: Int,
+                            where: String): Graph = {
+    val all = rows.toArray
+    val (entryRows, adjRows) = all.partition(_.level < 0)
+    require(entryRows.length == 1,
+      s"$where: expected exactly 1 entry row, got ${entryRows.length}")
+    val level0 = adjRows.filter(_.level == 0).sortBy(_.vec_id)
+    val ids = level0.map(_.vec_id)
+    val vecs = level0.map(r => r.embedding.getOrElse(
+      throw new IllegalArgumentException(
+        s"$where: level-0 row for vec_id=${r.vec_id} carries no vector")))
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    ids.indices.foreach(i => idx.update(ids(i), i))
+    def resolve(id: Long): Int = idx.getOrElse(id,
+      throw new IllegalArgumentException(
+        s"$where: vec_id=$id referenced but has no level-0 row"))
+    val maxLevel = adjRows.iterator.map(_.level).max
+    val layers = Array.fill(maxLevel + 1, ids.length)(Array.empty[Int])
+    adjRows.foreach { r =>
+      layers(r.level)(resolve(r.vec_id)) = r.neighbor_ids.map(resolve).toArray
+    }
+    new Graph(ids, vecs, layers, resolve(entryRows(0).vec_id), maxLevel, m, efC)
+  }
+
+  /** Search every shard graph for every query and emit the union
+    * shortlist — the map side of both the in-session sharded operator
+    * and the at-rest fan-out serve. Runs inside flatMapGroups: one
+    * task per shard, single-threaded per group. */
+  private def searchShard(g: Graph, qs: Array[(Long, Array[Float])],
+                          efSearch: Int): Iterator[(Long, Long)] = {
+    val visited = new java.util.BitSet(g.ids.length)
+    qs.iterator.flatMap { case (qid, qv) =>
+      search(g, qv, efSearch, visited).iterator
+        .map { case (_, node) => (qid, g.ids(node)) }
+        .filter(_._2 != qid)
+    }
+  }
+
+  /** v19: SHARDED HNSW ANN — the deployment SCALE.md describes for the
+    * graph family, in code: the corpus partitions into `nShards`
+    * id-modulo shards, each EXECUTOR task builds one shard's graph
+    * (the same deterministic [[buildGraph]] the driver family uses)
+    * and walks every query through it, and the per-shard shortlists
+    * union into one exact Spark rescore. Nothing graph-shaped ever
+    * touches the driver, and the per-task memory bound is
+    * corpus/nShards — the knob that takes the family past
+    * `driverMaxVectors` (dial nShards so each shard fits an executor).
+    *
+    * Recall composition: the global top-k's members each live in SOME
+    * shard, and a shard's walk is recall-complete for its own members
+    * under the same probed ef contract as v18 — smaller graph, same
+    * beam — so the union shortlist contains the true top-k whenever
+    * each per-shard walk is complete (Probe sweeps this dial;
+    * Verify auto-demotes if a regenerated corpus breaks it).
+    *
+    * Cost vs one graph: search work is ~nShards × the single-graph
+    * walk (every shard answers every query) — the standard fan-out
+    * trade every distributed vector store makes; each walk is over a
+    * graph 1/nShards the size, and the walks run in parallel. */
+  def annHnswSharded(spark: SparkSession, dir: String, nQueries: Int = 10,
+                     k: Int = 5, m: Int = 8, efConstruction: Int = 96,
+                     efSearch: Int = 64, nShards: Int = 4): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val qs = collectQueries(spark, emb, nQueries)
+    val shortlist = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .groupByKey { case (id, _) => shardOf(id, nShards) }
+      .flatMapGroups { (_: Int, it: Iterator[(Long, Array[Float])]) =>
+        // shuffle delivers rows unordered — sort for the deterministic
+        // ascending-vec_id insertion the build contract requires
+        val rows = it.toArray.sortBy(_._1)
+        val g = buildGraph(rows.map(_._1), rows.map(_._2), m, efConstruction)
+        searchShard(g, qs, efSearch)
+      }
+      .toDF("query_id", "vec_id")
+    rescore(emb, shortlist, nQueries, k)
+  }
+
+  /** The sharded graph AT REST: `graph/` partitioned by `shard=`, each
+    * partition one shard's [[ShardRow]]s written as ONE file (vectors
+    * included — self-contained, see [[ShardRow]]), `_meta.json`
+    * pinning (family, m, efConstruction, nShards). Build is
+    * distributed: one executor task per shard. */
+  def writeHnswIndexSharded(spark: SparkSession, dir: String, out: String,
+                            m: Int = 8, efConstruction: Int = 96,
+                            nShards: Int = 4): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import spark.implicits._
+    graft.sources.IndexMeta.write(out, Seq(
+      "family" -> "hnsw_sharded", "m" -> m,
+      "efConstruction" -> efConstruction, "nShards" -> nShards))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .groupByKey { case (id, _) => shardOf(id, nShards) }
+      .flatMapGroups { (shard: Int, it: Iterator[(Long, Array[Float])]) =>
+        val rows = it.toArray.sortBy(_._1)
+        graphRows(buildGraph(rows.map(_._1), rows.map(_._2), m, efConstruction), shard)
+      }
+      // the group tasks are already one-per-shard; partitionBy alone
+      // would still write one file per (task × touched partition), but
+      // each task holds exactly one shard, so the layout lands as one
+      // file per partition with no extra exchange
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$out/graph")
+  }
+
+  /** Serve from a [[writeHnswIndexSharded]] index — the fan-out/merge
+    * deployment: the bounded query set ships to every shard's task in
+    * the closure, each task reconstructs ITS shard's graph from the
+    * at-rest rows and walks all queries, and the union shortlist gets
+    * the family's exact Spark rescore. The graph never exists on the
+    * driver; per-task memory is one shard. (In a long-lived serving
+    * tier the shard graphs would stay RESIDENT per executor instead of
+    * re-reading the parquet per call — the parquet partition is the
+    * recovery/rebalance image. Batch mode pays the re-read, which is
+    * one narrow scan of `graph/`.) */
+  def annHnswServeSharded(spark: SparkSession, dir: String, indexPath: String,
+                          nQueries: Int = 10, k: Int = 5,
+                          efSearch: Int = 64): DataFrame = {
+    import graft.sources.IndexMeta.{intField, strField}
+    val meta = graft.sources.IndexMeta.readRaw(indexPath, "writeHnswIndexSharded")
+    require(strField(meta, "family") == "hnsw_sharded",
+      s"$indexPath is a '${strField(meta, "family")}' index, not hnsw_sharded")
+    val m = intField(meta, "m")
+    val efC = intField(meta, "efConstruction")
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val graph = spark.read.parquet(s"$indexPath/graph")
+    // corpus/index drift refuses loudly (the loadGraph contract, made
+    // cheap for the fan-out path): an un-indexed corpus vector is in no
+    // shard graph, so no walk can ever shortlist it, and an indexed id
+    // missing from the corpus silently drops from the rescore join.
+    // nIndexed == nCorpus plus indexed ⊆ corpus ⇒ the id sets are
+    // equal — two id-only aggregates, no wide shuffle. (A resident
+    // serving tier checks once at graph load, not per batch.)
+    val level0Ids = graph.filter(col("level") === 0).select(col("vec_id"))
+    val nIndexed = level0Ids.count()
+    val nCorpus = emb.count()
+    val missing = level0Ids
+      .join(emb.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+    require(missing == 0,
+      s"Hnsw sharded serve: $missing indexed vec_ids are not in the corpus " +
+        s"at $dir — the index at $indexPath was built over a different " +
+        "corpus; rebuild it (writeHnswIndexSharded) or serve the right dir")
+    require(nIndexed == nCorpus,
+      s"Hnsw sharded serve: corpus at $dir has ${nCorpus - nIndexed} vectors " +
+        s"the index at $indexPath never saw — un-indexed vectors are in no " +
+        "shard graph, so no walk can ever reach them (silent recall loss); " +
+        "appendHnswIndexSharded the new vectors or rebuild")
+    val qs = collectQueries(spark, emb, nQueries)
+    val shortlist = graph
+      .select(col("shard"), col("vec_id"), col("level"),
+        col("neighbor_ids"), col("embedding"))
+      .as[ShardRow]
+      .groupByKey(_.shard)
+      .flatMapGroups { (shard: Int, it: Iterator[ShardRow]) =>
+        searchShard(graphFromRows(it, m, efC, s"$indexPath shard=$shard"),
+          qs, efSearch)
+      }
+      .toDF("query_id", "vec_id")
+    rescore(emb, shortlist, nQueries, k)
+  }
+
+  /** Incremental maintenance of a [[writeHnswIndexSharded]] index —
+    * the at-scale append: the new corpus vectors (diff-driven, like
+    * [[appendHnswIndex]]; replay appends 0) route to their id-modulo
+    * shards with the pinned `nShards`, and ONLY the affected shards
+    * are read, re-inserted into ([[insertAll]], executor-side inside
+    * the same one-task-per-shard `flatMapGroups` the build uses), and
+    * rewritten — untouched shard partitions are never opened, the
+    * `appendAnnIndex` touched-cells contract. The rewrite is
+    * two-phase through a staging dir (Spark refuses overwriting a
+    * path it reads) with dynamic partition overwrite scoped to the
+    * writer, replacing exactly the touched `shard=` directories.
+    * Returns the number of vectors appended. */
+  def appendHnswIndexSharded(spark: SparkSession, dir: String,
+                             indexPath: String): Long = {
+    import graft.sources.IndexMeta.{intField, strField}
+    val meta = graft.sources.IndexMeta.readRaw(indexPath, "writeHnswIndexSharded")
+    require(strField(meta, "family") == "hnsw_sharded",
+      s"$indexPath is a '${strField(meta, "family")}' index, not hnsw_sharded")
+    val m = intField(meta, "m")
+    val efC = intField(meta, "efConstruction")
+    val nShards = intField(meta, "nShards")
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val graph = spark.read.parquet(s"$indexPath/graph")
+    val level0Ids = graph.filter(col("level") === 0).select(col("vec_id"))
+    val missing = level0Ids.join(emb.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+    require(missing == 0,
+      s"Hnsw sharded append: $missing indexed vec_ids are not in the corpus " +
+        s"at $dir — the index at $indexPath was built over a different " +
+        "corpus; rebuild it (writeHnswIndexSharded) or append the right dir")
+    val fresh = emb.join(level0Ids, Seq("vec_id"), "left_anti")
+      .withColumn("shard", pmod(col("vec_id"), lit(nShards.toLong)).cast("int"))
+    // bounded collect: ≤ nShards ids — the probed-cells pattern; also
+    // the idempotence early-out (no new vectors → no write at all)
+    val touched = fresh.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return 0L
+    val nNew = fresh.count()
+    // pending rows ride the same ShardRow relation as level = -2
+    // markers (vector present, no adjacency) so ONE group per shard
+    // sees its existing graph AND its additions
+    val pending = fresh.select(col("shard"), col("vec_id"),
+      lit(-2).as("level"),
+      typedLit(Seq.empty[Long]).as("neighbor_ids"), col("embedding"))
+    val existingTouched = graph
+      .filter(col("shard").isin(touched.toSeq: _*))
+      .select(col("shard"), col("vec_id"), col("level"),
+        col("neighbor_ids"), col("embedding"))
+    val updated = existingTouched.unionByName(pending)
+      .as[ShardRow]
+      .groupByKey(_.shard)
+      .flatMapGroups { (shard: Int, it: Iterator[ShardRow]) =>
+        val all = it.toArray
+        val (pend, rest) = all.partition(_.level == -2)
+        val adds = pend.sortBy(_.vec_id)
+        val grown =
+          if (rest.isEmpty) // a shard that never got a vector at build time
+            buildGraph(adds.map(_.vec_id), adds.map(_.embedding.get), m, efC)
+          else insertAll(
+            graphFromRows(rest.iterator, m, efC, s"$indexPath shard=$shard"),
+            adds.map(_.vec_id), adds.map(_.embedding.get))
+        graphRows(grown, shard)
+      }
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-hnsw-append-staging").toString
+    try {
+      updated.toDF()
+        .write.mode("overwrite").partitionBy("shard").parquet(staging)
+      spark.read.parquet(staging)
+        .repartition(col("shard")) // keep the one-file-per-shard layout
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard").parquet(s"$indexPath/graph")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(staging))
+    }
+    nNew
   }
 
   // ---------------------------------------------------------------
@@ -320,10 +687,14 @@ object Hnsw {
     * relation (the codes-only trade; at 2M×64 floats they are the
     * same 0.5 GB either way). */
   def writeHnswIndex(spark: SparkSession, dir: String, out: String,
-                     m: Int = 8, efConstruction: Int = 96): Unit = {
-    val g = graphFor(spark, dir, m, efConstruction)
+                     m: Int = 8, efConstruction: Int = 96): Unit =
+    writeGraphParquet(spark, graphFor(spark, dir, m, efConstruction), out)
+
+  /** Persist one driver-held graph as the [[writeHnswIndex]] layout —
+    * shared by the fresh write and [[appendHnswIndex]]'s rewrite. */
+  private def writeGraphParquet(spark: SparkSession, g: Graph, out: String): Unit = {
     graft.sources.IndexMeta.write(out, Seq(
-      "family" -> "hnsw", "m" -> m, "efConstruction" -> efConstruction,
+      "family" -> "hnsw", "m" -> g.m, "efConstruction" -> g.efConstruction,
       "entryId" -> g.ids(g.entry), "maxLevel" -> g.maxLevel))
     val rows = for {
       l <- (0 to g.maxLevel).iterator
@@ -335,6 +706,80 @@ object Hnsw {
       .toDF("vec_id", "level", "neighbor_ids")
       .repartition(1) // a few hundred B/vector — one file reads fastest
       .write.mode("overwrite").parquet(s"$out/graph")
+  }
+
+  /** Incremental maintenance of a [[writeHnswIndex]] index — the
+    * [[Similarity.appendAnnIndex]] contract for the graph family, and
+    * the operation HNSW exists for in production (online insertion):
+    * bring the index UP TO DATE with a corpus that has grown since the
+    * build. Diff-driven: the new vectors are exactly the corpus
+    * vec_ids the graph has never seen, so replay is idempotent (a
+    * second call appends 0 and writes nothing). Dials (m,
+    * efConstruction) come from the pinned `_meta.json`, never caller
+    * arguments — inserting with different dials than the base graph
+    * is not a mistake this API can express. The insertion itself is
+    * [[insertAll]] — the SAME deterministic loop that built the base —
+    * and the rewrite refreshes entry/maxLevel in `_meta.json` (a new
+    * node can out-level the old entry point). Returns the number of
+    * vectors appended.
+    *
+    * The single-graph layout rewrites the whole `graph/` relation (a
+    * few hundred B/vector — one narrow file); the SHARDED layout's
+    * [[appendHnswIndexSharded]] touches only affected shards, which is
+    * the at-scale path. */
+  def appendHnswIndex(spark: SparkSession, dir: String, indexPath: String): Long = {
+    import graft.sources.IndexMeta.{intField, strField}
+    val meta = graft.sources.IndexMeta.readRaw(indexPath, "writeHnswIndex")
+    require(strField(meta, "family") == "hnsw",
+      s"$indexPath is a '${strField(meta, "family")}' index, not hnsw")
+    val m = intField(meta, "m")
+    val efC = intField(meta, "efConstruction")
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val nVec = emb.count()
+    require(nVec <= driverMaxVectors,
+      s"Hnsw append: corpus has $nVec vectors, driverMaxVectors=$driverMaxVectors")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val corpusIds = scala.collection.mutable.LongMap.empty[Unit]
+    corpus.foreach { case (id, _) => corpusIds.update(id, ()) }
+    val adjRows = spark.read.parquet(s"$indexPath/graph")
+      .select(col("vec_id"), col("level"), col("neighbor_ids"))
+      .as[(Long, Int, Seq[Long])].collect()
+    val indexed = scala.collection.mutable.LongMap.empty[Unit]
+    adjRows.foreach { case (id, _, ns) =>
+      indexed.update(id, ()); ns.foreach(indexed.update(_, ()))
+    }
+    // reverse drift refuses loudly (the loadGraph contract): an indexed
+    // id with no corpus vector cannot be walked through
+    indexed.foreachKey(id => require(corpusIds.contains(id),
+      s"Hnsw append: indexed vec_id=$id is not in the corpus at $dir — " +
+        s"the index at $indexPath was built over a different corpus; " +
+        "rebuild it (writeHnswIndex) or append against the right dir"))
+    val (oldRows, newRows) = corpus.partition(r => indexed.contains(r._1))
+    if (newRows.isEmpty) return 0L
+    // assemble the base graph over the INDEXED subset of the corpus
+    val ids = oldRows.map(_._1)
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    ids.indices.foreach(i => idx.update(ids(i), i))
+    val maxLevel = intField(meta, "maxLevel")
+    val entryId = {
+      val mt = "\"entryId\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(meta)
+      require(mt.isDefined, s"_meta.json missing entryId: $meta")
+      mt.get.group(1).toLong
+    }
+    val layers = Array.fill(maxLevel + 1, ids.length)(Array.empty[Int])
+    adjRows.foreach { case (id, l, ns) =>
+      layers(l)(idx(id)) = ns.map(idx(_)).toArray
+    }
+    val base = new Graph(ids, oldRows.map(_._2), layers, idx(entryId),
+      maxLevel, m, efC)
+    val grown = insertAll(base, newRows.map(_._1), newRows.map(_._2))
+    writeGraphParquet(spark, grown, indexPath)
+    // the serve memo may hold the PRE-append graph for this index path
+    // (any dir/session): drop those entries so the next serve reloads
+    servedMemo.keySet.removeIf(_._3 == indexPath)
+    newRows.length.toLong
   }
 
   /** Serve memo: at-rest graphs reloaded once per (indexPath) — the

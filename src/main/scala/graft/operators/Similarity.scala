@@ -1756,6 +1756,17 @@ object Similarity {
     // why graph indexes dominate high-recall serving. Verify's
     // recall probe re-checks per run and auto-demotes.
     "v18_ann_hnsw" -> ((s, d) => Hnsw.annHnsw(s, d, efSearch = 8)),
+    // v19 gate profile (tools/Probe, hnsw family, v19 column): the
+    // SHARDED deployment of the same graph family — per-executor-task
+    // shard graphs, fan-out walk, union shortlist, exact rescore.
+    // Probed floor ef=24, NOTABLY higher than v18's 6: a 1/nShards
+    // graph is not "easier" — tiny graphs (125 nodes at sf0.001/4
+    // shards) have few hierarchy levels and short adjacency lists, so
+    // the greedy descent starts closer to arbitrary and the probe
+    // showed a 0.90-recall band across ef=10..16 before completing at
+    // 24. Gate runs 32 (one probed step of margin; same measured wall
+    // as 24). Verify auto-demotes if a regenerated corpus breaks it.
+    "v19_ann_hnsw_sharded" -> ((s, d) => Hnsw.annHnswSharded(s, d, efSearch = 32)),
   )
 
   /** Oracles set in SparkEntry after empirical float-parity validation
@@ -1829,6 +1840,10 @@ object Similarity {
     // which candidates reach the exact rescore — recall-complete
     // (probed per run by Verify) ⇒ the exact oracle applies.
     "v18_ann_hnsw" -> exactAnnSql,
+    // v19 (sharded graphs) under the same precondition — the union of
+    // per-shard walks only decides which candidates reach the exact
+    // rescore, so recall-complete ⇒ the exact oracle applies.
+    "v19_ann_hnsw_sharded" -> exactAnnSql,
     "v3_near_dup_pairs" -> exactNearDupSql,
     "v5_near_dup_lsh" -> exactNearDupSql,
     // boolean/integer output only — the cosine appears solely inside

@@ -91,6 +91,58 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("hnsw"))
   }
 
+  test("sharded: in-session == brute force at the gate dial, and == the " +
+      "single-graph serve on a 2-shard split") {
+    // the fan-out/merge contract: each shard's walk finds its own
+    // members of the global top-k, the union shortlist contains the
+    // true top-k, and the exact rescore makes the outputs identical
+    val exact = rows(Similarity.annBruteForce(spark, sf))
+    assert(rows(Hnsw.annHnswSharded(spark, sf, efSearch = 32)) == exact)
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-shidx").toString
+    Hnsw.writeHnswIndexSharded(spark, sf, idx, nShards = 2)
+    val sharded2 = rows(Hnsw.annHnswServeSharded(spark, sf, idx, efSearch = 256))
+    Hnsw.invalidateServedMemo()
+    val single = java.nio.file.Files.createTempDirectory("hnsw-sgidx").toString
+    Hnsw.writeHnswIndex(spark, sf, single)
+    assert(sharded2 == rows(Hnsw.annHnswServe(spark, sf, single, efSearch = 256)),
+      "2-shard fan-out serve must equal the single-graph serve")
+  }
+
+  test("sharded: at-rest serve == in-session sharded at equal dials, " +
+      "deterministic across rebuilds") {
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-shidx2").toString
+    Hnsw.writeHnswIndexSharded(spark, sf, idx, nShards = 4)
+    val served = rows(Hnsw.annHnswServeSharded(spark, sf, idx, efSearch = 64))
+    assert(served == rows(Hnsw.annHnswSharded(spark, sf, efSearch = 64)),
+      "serving the at-rest shards must equal building them in-session")
+    // rebuild in a fresh dir: same corpus + dials ⇒ same served rows
+    val idx2 = java.nio.file.Files.createTempDirectory("hnsw-shidx3").toString
+    Hnsw.writeHnswIndexSharded(spark, sf, idx2, nShards = 4)
+    assert(rows(Hnsw.annHnswServeSharded(spark, sf, idx2, efSearch = 64)) == served)
+  }
+
+  test("sharded: the index is one file per shard partition and serve " +
+      "refuses the wrong family in both directions") {
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-shlay").toString
+    Hnsw.writeHnswIndexSharded(spark, sf, idx, nShards = 4)
+    (0 until 4).foreach { s =>
+      val files = new java.io.File(s"$idx/graph/shard=$s")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"shard=$s should be ONE file (one build task per shard), got ${files.length}")
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      Hnsw.annHnswServe(spark, sf, idx).collect() // single-graph serve on sharded idx
+    }
+    assert(e1.getMessage.contains("hnsw_sharded"))
+    val single = java.nio.file.Files.createTempDirectory("hnsw-sg2").toString
+    Hnsw.writeHnswIndex(spark, sf, single)
+    val e2 = intercept[IllegalArgumentException] {
+      Hnsw.annHnswServeSharded(spark, sf, single).collect()
+    }
+    assert(e2.getMessage.contains("not hnsw_sharded"))
+  }
+
   test("serve refuses corpus/index drift in BOTH directions, loudly") {
     // the graph stores vec_ids; vectors come from the corpus relation.
     // Drift either way is silent recall loss (an indexed id with no
@@ -130,6 +182,83 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { // same index, wrong dir again
       Hnsw.annHnswServe(spark, grown, idx).collect()
     }
+  }
+
+  private def forgeCorpus(pick: org.apache.spark.sql.Column): String = {
+    val d = java.nio.file.Files.createTempDirectory("hnsw-corpus").toString
+    graft.Tables.embeddings(spark, sf).filter(pick)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("append: a grown corpus serves after appendHnswIndex — no " +
+      "rebuild, memo auto-invalidated, replay idempotent") {
+    import org.apache.spark.sql.functions.col
+    val base = forgeCorpus(col("vec_id") < 100)
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-append").toString
+    Hnsw.writeHnswIndex(spark, base, idx)
+    Hnsw.invalidateServedMemo()
+    // pre-populate the serve memo with the PRE-append graph
+    assert(Hnsw.annHnswServe(spark, base, idx, nQueries = 3, k = 2).count() > 0)
+    val grown = forgeCorpus(col("vec_id") < 130)
+    intercept[IllegalArgumentException] { // grown corpus refuses pre-append
+      Hnsw.annHnswServe(spark, grown, idx).collect()
+    }
+    assert(Hnsw.appendHnswIndex(spark, grown, idx) == 30L)
+    // ef ≥ n ⇒ exhaustive: the appended graph must serve the grown
+    // corpus exactly (insertion order differs from a fresh build, but
+    // the exhaustive shortlist + exact rescore erase that)
+    val served = rows(Hnsw.annHnswServe(spark, grown, idx, efSearch = 256))
+    assert(served == rows(Similarity.annBruteForce(spark, grown)))
+    // the append dropped this index's memo entries itself: serving the
+    // OLD corpus now refuses (the index has ids base never had) with
+    // no manual invalidation in between
+    intercept[IllegalArgumentException] {
+      Hnsw.annHnswServe(spark, base, idx).collect()
+    }
+    assert(Hnsw.appendHnswIndex(spark, grown, idx) == 0L, "replay must no-op")
+    assert(rows(Hnsw.annHnswServe(spark, grown, idx, efSearch = 256)) == served)
+  }
+
+  test("append refuses an index whose vectors the corpus lost") {
+    import org.apache.spark.sql.functions.col
+    val base = forgeCorpus(col("vec_id") < 100)
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-append-bad").toString
+    Hnsw.writeHnswIndex(spark, base, idx)
+    val shifted = forgeCorpus(col("vec_id") >= 50 && col("vec_id") < 150)
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.appendHnswIndex(spark, shifted, idx)
+    }
+    assert(e.getMessage.contains("not in the corpus"), e.getMessage)
+  }
+
+  test("sharded append: only affected shard partitions are rewritten, " +
+      "serve catches up, replay idempotent") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val base = forgeCorpus(col("vec_id") < 100)
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-shappend").toString
+    Hnsw.writeHnswIndexSharded(spark, base, idx, nShards = 4)
+    // additions all ≡ 0 (mod 4): only shard 0 is affected
+    val grown = forgeCorpus(col("vec_id") < 100 ||
+      (col("vec_id") < 160 && pmod(col("vec_id"), lit(4)) === 0))
+    // drift refusal names the sharded append
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.annHnswServeSharded(spark, grown, idx).collect()
+    }
+    assert(e.getMessage.contains("never saw") &&
+      e.getMessage.contains("appendHnswIndexSharded"), e.getMessage)
+    def snapshot(s: Int): Seq[(String, Long, Long)] =
+      new java.io.File(s"$idx/graph/shard=$s").listFiles().toSeq
+        .map(f => (f.getName, f.length(), f.lastModified()))
+    val untouchedBefore = (1 to 3).map(snapshot)
+    assert(Hnsw.appendHnswIndexSharded(spark, grown, idx) == 15L)
+    assert((1 to 3).map(snapshot) == untouchedBefore,
+      "shards 1-3 got no new vectors and must not be rewritten")
+    val served = rows(Hnsw.annHnswServeSharded(spark, grown, idx, efSearch = 256))
+    assert(served == rows(Similarity.annBruteForce(spark, grown)),
+      "exhaustive ef after append must equal brute force on the grown corpus")
+    assert(Hnsw.appendHnswIndexSharded(spark, grown, idx) == 0L, "replay must no-op")
+    assert(rows(Hnsw.annHnswServeSharded(spark, grown, idx, efSearch = 256)) == served)
   }
 
   test("clustered-corpus recall: the Alg.-4 heuristic keeps the " +

@@ -16,14 +16,27 @@ import org.apache.spark.sql.functions._
   * ef≈24-complete; clustered corpora are the family's home turf).
   *
   * `Test/runMain graft.tools.DriveHnswScale [n:nClusters ...]`
-  * (default 100000:64 1000000:256) */
+  * (default 100000:64 1000000:256)
+  *
+  * `Test/runMain graft.tools.DriveHnswScale sharded [n:nClusters:nShards ...]`
+  * measures the SHARDED family instead (v19 / writeHnswIndexSharded):
+  * distributed build wall (one graph per executor task — the number
+  * that should drop ~nShards× vs the single-thread driver build
+  * recorded above), at-rest bytes/vector, fan-out serve latency, and
+  * recall vs the exact sweep on the same clustered corpus. */
 object DriveHnswScale {
   def main(args: Array[String]): Unit = {
-    val ladder: Seq[(Long, Int)] =
-      if (args.nonEmpty) args.toSeq.map { a =>
-        val Array(n, c) = a.split(":"); (n.toLong, c.toInt)
+    val sharded = args.headOption.contains("sharded")
+    val rest = if (sharded) args.drop(1).toSeq else args.toSeq
+    val ladder: Seq[(Long, Int, Int)] =
+      if (rest.nonEmpty) rest.map { a =>
+        a.split(":") match {
+          case Array(n, c) => (n.toLong, c.toInt, 8)
+          case Array(n, c, s) => (n.toLong, c.toInt, s.toInt)
+        }
       }
-      else Seq((100000L, 64), (1000000L, 256))
+      else if (sharded) Seq((1000000L, 256, 8))
+      else Seq((100000L, 64, 8), (1000000L, 256, 8))
     val spark = GraftSession.local("graft-hnsw-scale")
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.{Hnsw, Similarity}
@@ -54,9 +67,33 @@ object DriveHnswScale {
       df.select(col("query_id"), col("neighbor_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    for ((n, g) <- ladder) {
+    for ((n, g, nSh) <- ladder) {
       val dir = java.nio.file.Files.createTempDirectory(s"graft-hnswscale-$n").toString
       corpus(n, g).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      if (sharded) {
+        val idx = s"$dir/hnsw_sharded"
+        val tb = System.nanoTime()
+        Hnsw.writeHnswIndexSharded(spark, dir, idx, nShards = nSh)
+        val buildS = (System.nanoTime() - tb) / 1e9
+        val bytesPerVec = duBytes(idx).toDouble / n
+        val serve10 = minOf2(Hnsw.annHnswServeSharded(spark, dir, idx, nQueries = 10).count())
+        val serve100 = minOf2(Hnsw.annHnswServeSharded(spark, dir, idx, nQueries = 100).count())
+        val want = setOf(Similarity.annBruteForce(spark, dir, nQueries = 100))
+        val efCurve = Seq(64, 128, 256).map { ef =>
+          val t0 = System.nanoTime()
+          val got = setOf(Hnsw.annHnswServeSharded(spark, dir, idx,
+            nQueries = 100, efSearch = ef))
+          val dt = (System.nanoTime() - t0) / 1e9
+          f"ef=$ef:recall=${(want & got).size.toDouble / want.size}%5.3f@$dt%4.2fs"
+        }.mkString(" ")
+        println(f"HNSWSHARD n=$n%-8d nClusters=$g%-4d nShards=$nSh%-3d " +
+          f"buildDist=$buildS%7.1fs idx=$bytesPerVec%6.1f B/vec " +
+          f"serve10=$serve10%5.2fs serve100=$serve100%5.2fs $efCurve")
+        def rmS(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmS)); f.delete(); ()
+        }
+        rmS(new java.io.File(dir))
+      } else {
       Hnsw.invalidateGraphMemo(); Hnsw.invalidateServedMemo()
       val tb = System.nanoTime()
       val graph = Hnsw.graphFor(spark, dir, 8, 96) // includes corpus collect
@@ -92,6 +129,7 @@ object DriveHnswScale {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
       rm(new java.io.File(dir))
+      }
     }
     spark.stop()
   }

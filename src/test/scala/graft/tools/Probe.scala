@@ -99,8 +99,11 @@ object Probe {
         npr((s, sf, np, r) => Similarity.annIvfBq(s, sf, nprobe = np, rerank = r))))),
     Family("hnsw", "efSearch",
       Seq(64, 128, 192, 224, 256, 320, 400, 499).map(_.toString),
-      Seq(Check("v18", brute,
-        (s, sf, d) => graft.operators.Hnsw.annHnsw(s, sf, efSearch = d.toInt)))),
+      Seq(
+        Check("v18", brute,
+          (s, sf, d) => graft.operators.Hnsw.annHnsw(s, sf, efSearch = d.toInt)),
+        Check("v19", brute,
+          (s, sf, d) => graft.operators.Hnsw.annHnswSharded(s, sf, efSearch = d.toInt)))),
     Family("bitext", "nprobe:rerank",
       for (np <- Seq(12, 14, 16); r <- Seq(32, 64, 96, 128, 192, 250))
         yield s"$np:$r",
