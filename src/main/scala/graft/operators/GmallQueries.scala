@@ -1093,29 +1093,33 @@ object GmallQueries {
         |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='O'
         |EXCEPT
         |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus='P'""".stripMargin,
-    // q33: the identical deterministic sample (bottom-500 by md5 key per
-    // group) and the identical disc-percentile arithmetic over integer
-    // cents — value-exact on both sides
-    "q33_sampled_percentiles" ->
-      """WITH s AS (
-        |  SELECT o_orderstatus, o_orderkey,
-        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
-        |         md5(CAST(o_orderkey AS VARCHAR)) AS rk_key
-        |  FROM orders),
-        |r AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
-        |                               ORDER BY rk_key, o_orderkey) AS rk
-        |  FROM s),
-        |g AS (
-        |  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_sample,
-        |         list(c ORDER BY c) AS sorted
-        |  FROM r WHERE rk <= 500 GROUP BY o_orderstatus)
-        |SELECT o_orderstatus, n_sample,
-        |       sorted[CAST(ceil(0.25 * n_sample) AS INTEGER)] / 100.0 AS p25,
-        |       sorted[CAST(ceil(0.5 * n_sample) AS INTEGER)] / 100.0 AS p50,
-        |       sorted[CAST(ceil(0.95 * n_sample) AS INTEGER)] / 100.0 AS p95
-        |FROM g""".stripMargin,
+    // q33: the identical deterministic sample (bottom-sampleK by md5
+    // key per group) and the identical disc-percentile arithmetic over
+    // integer cents — value-exact on both sides; gate-checked at the
+    // default AND a second dial (the round-11 _dial2 convention)
+    "q33_sampled_percentiles" -> sampledPercentilesSql(500),
+    "q33_sampled_percentiles_dial2" -> sampledPercentilesSql(137),
   )
+
+  private def sampledPercentilesSql(sampleK: Int): String =
+    s"""WITH s AS (
+       |  SELECT o_orderstatus, o_orderkey,
+       |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+       |         md5(CAST(o_orderkey AS VARCHAR)) AS rk_key
+       |  FROM orders),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+       |                               ORDER BY rk_key, o_orderkey) AS rk
+       |  FROM s),
+       |g AS (
+       |  SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_sample,
+       |         list(c ORDER BY c) AS sorted
+       |  FROM r WHERE rk <= $sampleK GROUP BY o_orderstatus)
+       |SELECT o_orderstatus, n_sample,
+       |       sorted[CAST(ceil(0.25 * n_sample) AS INTEGER)] / 100.0 AS p25,
+       |       sorted[CAST(ceil(0.5 * n_sample) AS INTEGER)] / 100.0 AS p50,
+       |       sorted[CAST(ceil(0.95 * n_sample) AS INTEGER)] / 100.0 AS p95
+       |FROM g""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_trademark_stat" -> trademarkStat,
@@ -1150,5 +1154,6 @@ object GmallQueries {
     "q31_delta_agg" -> ((s, d) => deltaAgg(s, d)),
     "q32_temporal_join" -> temporalJoin,
     "q33_sampled_percentiles" -> ((s, d) => sampledPercentiles(s, d)),
+    "q33_sampled_percentiles_dial2" -> ((s, d) => sampledPercentiles(s, d, sampleK = 137)),
   )
 }

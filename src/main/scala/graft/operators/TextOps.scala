@@ -442,8 +442,9 @@ object TextOps {
     * and identical Gumbel keys; displayed values round to 6 dp. The
     * top-`budget` cut orders by the full-precision key (cross-engine
     * sum-order noise ~1e-12 vs continuous key spacing — the v7/t11
-    * float-ordering precedent). The DuckDB oracle hard-codes the
-    * defaults; non-default invocations are NOT gate-checked. */
+    * float-ordering precedent). Gate-checked at the defaults AND at a
+    * second dial (t30_dsir_sample_dial2: nBuckets=256, budget=50) via
+    * the parameterized [[dsirSampleSql]] builder. */
   def dsirSample(spark: SparkSession, dir: String,
                  targetSource: String = "src0",
                  nBuckets: Int = 1024, budget: Int = 100): DataFrame =
@@ -750,9 +751,9 @@ object TextOps {
     * (computed once, broadcast, then a narrow filter) is the scale
     * path — this is the exact variant.
     *
-    * The DuckDB oracle hard-codes the default `keepFrac = 0.5`; a
-    * non-default invocation is NOT gate-checked (same caveat as
-    * [[packSequences]]'s budget/nGroups and Dedup.exactSubstring's k). */
+    * Gate-checked at the default `keepFrac = 0.5` AND at a second dial
+    * (t15_quantile_filter_dial2: keepFrac = 0.3) via the parameterized
+    * [[quantileFilterSql]] builder. */
   def quantileFilter(spark: SparkSession, dir: String,
                      keepFrac: Double = 0.5): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -786,8 +787,9 @@ object TextOps {
     * group's prefix-sum is one partition-local scan after the keyed
     * shuffle.
     *
-    * The DuckDB oracle hard-codes the defaults `budget = 512`,
-    * `nGroups = 8`; non-default invocations are NOT gate-checked. */
+    * Gate-checked at the defaults `budget = 512`, `nGroups = 8` AND at
+    * a second dial (t16_pack_sequences_dial2: budget=128, nGroups=4)
+    * via the parameterized [[packSequencesSql]] builder. */
   def packSequences(spark: SparkSession, dir: String, budget: Int = 512,
                     nGroups: Int = 8): DataFrame =
     packSequencesOf(Tables.documents(spark, dir), budget, nGroups)
@@ -1352,24 +1354,33 @@ object TextOps {
     "t33_unigram_tokenize" -> ((s, d) => unigramTokenize(s, d)),
     "t26_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "t25_domain_mix" -> ((s, d) => domainMix(s, d)),
+    // _dial2 twins: same operator at a second, non-default dial, each
+    // paired with the parameterized SQL builder below — proves the dial
+    // actually flows through the plan instead of holding only at the
+    // defaults the original oracles froze
+    "t25_domain_mix_dial2" -> ((s, d) => domainMix(s, d, budget = 37)),
     "t24_ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),
     "t23_bm25" -> ((s, d) => bm25(s, d)),
     "t15_quantile_filter" -> ((s, d) => quantileFilter(s, d)),
+    "t15_quantile_filter_dial2" -> ((s, d) => quantileFilter(s, d, keepFrac = 0.3)),
     "t18_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "t19_unigram_logprob" -> unigramLogProb,
     "t22_bigram_logprob" -> bigramLogProb,
     "t29_nb_quality" -> ((s, d) => nbQuality(s, d)),
     "t30_dsir_sample" -> ((s, d) => dsirSample(s, d)),
+    "t30_dsir_sample_dial2" -> ((s, d) => dsirSample(s, d, nBuckets = 256, budget = 50)),
     "t31_gopher_fracs" -> ((s, d) => gopherNgramFracs(s, d)),
     "t20_dataset_card" -> datasetCard,
     // t21 is rows-only BY DESIGN: zlib byte counts are deterministic
     // but engine-specific (no DuckDB analog) — see compressionRatio
     "t21_compression_ratio" -> compressionRatio,
     "t16_pack_sequences" -> ((s, d) => packSequences(s, d)),
+    "t16_pack_sequences_dial2" -> ((s, d) => packSequences(s, d, budget = 128, nGroups = 4)),
     "t12_decontaminate" -> ((s, d) => decontaminate(s, d)),
     "t17_decontaminate_bloom" -> ((s, d) => decontaminateBloom(s, d)),
     "t13_boilerplate" -> ((s, d) => boilerplate(s, d)),
     "t14_stratified_sample" -> ((s, d) => stratifiedSample(s, d)),
+    "t14_stratified_sample_dial2" -> ((s, d) => stratifiedSample(s, d, quota = 7)),
     "t11_tfidf" -> ((s, d) => tfidf(s, d)),
     "t10_filter_decision" -> filterDecision,
     "t9_hash_split" -> hashSplit,
@@ -1429,6 +1440,125 @@ object TextOps {
        |                               FOR i IN range(0, GREATEST(LEN(t)-$k, 0) + 1)])) AS gram
        |  FROM toks)""".stripMargin
 
+  /** Parameterized oracle builders (round 11): each dial-bearing
+    * operator's SQL takes the dial as an argument, so the gate can
+    * check a SECOND, non-default dial (`*_dial2` entries) with the
+    * same text — hard-coded-default oracles only proved the operators
+    * at one point of their parameter space. */
+  private def domainMixSql(budget: Int): String =
+    s"""WITH mass AS (
+       |  SELECT source,
+       |         SUM(LEN(string_split_regex(TRIM(text), '\\s+'))) AS mass
+       |  FROM documents GROUP BY 1),
+       |w AS (
+       |  SELECT source,
+       |         CAST(FLOOR(SQRT(CAST(mass AS DOUBLE))) AS BIGINT) AS wt
+       |  FROM mass),
+       |q AS (
+       |  SELECT source, wt,
+       |         ($budget * wt) // CAST(SUM(wt) OVER () AS BIGINT) AS base,
+       |         ($budget * wt) % CAST(SUM(wt) OVER () AS BIGINT) AS rem
+       |  FROM w),
+       |q2 AS (
+       |  SELECT source, base, rem,
+       |         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rrank,
+       |         $budget - CAST(SUM(base) OVER () AS BIGINT) AS spill
+       |  FROM q),
+       |quota AS (
+       |  SELECT source,
+       |         base + CASE WHEN rrank <= spill THEN 1 ELSE 0 END AS quota
+       |  FROM q2),
+       |r AS (
+       |  SELECT doc_id, source,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |SELECT r.doc_id, r.source, r.rk, quota.quota
+       |FROM r JOIN quota USING (source)
+       |WHERE rk <= quota""".stripMargin
+
+  private def quantileFilterSql(keepFrac: Double): String = {
+    // decimal-space threshold, matching quantileFilter's BigDecimal
+    // arithmetic: both engines parse the same decimal literal into the
+    // same nearest double
+    val threshold = (BigDecimal(1) - BigDecimal(keepFrac.toString)).toString
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |         LEN(list_distinct(string_split_regex(TRIM(text), '\\s+')))
+       |           / CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS ttr
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, lang, ttr,
+       |         PERCENT_RANK() OVER (PARTITION BY lang
+       |                              ORDER BY ttr, doc_id) AS pr
+       |  FROM scored)
+       |SELECT doc_id, lang, ROUND(ttr, 6) AS ttr, ROUND(pr, 6) AS pr
+       |FROM ranked WHERE pr >= $threshold""".stripMargin
+  }
+
+  private def packSequencesSql(budget: Int, nGroups: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tokens,
+       |         md5(CAST(doc_id AS VARCHAR)) AS rk_key
+       |  FROM documents),
+       |g AS (
+       |  SELECT *, CAST(CAST('0x' || substr(rk_key, 1, 8) AS BIGINT) % $nGroups
+       |                 AS INTEGER) AS grp
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id, grp, n_tokens,
+       |         CAST(SUM(n_tokens) OVER (PARTITION BY grp
+       |                                  ORDER BY rk_key, doc_id
+       |                                  ROWS UNBOUNDED PRECEDING)
+       |              - n_tokens AS BIGINT) AS start_off
+       |  FROM g)
+       |SELECT doc_id, grp, n_tokens, start_off,
+       |       CAST(start_off // $budget AS INTEGER) AS bin
+       |FROM c""".stripMargin
+
+  private def stratifiedSampleSql(quota: Int): String =
+    s"""SELECT doc_id, lang, rk FROM (
+       |  SELECT doc_id, lang,
+       |         ROW_NUMBER() OVER (PARTITION BY lang
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $quota""".stripMargin
+
+  private def dsirSampleSql(nBuckets: Int, budget: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split_regex(TRIM(text), '\\s+') AS t
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, source,
+       |         UNNEST([array_to_string(t[i+1:i+2], ' ')
+       |                 FOR i IN range(0, GREATEST(LEN(t)-2, 0) + 1)]) AS bg
+       |  FROM toks),
+       |tf AS (
+       |  SELECT doc_id, source,
+       |         CAST(CAST('0x' || substr(md5(bg), 1, 8) AS BIGINT) % $nBuckets AS INTEGER) AS f,
+       |         COUNT(*) AS n
+       |  FROM bg GROUP BY 1, 2, 3),
+       |hist AS (
+       |  SELECT f,
+       |         CAST(SUM(CASE WHEN source = 'src0' THEN n ELSE 0 END) AS BIGINT) AS ct,
+       |         CAST(SUM(n) AS BIGINT) AS cr
+       |  FROM tf GROUP BY 1),
+       |tots AS (SELECT CAST(SUM(ct) AS BIGINT) AS tot_t,
+       |                CAST(SUM(cr) AS BIGINT) AS tot_r FROM hist),
+       |w AS (
+       |  SELECT tf.doc_id, CAST(SUM(tf.n) AS BIGINT) AS n_feats,
+       |         SUM(tf.n * (ln((hist.ct + 1) / CAST(tots.tot_t + $nBuckets AS DOUBLE))
+       |                   - ln((hist.cr + 1) / CAST(tots.tot_r + $nBuckets AS DOUBLE)))) AS log_w
+       |  FROM tf JOIN hist USING (f), tots GROUP BY tf.doc_id),
+       |keyed AS (
+       |  SELECT doc_id, n_feats, log_w,
+       |         log_w + (-ln(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
+       |                          / 4294967296.0))) AS key
+       |  FROM w)
+       |SELECT doc_id, n_feats, ROUND(log_w, 6) AS log_w, ROUND(key, 6) AS sample_key
+       |FROM keyed ORDER BY key DESC, doc_id LIMIT $budget""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // t26: lex leg = t23's BM25 CTEs verbatim (rank <= nLex); vec leg =
     // v11's double cosine; fusion arithmetic is 1/(60+rank) on exact
@@ -1481,37 +1611,12 @@ object TextOps {
     // t25: integer quota arithmetic reproduced verbatim (div/% on
     // BIGINT; window SUMs cast back down — DuckDB widens to HUGEINT);
     // token mass via t2's whitespace split, ranking via t14's md5
-    "t25_domain_mix" ->
-      """WITH mass AS (
-        |  SELECT source,
-        |         SUM(LEN(string_split_regex(TRIM(text), '\s+'))) AS mass
-        |  FROM documents GROUP BY 1),
-        |w AS (
-        |  SELECT source,
-        |         CAST(FLOOR(SQRT(CAST(mass AS DOUBLE))) AS BIGINT) AS wt
-        |  FROM mass),
-        |q AS (
-        |  SELECT source, wt,
-        |         (100 * wt) // CAST(SUM(wt) OVER () AS BIGINT) AS base,
-        |         (100 * wt) % CAST(SUM(wt) OVER () AS BIGINT) AS rem
-        |  FROM w),
-        |q2 AS (
-        |  SELECT source, base, rem,
-        |         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rrank,
-        |         100 - CAST(SUM(base) OVER () AS BIGINT) AS spill
-        |  FROM q),
-        |quota AS (
-        |  SELECT source,
-        |         base + CASE WHEN rrank <= spill THEN 1 ELSE 0 END AS quota
-        |  FROM q2),
-        |r AS (
-        |  SELECT doc_id, source,
-        |         ROW_NUMBER() OVER (PARTITION BY source
-        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        |  FROM documents)
-        |SELECT r.doc_id, r.source, r.rk, quota.quota
-        |FROM r JOIN quota USING (source)
-        |WHERE rk <= quota""".stripMargin,
+    "t25_domain_mix" -> domainMixSql(100),
+    // the _dial2 twins gate each parameterized operator at a SECOND,
+    // non-default dial (round-11 hardening: oracles previously held
+    // only at defaults) — same SQL builder, different substitution,
+    // so the dial truly flows through both engines
+    "t25_domain_mix_dial2" -> domainMixSql(37),
     // t24: same trigram construction as t5/t6's oracles (slice windows
     // over whitespace split); counts via FILTER so both engines emit
     // BIGINT (DuckDB's SUM(int) would widen to HUGEINT)
@@ -1615,39 +1720,8 @@ object TextOps {
         |  GROUP BY tf.doc_id)
         |SELECT doc_id, n_tokens, avg_logodds, avg_logodds > 0 AS keep
         |FROM scored""".stripMargin,
-    "t30_dsir_sample" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source, string_split_regex(TRIM(text), '\s+') AS t
-        |  FROM documents),
-        |bg AS (
-        |  SELECT doc_id, source,
-        |         UNNEST([array_to_string(t[i+1:i+2], ' ')
-        |                 FOR i IN range(0, GREATEST(LEN(t)-2, 0) + 1)]) AS bg
-        |  FROM toks),
-        |tf AS (
-        |  SELECT doc_id, source,
-        |         CAST(CAST('0x' || substr(md5(bg), 1, 8) AS BIGINT) % 1024 AS INTEGER) AS f,
-        |         COUNT(*) AS n
-        |  FROM bg GROUP BY 1, 2, 3),
-        |hist AS (
-        |  SELECT f,
-        |         CAST(SUM(CASE WHEN source = 'src0' THEN n ELSE 0 END) AS BIGINT) AS ct,
-        |         CAST(SUM(n) AS BIGINT) AS cr
-        |  FROM tf GROUP BY 1),
-        |tots AS (SELECT CAST(SUM(ct) AS BIGINT) AS tot_t,
-        |                CAST(SUM(cr) AS BIGINT) AS tot_r FROM hist),
-        |w AS (
-        |  SELECT tf.doc_id, CAST(SUM(tf.n) AS BIGINT) AS n_feats,
-        |         SUM(tf.n * (ln((hist.ct + 1) / CAST(tots.tot_t + 1024 AS DOUBLE))
-        |                   - ln((hist.cr + 1) / CAST(tots.tot_r + 1024 AS DOUBLE)))) AS log_w
-        |  FROM tf JOIN hist USING (f), tots GROUP BY tf.doc_id),
-        |keyed AS (
-        |  SELECT doc_id, n_feats, log_w,
-        |         log_w + (-ln(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5)
-        |                          / 4294967296.0))) AS key
-        |  FROM w)
-        |SELECT doc_id, n_feats, ROUND(log_w, 6) AS log_w, ROUND(key, 6) AS sample_key
-        |FROM keyed ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
+    "t30_dsir_sample" -> dsirSampleSql(1024, 100),
+    "t30_dsir_sample_dial2" -> dsirSampleSql(256, 50),
     "t31_gopher_fracs" ->
       """WITH toks AS (
         |  SELECT doc_id, LENGTH(text) AS n_chars,
@@ -1700,39 +1774,10 @@ object TextOps {
         |  FROM toks)
         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
         |FROM g GROUP BY gram HAVING COUNT(*) >= 5""".stripMargin,
-    "t15_quantile_filter" ->
-      """WITH scored AS (
-        |  SELECT doc_id, lang,
-        |         LEN(list_distinct(string_split_regex(TRIM(text), '\s+')))
-        |           / CAST(LEN(string_split_regex(TRIM(text), '\s+')) AS DOUBLE) AS ttr
-        |  FROM documents),
-        |ranked AS (
-        |  SELECT doc_id, lang, ttr,
-        |         PERCENT_RANK() OVER (PARTITION BY lang
-        |                              ORDER BY ttr, doc_id) AS pr
-        |  FROM scored)
-        |SELECT doc_id, lang, ROUND(ttr, 6) AS ttr, ROUND(pr, 6) AS pr
-        |FROM ranked WHERE pr >= 0.5""".stripMargin,
-    "t16_pack_sequences" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         LEN(string_split_regex(TRIM(text), '\s+')) AS n_tokens,
-        |         md5(CAST(doc_id AS VARCHAR)) AS rk_key
-        |  FROM documents),
-        |g AS (
-        |  SELECT *, CAST(CAST('0x' || substr(rk_key, 1, 8) AS BIGINT) % 8
-        |                 AS INTEGER) AS grp
-        |  FROM t),
-        |c AS (
-        |  SELECT doc_id, grp, n_tokens,
-        |         CAST(SUM(n_tokens) OVER (PARTITION BY grp
-        |                                  ORDER BY rk_key, doc_id
-        |                                  ROWS UNBOUNDED PRECEDING)
-        |              - n_tokens AS BIGINT) AS start_off
-        |  FROM g)
-        |SELECT doc_id, grp, n_tokens, start_off,
-        |       CAST(start_off // 512 AS INTEGER) AS bin
-        |FROM c""".stripMargin,
+    "t15_quantile_filter" -> quantileFilterSql(0.5),
+    "t15_quantile_filter_dial2" -> quantileFilterSql(0.3),
+    "t16_pack_sequences" -> packSequencesSql(512, 8),
+    "t16_pack_sequences_dial2" -> packSequencesSql(128, 4),
     "t12_decontaminate" -> decontaminateSql,
     // t17 is value-identical to t12 by construction (Bloom prune has
     // false positives only; the exact confirm join removes them) — the
@@ -1747,13 +1792,8 @@ object TextOps {
         |             / COUNT(*), 6) AS boiler_ratio
         |FROM g JOIN dfreq USING (gram)
         |GROUP BY g.doc_id""".stripMargin,
-    "t14_stratified_sample" ->
-      """SELECT doc_id, lang, rk FROM (
-        |  SELECT doc_id, lang,
-        |         ROW_NUMBER() OVER (PARTITION BY lang
-        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        |  FROM documents)
-        |WHERE rk <= 20""".stripMargin,
+    "t14_stratified_sample" -> stratifiedSampleSql(20),
+    "t14_stratified_sample_dial2" -> stratifiedSampleSql(7),
     "t11_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, UNNEST(string_split_regex(TRIM(text), '\s+')) AS tok
