@@ -13,7 +13,9 @@ import org.apache.spark.sql.types._
   * This environment has no Kafka broker, so the file variants below bind
   * the same pipelines to parquet streams: source = file stream over a
   * directory, sink = parquet partitioned by the fan-out column. The
-  * pipeline code is identical — only these edges differ.
+  * pipeline code is identical — only these edges differ; the swap is
+  * pinned executable by [[KafkaEdge]] + KafkaContractSpec (wire schema,
+  * adapters, option wiring, kafka-shaped MemoryStream parity).
   */
 object Runner {
 
