@@ -3,7 +3,7 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** The reference's LAYERED pipeline as one running topology — its real
@@ -91,18 +91,25 @@ object Topology {
     * committed a batch (else it would fall back to plain directory
     * listing and could observe in-progress files). `loadSkuDim` is
     * re-invoked every agg micro-batch — the reference's per-batch dim
-    * refresh (S5/J2). All triggers are ASAP (default) so drains are
-    * not paced by a processing-time trigger. */
+    * refresh (S5/J2). Triggers default to ASAP so drains are not paced
+    * by a processing-time trigger; `triggerInterval` (e.g. "5 seconds")
+    * switches every stage onto the reference's batch clock — the
+    * local[4] parity measurement (BASELINE.md's derived latency
+    * target) runs the chain under the reference's own
+    * `Seconds(5)`/local[4] envelope. */
   def start(spark: SparkSession, cdcDir: String, routedDir: String,
             wideDir: String, aggDir: String, ckptRoot: String,
-            loadSkuDim: () => DataFrame): Chain = {
+            loadSkuDim: () => DataFrame,
+            triggerInterval: Option[String] = None): Chain = {
     import spark.implicits._
-    val router = Pipelines.routeCdc(
+    def paced[T](w: org.apache.spark.sql.streaming.DataStreamWriter[T]) =
+      triggerInterval.fold(w)(i => w.trigger(Trigger.ProcessingTime(i)))
+    val router = paced(Pipelines.routeCdc(
       spark.readStream.schema(Runner.cdcSchema).json(cdcDir))
       .writeStream.outputMode("append").format("parquet")
       .partitionBy("topic")
       .option("path", routedDir)
-      .option("checkpointLocation", s"$ckptRoot/router")
+      .option("checkpointLocation", s"$ckptRoot/router"))
       .start()
     router.processAllAvailable() // commit sink metadata before stage 2 resolves
     val routedSchema = StructType(Seq(
@@ -117,14 +124,15 @@ object Topology {
       .select("o.*").as[OrderDetail]
     // state TTL off: the drive/bench drains must settle (a
     // ProcessingTimeTimeout schedules timeout-only batches forever)
-    val wide = Pipelines.apportion(Pipelines.orderWideJoin(oi, od), stateTtlMs = 0)
-      .writeStream.outputMode("append").format("parquet")
-      .option("path", wideDir)
-      .option("checkpointLocation", s"$ckptRoot/wide")
+    val wide = paced(
+      Pipelines.apportion(Pipelines.orderWideJoin(oi, od), stateTtlMs = 0)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", wideDir)
+        .option("checkpointLocation", s"$ckptRoot/wide"))
       .start()
     wide.processAllAvailable() // commit before stage 3 resolves
     val wideSchema = Encoders.product[OrderWideSplit].schema
-    val agg = spark.readStream.schema(wideSchema).parquet(wideDir)
+    val agg = paced(spark.readStream.schema(wideSchema).parquet(wideDir)
       .writeStream.outputMode("append")
       .option("checkpointLocation", s"$ckptRoot/agg")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -136,7 +144,7 @@ object Topology {
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(aggDir)
-      }
+      })
       .start()
     Chain(router, wide, agg)
   }

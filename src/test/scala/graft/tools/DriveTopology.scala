@@ -3,45 +3,109 @@ package graft.tools
 import graft.{GraftSession, Tables}
 import graft.streaming.Topology
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** End-to-end drive of the reference's LAYERED topology (router →
   * order-wide join+apportion → trademark stat) as three CONCURRENT
   * streaming queries chained through file edges in one session —
-  * `sbt "Test/runMain graft.tools.DriveTopology [sfDir]"`.
+  * `sbt "Test/runMain graft.tools.DriveTopology [sfDir] [triggerSec]"`.
   *
-  * The fixture is fed in two chunks — one before the topology starts,
-  * one while all three queries are running — so the mid-flight chunk
-  * exercises genuine multi-stage concurrent propagation, not a
-  * pre-staged batch. Exit 0 iff the chain's final trademark totals
-  * equal the BATCH trademark query (q1) over the same corpus, cent
-  * for cent.
+  * Default mode (no `triggerSec`): ASAP triggers, fixture fed in two
+  * chunks — one before the topology starts, one while all three
+  * queries are running — so the mid-flight chunk exercises genuine
+  * multi-stage concurrent propagation, not a pre-staged batch.
+  *
+  * Paced mode (`triggerSec` > 0): BASELINE.md's derived latency
+  * target made measurable — the reference runs every app on a
+  * `Seconds(5)` batch clock at `local[4]`, so run THIS chain on a
+  * processing-time trigger with the fixture arriving continuously
+  * (one slice per interval from a feeder thread, the Kafka-arrival
+  * shape) and report each stage's per-trigger `triggerExecution`
+  * wall against the interval budget: the engine keeps parity iff
+  * busy triggers finish inside the interval (DStream's
+  * batch-time < batch-interval stability condition). Run with
+  * SPARK_GRAFT_CPUS=4 for the reference's core count.
+  *
+  * Both modes exit 0 iff the chain's final trademark totals equal the
+  * BATCH trademark query (q1) over the same corpus, cent for cent —
+  * the latency report never trades away the correctness gate.
   */
 object DriveTopology {
+  private val nSlices = 12
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val triggerSec = if (args.length > 1) args(1).toInt else 0
     val spark = GraftSession.localStreaming("drive-topology")
     val root = java.nio.file.Files.createTempDirectory("graft-topo").toString
     val fixDir = s"$root/fixture"; val cdcDir = s"$root/cdc"
     val n = Topology.writeCdcFixture(spark, sfDir, fixDir)
     println(s"[topology] fixture: $n CDC lines from $sfDir")
-    // two-chunk feed: move half the fixture files in before start
     new java.io.File(cdcDir).mkdirs()
-    val files = new java.io.File(fixDir).listFiles()
+    def sliceFiles(dir: String) = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    require(files.length >= 2, s"fixture produced ${files.length} files; " +
-      "need >= 2 for the two-chunk feed")
-    val (first, second) = files.splitAt(files.length / 2)
     def feed(fs: Array[java.io.File]): Unit = fs.foreach { f =>
       java.nio.file.Files.move(f.toPath,
         java.nio.file.Paths.get(cdcDir, f.getName))
     }
-    feed(first)
-    val chain = Topology.start(spark, cdcDir,
-      s"$root/routed", s"$root/wide", s"$root/agg", s"$root/ckpt",
-      () => Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand")))
-    println("[topology] chunk 1 propagated; feeding chunk 2 mid-flight")
-    feed(second)
+
+    val trigger = if (triggerSec > 0) Some(s"$triggerSec seconds") else None
+    val chain =
+      if (triggerSec == 0) {
+        // two-chunk feed: move half the fixture files in before start
+        val files = sliceFiles(fixDir)
+        require(files.length >= 2, s"fixture produced ${files.length} files; " +
+          "need >= 2 for the two-chunk feed")
+        val (first, second) = files.splitAt(files.length / 2)
+        feed(first)
+        val c = Topology.start(spark, cdcDir,
+          s"$root/routed", s"$root/wide", s"$root/agg", s"$root/ckpt",
+          () => Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand")))
+        println("[topology] chunk 1 propagated; feeding chunk 2 mid-flight")
+        feed(second)
+        c
+      } else {
+        // paced: re-slice the fixture TIME-MONOTONICALLY so one slice
+        // arrives per interval — the ordered-Kafka arrival shape. A
+        // shuffle-order slicing would scramble event time across
+        // batches and the watermark would (correctly) drop the
+        // stragglers; in-order arrival means the 20 s skew window only
+        // has to absorb intra-batch disorder, which is the deployment
+        // assumption the reference's 20 s sliding window makes too.
+        val sliceDir = s"$root/slices"
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
+        spark.read.text(fixDir)
+          .withColumn("ts", get_json_object(col("value"), "$.data.create_time"))
+          .withColumn("slice",
+            (((row_number().over(w) - 1) * nSlices) / n).cast("int"))
+          .select("value", "slice")
+          .write.partitionBy("slice").text(sliceDir)
+        // slice dirs reuse one task's part-file name — uniquify on move
+        val slices = (0 until nSlices).toArray.flatMap(i =>
+          sliceFiles(s"$sliceDir/slice=$i").map { f =>
+            val named = new java.io.File(f.getParent, s"s$i-${f.getName}")
+            java.nio.file.Files.move(f.toPath, named.toPath); named
+          })
+        println(s"[topology] paced: ${slices.length} slice files, one per " +
+          s"$triggerSec s (~${n / slices.length} lines each)")
+        feed(slices.take(1))
+        val c = Topology.start(spark, cdcDir,
+          s"$root/routed", s"$root/wide", s"$root/agg", s"$root/ckpt",
+          () => Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand")),
+          triggerInterval = trigger)
+        slices.drop(1).foreach { f =>
+          Thread.sleep(triggerSec * 1000L); feed(Array(f))
+        }
+        c
+      }
     chain.drain()
+    if (triggerSec > 0) {
+      // settle one more cycle so the tail batches' progress is recorded
+      Thread.sleep(triggerSec * 1000L); chain.drain()
+      report("router", chain.router, triggerSec)
+      report("wide", chain.wide, triggerSec)
+      report("agg", chain.agg, triggerSec)
+    }
     chain.stopAll()
     val got = Topology.trademarkTotals(spark, s"$root/agg")
     val want = graft.operators.GmallQueries.trademarkStat(spark, sfDir)
@@ -58,5 +122,19 @@ object DriveTopology {
       println("[topology] FAIL: totals diverge from the batch answer")
       spark.stop(); sys.exit(1)
     }
+  }
+
+  /** Per-stage trigger latency: busy triggers (numInputRows > 0) are
+    * the ones the budget constrains — idle ticks are bookkeeping. */
+  private def report(name: String, q: StreamingQuery, triggerSec: Int): Unit = {
+    val busy = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+    if (busy.isEmpty) { println(s"[latency] $name: no busy triggers recorded"); return }
+    val budget = triggerSec * 1000L
+    val over = busy.count(_ > budget)
+    println(f"[latency] $name%-6s busy_triggers=${busy.size}%3d " +
+      f"max=${busy.max}%5d ms  mean=${busy.sum / busy.size}%5d ms  " +
+      f"over_budget=$over (budget ${budget} ms)")
   }
 }
