@@ -633,10 +633,9 @@ object Bench {
       }
       intakeFixtureMemo.get
     }
-    def intakeRate(name: String)(
+    def intakeRate(name: String, fix: String)(
         start: (DataFrame, String, String, String) =>
           org.apache.spark.sql.streaming.StreamingQuery): Double = {
-      val fix = intakeFixture()
       val nDocs = spark.read.parquet(fix).count()
       val schema = spark.read.parquet(fix).schema
       guardedRate(name) { () =>
@@ -652,11 +651,35 @@ object Bench {
       }
     }
     val streamDedupIntakeRate: Double = streamSection("stream_dedup_intake") {
-      intakeRate("stream_dedup_intake")((ds, idx, out, ckpt) =>
+      intakeRate("stream_dedup_intake", intakeFixture())((ds, idx, out, ckpt) =>
         streaming.Runner.dedupIntakeQuery(spark, idx, ds, out, ckpt))
     }
     val streamCurateIntakeRate: Double = streamSection("stream_curate_intake") {
-      intakeRate("stream_curate_intake")((ds, idx, out, ckpt) =>
+      intakeRate("stream_curate_intake", intakeFixture())((ds, idx, out, ckpt) =>
+        streaming.Runner.curateIntakeQuery(spark, sfDir, idx, ds, out, ckpt))
+    }
+    // amortized intake (r10 verdict Next #7): the 4-file sf feed above
+    // measures the ~15-job/trigger FIXED-COST FLOOR (1,250 docs per
+    // trigger at sf0.1); production batches are bigger, and the
+    // TimeCurateIntake study showed docs/s rising with batch size until
+    // stage work dominates. Carry that amortized point on the artifact:
+    // ONE 20 k-doc trigger over the SyntheticDocs corpus (distinct
+    // ~40-token docs, ~2% near-dups — replicating the 5 000 testdata
+    // docs would drown the dup path with exact copies). Models and
+    // eval-dicts still build from sfDir inside the timed window, the
+    // honest single-feed convention shared with the lines above.
+    val intake20kFixtureMemo = new java.util.concurrent.atomic.AtomicReference[String]()
+    def intake20kFixture(): String = {
+      if (intake20kFixtureMemo.get == null) {
+        val d = java.nio.file.Files.createTempDirectory("graft-bench-intake20k").toString
+        sources.SyntheticDocs.corpus(spark, 20000L).coalesce(1)
+          .write.mode("overwrite").parquet(d)
+        intake20kFixtureMemo.set(d)
+      }
+      intake20kFixtureMemo.get
+    }
+    val streamCurateIntake20kRate: Double = streamSection("stream_curate_intake_20k") {
+      intakeRate("stream_curate_intake_20k", intake20kFixture())((ds, idx, out, ckpt) =>
         streaming.Runner.curateIntakeQuery(spark, sfDir, idx, ds, out, ckpt))
     }
     // second anchor: sustained load that began after the first
@@ -707,7 +730,8 @@ object Bench {
       "stream_topology" -> streamTopologyRate,
       "stream_heavy_hitters_rocksdb" -> streamHhRate,
       "stream_dedup_intake" -> streamDedupIntakeRate,
-      "stream_curate_intake" -> streamCurateIntakeRate)
+      "stream_curate_intake" -> streamCurateIntakeRate,
+      "stream_curate_intake_20k" -> streamCurateIntake20kRate)
       .map { case (n, r) => s""""${n}_rows_per_calib":${streamNorm(n, r)}""" }
       .mkString(",")
     val streamCalibsJson = streamCalibs
@@ -732,6 +756,7 @@ object Bench {
       s""""stream_heavy_hitters_rocksdb_rows_per_sec":${streamHhRate.toLong},""" +
       s""""stream_dedup_intake_rows_per_sec":${streamDedupIntakeRate.toLong},""" +
       s""""stream_curate_intake_rows_per_sec":${streamCurateIntakeRate.toLong},""" +
+      s""""stream_curate_intake_20k_rows_per_sec":${streamCurateIntake20kRate.toLong},""" +
       streamNormJson + "," +
       s""""stream_calibs":$streamCalibsJson,""" +
       s""""calib_sec":$calibSec,"calib_end_sec":$calibEndSec,""" +

@@ -27,24 +27,13 @@ import org.apache.spark.sql.functions._
   * (default ladder 1e5 1e6 1e7; `sweep:1000000` also builds
   * shards=16/256 variants at that rung) */
 object DriveDedupScale {
-  /** ~40 tokens: 38 from the doc's TEMPLATE (its own id, except every
-    * 50th doc, which borrows its predecessor's — the near-dup pair)
-    * plus 2 per-doc tokens, so pairs land at J ≈ 38/42 ≈ 0.9. Pure
-    * column arithmetic — deterministic, reusable (TimeCurateIntake's
-    * scaled feeds use the same corpus shape). */
-  def docText(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val base = when(pmod(idCol, lit(50L)) === 0 && idCol > 0, idCol - 1)
-      .otherwise(idCol)
-    val tmpl = transform(sequence(lit(0), lit(37)),
-      i => concat(lit("w"), pmod(xxhash64(base, i), lit(50000L))))
-    val own = transform(sequence(lit(38), lit(39)),
-      i => concat(lit("u"), pmod(xxhash64(idCol, i, lit(7L)), lit(1000000000L))))
-    array_join(concat(tmpl, own), " ")
-  }
+  // the corpus generator lives in main scope (graft.sources
+  // .SyntheticDocs) so Bench's amortized intake line shares it
+  def docText(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.sources.SyntheticDocs.docText(idCol)
 
-  /** The synthetic (doc_id, text) corpus: n docs, ~2% near-dup pairs. */
   def syntheticDocs(spark: org.apache.spark.sql.SparkSession, n: Long): DataFrame =
-    spark.range(n).select(col("id").as("doc_id"), docText(col("id")).as("text"))
+    graft.sources.SyntheticDocs.corpus(spark, n)
 
   def main(args: Array[String]): Unit = {
     val ladder: Seq[Long] =
