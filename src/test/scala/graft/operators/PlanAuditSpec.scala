@@ -60,8 +60,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     "t19_unigram_logprob" -> 1, "t22_bigram_logprob" -> 1,
     "t23_bm25" -> 1, "t26_hybrid_rrf" -> 2,
     // t29's (tot_p, tot_n, vocab) / t30's (tot_t, tot_r) one-row
-    // model-totals relations
+    // model-totals relations; the _dial2 twin is the same plan at a
+    // different substitution, so it carries the same license
     "t29_nb_quality" -> 1, "t30_dsir_sample" -> 1,
+    "t30_dsir_sample_dial2" -> 1,
     // q34 composes t29 AND t30, inheriting exactly their two one-row
     // scalar broadcasts (classifier totals + DSIR totals)
     "q34_curate_llm" -> 2,
