@@ -768,7 +768,14 @@ object Dedup {
     * key itself, so the first candidate row raises before the fan-out
     * aggregates anything. The refusal costs one narrow source-column
     * scan inside the failing job; the admitted path pays the same
-    * one-row broadcast the other scalar-guard operators do. */
+    * one-row broadcast the other scalar-guard operators do.
+    *
+    * One deliberate consequence of the guard being per-row: a corpus
+    * yielding ZERO grams (every doc shorter than k tokens) returns
+    * empty without evaluating the guard, even past `maxSources` — the
+    * guarded S² fan-out is vacuous with no grams, so there is nothing
+    * to refuse; the refusal exists to stop a SHUFFLE, not to validate
+    * the source column in the abstract. */
   def sourceOverlap(spark: SparkSession, dir: String, k: Int = 3,
                     maxSources: Int = 10000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -951,36 +958,62 @@ object Dedup {
     * create-or-match guard saw no `_meta.json`, "created" one from the
     * restarted stream's dials, and silently bypassed the dial-mismatch
     * check it exists for (new banding over old buckets = silent recall
-    * loss). So every meta read/exists check funnels through here: a
-    * legacy file migrates in place (the body is byte-compatible), and
-    * both layouts present at once is refused as ambiguous. */
+    * loss). So every meta read funnels through [[readDedupMeta]] (which
+    * READS the legacy file in place — serve paths must not mutate the
+    * index directory: a rename on every read fails outright on
+    * read-only index storage, and two concurrent serves can race the
+    * move) and every append-path exists check through
+    * [[dedupMetaExists]], which performs the rename — append already
+    * mutates the index, so the migration rides the first write. Both
+    * layouts present at once is refused as ambiguous either way. */
   private def migrateLegacyMeta(indexPath: String): Unit = {
+    refuseBothMetaLayouts(indexPath)
     val legacy = java.nio.file.Paths.get(s"$indexPath/meta.json")
-    if (java.nio.file.Files.exists(legacy)) {
-      val current = java.nio.file.Paths.get(
-        s"$indexPath/${graft.sources.IndexMeta.fileName}")
-      require(!java.nio.file.Files.exists(current),
-        s"$indexPath has BOTH meta.json (legacy) and " +
-          s"${graft.sources.IndexMeta.fileName} — ambiguous dials; delete " +
-          "the stale one (they should be byte-identical if this index " +
-          "was migrated and then appended by a newer build)")
-      java.nio.file.Files.move(legacy, current)
-    }
+    if (java.nio.file.Files.exists(legacy))
+      java.nio.file.Files.move(legacy, java.nio.file.Paths.get(
+        s"$indexPath/${graft.sources.IndexMeta.fileName}"))
+  }
+
+  private def refuseBothMetaLayouts(indexPath: String): Unit = {
+    val legacy = java.nio.file.Paths.get(s"$indexPath/meta.json")
+    val current = java.nio.file.Paths.get(
+      s"$indexPath/${graft.sources.IndexMeta.fileName}")
+    require(!(java.nio.file.Files.exists(legacy) &&
+        java.nio.file.Files.exists(current)),
+      s"$indexPath has BOTH meta.json (legacy) and " +
+        s"${graft.sources.IndexMeta.fileName} — ambiguous dials; delete " +
+        "the stale one (they should be byte-identical if this index " +
+        "was migrated and then appended by a newer build)")
   }
 
   /** [[graft.sources.IndexMeta.exists]] with the legacy-layout
     * migration applied first — the ONLY exists check append paths may
     * use (a bare exists on an un-migrated index would "create" fresh
-    * dials over old buckets). */
+    * dials over old buckets). Write paths only: this RENAMES the
+    * legacy file. */
   private def dedupMetaExists(indexPath: String): Boolean = {
     migrateLegacyMeta(indexPath)
     graft.sources.IndexMeta.exists(indexPath)
   }
 
+  /** Read the index dials — read-only (serve paths call this): a
+    * legacy `meta.json` is read IN PLACE (the body is byte-compatible),
+    * never renamed. A lost race with a concurrent append's migration
+    * (legacy vanishes between the exists and the read) falls back to
+    * the migrated name — the bytes are identical under either. */
   private[graft] def readDedupMeta(indexPath: String): (Int, Int, Int) = {
     import graft.sources.IndexMeta.intField
-    migrateLegacyMeta(indexPath)
-    val s = graft.sources.IndexMeta.readRaw(indexPath, "writeDedupIndex")
+    refuseBothMetaLayouts(indexPath)
+    val legacy = java.nio.file.Paths.get(s"$indexPath/meta.json")
+    val s =
+      try {
+        if (java.nio.file.Files.exists(legacy))
+          new String(java.nio.file.Files.readAllBytes(legacy), "UTF-8")
+        else graft.sources.IndexMeta.readRaw(indexPath, "writeDedupIndex")
+      } catch {
+        case _: java.nio.file.NoSuchFileException =>
+          graft.sources.IndexMeta.readRaw(indexPath, "writeDedupIndex")
+      }
     (intField(s, "numHashes"), intField(s, "bands"), intField(s, "shards"))
   }
 
@@ -1068,6 +1101,7 @@ object Dedup {
     * so later batches dedup against everything accepted so far. */
   def appendDedupIndex(spark: SparkSession, indexPath: String,
                        newDocs: DataFrame): Unit = {
+    migrateLegacyMeta(indexPath) // append mutates anyway — migrate here
     val (numHashes, bands, shards) = readDedupMeta(indexPath)
     val docs = withShingleHashes(newDocs, "text")
       .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))

@@ -140,11 +140,16 @@ class DedupServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("dial mismatch"))
   }
 
-  test("a legacy meta.json index migrates: serve reads it, append keeps its dials") {
+  test("a legacy meta.json index migrates: serve reads it IN PLACE, " +
+      "append migrates and keeps its dials") {
     // rounds ≤ 9 wrote the same JSON body under meta.json; the rename
     // to _meta.json must not strand old indexes — and critically must
     // not let appendDedupIndexBatch's create-or-match guard "create"
-    // fresh dials over legacy buckets (silent banding corruption)
+    // fresh dials over legacy buckets (silent banding corruption).
+    // Serve is READ-ONLY: it reads the legacy file where it lies (a
+    // rename-on-read fails on read-only index storage and races
+    // concurrent serves); only append paths — which already mutate the
+    // index — perform the rename.
     val idx = tmp("graft-dedup-legacy")
     Dedup.writeDedupIndex(spark, sf, idx, numHashes = 32, bands = 8)
     java.nio.file.Files.move(
@@ -152,11 +157,26 @@ class DedupServeSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.nio.file.Paths.get(s"$idx/meta.json")) // forge the old layout
     val batch = graft.Tables.documents(spark, sf)
       .filter(col("doc_id") === 0).select(col("doc_id"), col("text"))
-    Dedup.dedupServeBatch(spark, idx, batch).collect() // migrates + serves
+    Dedup.dedupServeBatch(spark, idx, batch).collect() // serves in place
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/_meta.json")),
+      "serve is read-only and must NOT rename the legacy meta")
     assert(java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$idx/_meta.json")), "legacy meta not migrated")
+      java.nio.file.Paths.get(s"$idx/meta.json")))
     assert(Dedup.readDedupMeta(idx) === ((32, 8, 64)))
-    // the maintained-batch guard must SEE the migrated dials: an append
+    // append MAY mutate — it migrates the meta as part of its write
+    val clone = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === 0)
+      .select(lit(910000L).as("doc_id"), col("text"))
+    Dedup.appendDedupIndex(spark, idx, clone)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/_meta.json")),
+      "append should migrate the legacy meta")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/meta.json")))
+    assert(Dedup.readDedupMeta(idx) === ((32, 8, 64)),
+      "migrated dials must be the legacy ones, not append defaults")
+    // the maintained-batch guard must SEE the legacy dials: an append
     // under different dials refuses instead of overwriting the meta
     val legacy2 = tmp("graft-dedup-legacy2")
     Dedup.writeDedupIndex(spark, sf, legacy2, numHashes = 32, bands = 8)
