@@ -143,6 +143,62 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("not hnsw_sharded"))
   }
 
+  test("sharded serve: repeat call serves from executor-resident shard " +
+      "graphs (zero reloads) and returns identical rows") {
+    // the serving-tier steady state: the first call loads + caches one
+    // graph per shard (keyed by the shard partition's content stamp);
+    // a repeat call must walk memory — no parquet read, no rebuild
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-resident").toString
+    Hnsw.writeHnswIndexSharded(spark, sf, idx, nShards = 4)
+    Hnsw.ShardGraphCache.invalidate()
+    Hnsw.invalidateDriftChecks()
+    val first = rows(Hnsw.annHnswServeSharded(spark, sf, idx, efSearch = 64))
+    val loadsAfterFirst = Hnsw.ShardGraphCache.loadCount
+    assert(Hnsw.ShardGraphCache.residentShards(idx) == Set(0, 1, 2, 3),
+      "first serve should leave all 4 shard graphs resident")
+    val second = rows(Hnsw.annHnswServeSharded(spark, sf, idx, efSearch = 64))
+    assert(second == first)
+    assert(Hnsw.ShardGraphCache.loadCount == loadsAfterFirst,
+      "repeat serve must not reload any shard from parquet")
+  }
+
+  test("sharded append invalidates EXACTLY the touched shard's residency; " +
+      "untouched shards keep serving from memory") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val base = forgeCorpus(col("vec_id") < 100)
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-res-app").toString
+    Hnsw.writeHnswIndexSharded(spark, base, idx, nShards = 4)
+    Hnsw.ShardGraphCache.invalidate()
+    Hnsw.invalidateDriftChecks()
+    Hnsw.annHnswServeSharded(spark, base, idx).count() // populate residency
+    val loads0 = Hnsw.ShardGraphCache.loadCount
+    // additions all ≡ 0 (mod 4): append rewrites shard 0 only
+    val grown = forgeCorpus(col("vec_id") < 100 ||
+      (col("vec_id") < 160 && pmod(col("vec_id"), lit(4)) === 0))
+    assert(Hnsw.appendHnswIndexSharded(spark, grown, idx) == 15L)
+    val served = rows(Hnsw.annHnswServeSharded(spark, grown, idx, efSearch = 256))
+    assert(served == rows(Similarity.annBruteForce(spark, grown)),
+      "post-append serve must see the appended vectors (stale residency would miss them)")
+    assert(Hnsw.ShardGraphCache.loadCount == loads0 + 1,
+      "only the rewritten shard (new content stamp) may reload; " +
+        s"got ${Hnsw.ShardGraphCache.loadCount - loads0} reloads")
+  }
+
+  test("an index REWRITTEN at the same path is never served stale — " +
+      "content stamps, not paths, key residency") {
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-rewrite").toString
+    Hnsw.writeHnswIndexSharded(spark, sf, idx, nShards = 4)
+    Hnsw.ShardGraphCache.invalidate()
+    Hnsw.invalidateDriftChecks()
+    Hnsw.annHnswServeSharded(spark, sf, idx).count() // resident @ 4 shards
+    // overwrite IN PLACE with a different shard count (a re-shard —
+    // the operational event a path-keyed cache would serve stale)
+    Hnsw.writeHnswIndexSharded(spark, sf, idx, nShards = 2)
+    val served = rows(Hnsw.annHnswServeSharded(spark, sf, idx, efSearch = 256))
+    assert(served == rows(Similarity.annBruteForce(spark, sf)),
+      "serve after an in-place rewrite must reflect the new index")
+  }
+
   test("serve refuses corpus/index drift in BOTH directions, loudly") {
     // the graph stores vec_ids; vectors come from the corpus relation.
     // Drift either way is silent recall loss (an indexed id with no
