@@ -583,8 +583,9 @@ object Dedup {
     * xxhash64 the gram strings to shrink shuffle keys (as d3 does) —
     * strings keep this under the DuckDB value gate.
     *
-    * The DuckDB oracle hard-codes the default `k = 8`; non-default
-    * invocations are NOT gate-checked. */
+    * Gate-checked at the default `k = 8` AND at k = 5
+    * (d11_exact_substring_dial2) via the parameterized oracle builder
+    * `exactSubstringSql`. */
   def exactSubstring(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
     exactSubstringOn(Tables.documents(spark, dir), k)
 
@@ -692,8 +693,9 @@ object Dedup {
     * joins, with the only shuffle being the candidate `distinct`
     * (bounded by prefix collisions, not corpus size).
     *
-    * The DuckDB oracle hard-codes the defaults `evalN = 50`,
-    * `minJ = lshMinJ`; non-default invocations are NOT gate-checked. */
+    * Gate-checked at the defaults (evalN = 50, minJ = lshMinJ) AND at
+    * (30, 0.5) (d12_fuzzy_decontaminate_dial2) via the parameterized
+    * oracle builder `fuzzyDecontaminateSql`. */
   def fuzzyDecontaminate(spark: SparkSession, dir: String, evalN: Long = 50,
                          minJ: Double = lshMinJ): DataFrame = {
     require(minJ > 0 && minJ <= 1, s"minJ must be in (0, 1], got $minJ")
@@ -1193,7 +1195,13 @@ object Dedup {
     "d14_leakage_safe_split" -> ((s, d) => leakageSafeSplit(s, d)),
     "d13_source_overlap" -> ((s, d) => sourceOverlap(s, d)),
     "d12_fuzzy_decontaminate" -> ((s, d) => fuzzyDecontaminate(s, d)),
+    // _dial2 twins (the TextOps round-11 convention): the same operator
+    // at a second, non-default dial, gated by the parameterized oracle
+    // builders — proves k/evalN/minJ flow through the plan
+    "d12_fuzzy_decontaminate_dial2" ->
+      ((s, d) => fuzzyDecontaminate(s, d, evalN = 30, minJ = 0.5)),
     "d11_exact_substring" -> ((s, d) => exactSubstring(s, d)),
+    "d11_exact_substring_dial2" -> ((s, d) => exactSubstring(s, d, k = 5)),
     "d16_span_dedup" -> ((s, d) => spanDedup(s, d)),
     "d7_near_dup_clusters" -> ((s, d) => nearDupClusters(s, d)),
     "d8_keep_best" -> ((s, d) => keepBest(s, d)),
@@ -1247,6 +1255,56 @@ object Dedup {
   /** Shared SQL prefix for d7/d8: shingle → pair → symmetric edge list →
     * transitive closure → min-label clusters (recursive CTE — the
     * oracle-side equivalent of the label-propagation fixpoint). */
+  /** d11's oracle, parameterized by the window length `k` (the round-11
+    * dial2 convention — TextOps.scala's parameterized-builder pattern):
+    * the gate checks a second, non-default k, so the dial provably
+    * flows through both engines instead of holding only at the frozen
+    * default. */
+  private def exactSubstringSql(k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t FROM documents),
+       |w AS (
+       |  SELECT doc_id, UNNEST([array_to_string(t[i+1:i+$k], ' ')
+       |                         FOR i IN range(0, GREATEST(LEN(t)-$k, 0) + 1)]) AS gram
+       |  FROM toks),
+       |dg AS (
+       |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM w)
+       |  GROUP BY gram HAVING COUNT(*) >= 2)
+       |SELECT w.doc_id, COUNT(*) AS n_windows,
+       |       CAST(SUM(CASE WHEN dg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |       ROUND(SUM(CASE WHEN dg.gram IS NOT NULL THEN 1 ELSE 0 END)
+       |             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+       |FROM w LEFT JOIN dg ON w.gram = dg.gram
+       |GROUP BY w.doc_id""".stripMargin
+
+  /** d12's oracle, parameterized by (evalN, minJ) — same convention.
+    * Valid at ANY minJ: d12's prefix filter + exact verify carry no
+    * recall precondition (unlike d3's banding), so a second threshold
+    * checks the Spark plan's filter/prefix arithmetic, not a
+    * probabilistic recall claim. */
+  private def fuzzyDecontaminateSql(evalN: Long, minJ: Double): String =
+    s"""WITH $shingleCte,
+       |inv AS (
+       |  SELECT doc_id, LEN(shingles) AS n_sh, UNNEST(shingles) AS s FROM sh),
+       |cp AS (
+       |  SELECT t.doc_id AS doc_id, e.doc_id AS id_eval,
+       |         e.n_sh AS n_e, t.n_sh AS n_t, COUNT(*) AS n_common
+       |  FROM inv e JOIN inv t ON e.s = t.s
+       |  WHERE e.doc_id < $evalN AND t.doc_id >= $evalN
+       |  GROUP BY 1,2,3,4),
+       |m AS (
+       |  SELECT doc_id, id_eval,
+       |         n_common / CAST(n_e + n_t - n_common AS DOUBLE) AS jaccard
+       |  FROM cp
+       |  WHERE n_common / CAST(n_e + n_t - n_common AS DOUBLE) >= $minJ),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                               ORDER BY jaccard DESC, id_eval) AS rn
+       |  FROM m)
+       |SELECT doc_id, COUNT(*) AS n_eval_matches, MAX(jaccard) AS max_jaccard,
+       |       MIN(CASE WHEN rn = 1 THEN id_eval END) AS best_eval_id
+       |FROM r GROUP BY doc_id""".stripMargin
+
   private def clustersSqlPrefix: String =
     s"""WITH RECURSIVE $shingleCte,
        |$pairsCte,
@@ -1316,44 +1374,10 @@ object Dedup {
         |FROM inter
         |JOIN sizes sa ON sa.source = source_a
         |JOIN sizes sb ON sb.source = source_b""".stripMargin,
-    "d12_fuzzy_decontaminate" ->
-      s"""WITH $shingleCte,
-         |inv AS (
-         |  SELECT doc_id, LEN(shingles) AS n_sh, UNNEST(shingles) AS s FROM sh),
-         |cp AS (
-         |  SELECT t.doc_id AS doc_id, e.doc_id AS id_eval,
-         |         e.n_sh AS n_e, t.n_sh AS n_t, COUNT(*) AS n_common
-         |  FROM inv e JOIN inv t ON e.s = t.s
-         |  WHERE e.doc_id < 50 AND t.doc_id >= 50
-         |  GROUP BY 1,2,3,4),
-         |m AS (
-         |  SELECT doc_id, id_eval,
-         |         n_common / CAST(n_e + n_t - n_common AS DOUBLE) AS jaccard
-         |  FROM cp
-         |  WHERE n_common / CAST(n_e + n_t - n_common AS DOUBLE) >= $lshMinJ),
-         |r AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-         |                               ORDER BY jaccard DESC, id_eval) AS rn
-         |  FROM m)
-         |SELECT doc_id, COUNT(*) AS n_eval_matches, MAX(jaccard) AS max_jaccard,
-         |       MIN(CASE WHEN rn = 1 THEN id_eval END) AS best_eval_id
-         |FROM r GROUP BY doc_id""".stripMargin,
-    "d11_exact_substring" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),
-        |w AS (
-        |  SELECT doc_id, UNNEST([array_to_string(t[i+1:i+8], ' ')
-        |                         FOR i IN range(0, GREATEST(LEN(t)-8, 0) + 1)]) AS gram
-        |  FROM toks),
-        |dg AS (
-        |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM w)
-        |  GROUP BY gram HAVING COUNT(*) >= 2)
-        |SELECT w.doc_id, COUNT(*) AS n_windows,
-        |       CAST(SUM(CASE WHEN dg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-        |       ROUND(SUM(CASE WHEN dg.gram IS NOT NULL THEN 1 ELSE 0 END)
-        |             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
-        |FROM w LEFT JOIN dg ON w.gram = dg.gram
-        |GROUP BY w.doc_id""".stripMargin,
+    "d12_fuzzy_decontaminate" -> fuzzyDecontaminateSql(50, lshMinJ),
+    "d12_fuzzy_decontaminate_dial2" -> fuzzyDecontaminateSql(30, 0.5),
+    "d11_exact_substring" -> exactSubstringSql(8),
+    "d11_exact_substring_dial2" -> exactSubstringSql(5),
     "d16_span_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),

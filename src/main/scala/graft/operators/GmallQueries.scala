@@ -434,18 +434,24 @@ object GmallQueries {
 
   /** q26: assign every event to its containing session — a keyed
     * point-in-interval join through [[Ranges.pointInIntervalJoin]]'s
-    * binning rewrite (one shuffle equi-join on (user_id, hour-bin);
+    * binning rewrite (one shuffle equi-join on (user_id, time-bin);
     * Spark's native plan for the range predicate would cross-product
     * each user's events × sessions). Sessions come from [[sessionize]],
     * so the oracle reuses q17's gaps-and-islands CTE and checks the
-    * containment join directly. */
-  def eventSessionJoin(spark: SparkSession, dir: String): DataFrame = {
+    * containment join directly. `binSeconds` is a PLAN dial, not a
+    * semantic one — the rewrite's output is bin-width-invariant — so
+    * its dial2 twin (binSeconds = 137) gates against the SAME oracle:
+    * what it proves is that an arbitrary bin width still reproduces
+    * the exact containment join (the explode arithmetic, not a lucky
+    * alignment of the hour grid). */
+  def eventSessionJoin(spark: SparkSession, dir: String,
+                       binSeconds: Long = 3600L): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts"))
     val sess = sessionize(spark, dir)
       .select(col("user_id"), col("session_start"), col("session_end"))
     Ranges.pointInIntervalJoin(ev, sess, Seq("user_id"),
-        "ts", "session_start", "session_end")
+        "ts", "session_start", "session_end", binSeconds = binSeconds)
       .select(col("user_id"), col("event_id"), col("ts"), col("session_start"))
   }
 
@@ -827,6 +833,14 @@ object GmallQueries {
          |FROM events e JOIN sessions s
          |  ON e.user_id = s.user_id
          | AND e.ts >= s.session_start AND e.ts <= s.session_end""".stripMargin,
+    // binSeconds is a plan dial with bin-width-invariant output — the
+    // dial2 twin gates against the IDENTICAL containment-join oracle
+    "q26_event_session_join_dial2" ->
+      s"""WITH $sessionsCte
+         |SELECT e.user_id, e.event_id, e.ts, s.session_start
+         |FROM events e JOIN sessions s
+         |  ON e.user_id = s.user_id
+         | AND e.ts >= s.session_start AND e.ts <= s.session_end""".stripMargin,
     "q24_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS view_ts FROM events
@@ -1141,7 +1155,10 @@ object GmallQueries {
     "q22_dau_hll_portable" -> dauHllPortable,
     "q23_running_spend" -> runningSpend,
     "q17_sessionize" -> sessionize,
-    "q26_event_session_join" -> eventSessionJoin,
+    "q26_event_session_join" -> ((s, d) => eventSessionJoin(s, d)),
+    // bin-width-INVARIANCE twin: same oracle, non-grid-aligned bins
+    "q26_event_session_join_dial2" ->
+      ((s, d) => eventSessionJoin(s, d, binSeconds = 137L)),
     "q27_grouping_sets" -> groupingSetsStat,
     "q18_status_pivot" -> statusPivot,
     "q19_order_percentiles" -> orderPercentiles,

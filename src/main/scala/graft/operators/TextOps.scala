@@ -1364,6 +1364,7 @@ object TextOps {
     "t15_quantile_filter" -> ((s, d) => quantileFilter(s, d)),
     "t15_quantile_filter_dial2" -> ((s, d) => quantileFilter(s, d, keepFrac = 0.3)),
     "t18_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
+    "t18_heavy_hitters_dial2" -> ((s, d) => heavyHitters(s, d, k = 2, minCount = 9)),
     "t19_unigram_logprob" -> unigramLogProb,
     "t22_bigram_logprob" -> bigramLogProb,
     "t29_nb_quality" -> ((s, d) => nbQuality(s, d)),
@@ -1439,6 +1440,20 @@ object TextOps {
        |         UNNEST(list_distinct([array_to_string(t[i+1:i+$k], ' ')
        |                               FOR i IN range(0, GREATEST(LEN(t)-$k, 0) + 1)])) AS gram
        |  FROM toks)""".stripMargin
+
+  /** t18's oracle, parameterized by (k, minCount) — the exact
+    * recount-side semantics (the Misra-Gries sketch only PRUNES
+    * candidates; the reported counts are exact), so any dial pair is
+    * oracle-able. */
+  private def heavyHittersSql(k: Int, minCount: Long): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS t FROM documents),
+       |g AS (
+       |  SELECT UNNEST([array_to_string(t[i+1:i+$k], ' ')
+       |                 FOR i IN range(0, GREATEST(LEN(t)-$k, 0) + 1)]) AS gram
+       |  FROM toks)
+       |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM g GROUP BY gram HAVING COUNT(*) >= $minCount""".stripMargin
 
   /** Parameterized oracle builders (round 11): each dial-bearing
     * operator's SQL takes the dial as an argument, so the gate can
@@ -1765,15 +1780,8 @@ object TextOps {
         |             / SUM(bf.n), 6) AS avg_logprob
         |FROM bf JOIN m USING (bg) JOIN pf USING (prev), v
         |GROUP BY bf.doc_id""".stripMargin,
-    "t18_heavy_hitters" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS t FROM documents),
-        |g AS (
-        |  SELECT UNNEST([array_to_string(t[i+1:i+3], ' ')
-        |                 FOR i IN range(0, GREATEST(LEN(t)-3, 0) + 1)]) AS gram
-        |  FROM toks)
-        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
-        |FROM g GROUP BY gram HAVING COUNT(*) >= 5""".stripMargin,
+    "t18_heavy_hitters" -> heavyHittersSql(3, 5),
+    "t18_heavy_hitters_dial2" -> heavyHittersSql(2, 9),
     "t15_quantile_filter" -> quantileFilterSql(0.5),
     "t15_quantile_filter_dial2" -> quantileFilterSql(0.3),
     "t16_pack_sequences" -> packSequencesSql(512, 8),
