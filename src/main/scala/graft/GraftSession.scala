@@ -39,9 +39,24 @@ object GraftSession {
   def localStreaming(appName: String): SparkSession =
     localWith(appName, streamingTune)
 
+  /** [[localStreaming]] at an EXPLICIT core count (SPARK_GRAFT_CPUS is
+    * ignored) — the local[4] reference-parity sections. The caller must
+    * have stopped any prior session first (one SparkContext per JVM;
+    * getOrCreate would silently return a live session under the WRONG
+    * master otherwise). */
+  def localStreamingCpus(appName: String, cpus: Int): SparkSession = {
+    require(SparkSession.getActiveSession
+        .forall(_.sparkContext.isStopped),
+      "localStreamingCpus: a live SparkSession exists — stop it first " +
+        "(getOrCreate would reuse it under the wrong master)")
+    localWith(appName, streamingTune, cpus.toString)
+  }
+
   private def localWith(appName: String,
-      tuneFn: SparkSession.Builder => SparkSession.Builder): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      tuneFn: SparkSession.Builder => SparkSession.Builder,
+      cpusOverride: String = null): SparkSession = {
+    val cpus = Option(cpusOverride)
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val spark = tuneFn(SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)

@@ -187,7 +187,7 @@ object Curation {
     * [[curateLlm]] (which persists it across the funnel actions) and
     * [[curateLlmPacked]] (the gate form, which arms it) so the two can
     * never drift. */
-  private def llmCuratedDocs(spark: SparkSession, dir: String,
+  private[graft] def llmCuratedDocs(spark: SparkSession, dir: String,
                              evalN: Long): DataFrame = {
     val quality = TextOps.filterDecision(spark, dir)
       .filter(col("keep")).select(col("doc_id"))

@@ -157,4 +157,78 @@ object Topology {
     spark.read.parquet(aggDir)
       .groupBy(col("tm_name"))
       .agg(sum(col("amount_c")).as("amount_c"))
+
+  /** Busy-trigger latency of one paced parity run ([[pacedParity]]):
+    * max/mean `triggerExecution` over all BUSY triggers (numInputRows
+    * > 0 — idle ticks are bookkeeping) of all three stages, how many
+    * exceeded the trigger budget, and whether the chain's final totals
+    * passed the cent-for-cent gate (a latency number from a chain that
+    * got the answer wrong is not a parity result). */
+  final case class PacedParity(maxMs: Long, meanMs: Long, overBudget: Int,
+                               busyTriggers: Int, gatePass: Boolean)
+
+  /** The reference-envelope parity measurement (BASELINE.md's derived
+    * latency target), shared by Bench's `stream_topology_local4_*`
+    * fields and the manual `DriveTopology <sfDir> <triggerSec>` mode:
+    * the reference runs every app on a `Seconds(triggerSec)` batch
+    * clock at local[4], so drive THIS chain on a processing-time
+    * trigger with the fixture arriving continuously — one
+    * TIME-MONOTONIC slice per interval from the caller's thread, the
+    * ordered-Kafka arrival shape (shuffled slicing would scramble
+    * event time across batches and the watermark would correctly drop
+    * the stragglers) — and report each busy trigger's wall against the
+    * interval budget: parity holds iff busy triggers finish inside the
+    * interval (DStream's batch-time < batch-interval stability
+    * condition). Run on a session built with
+    * [[graft.GraftSession.localStreamingCpus]](…, 4) for the
+    * reference's core count. */
+  def pacedParity(spark: SparkSession, sfDir: String, triggerSec: Int,
+                  nSlices: Int = 12): PacedParity = {
+    val root = java.nio.file.Files.createTempDirectory("graft-paced").toString
+    val fixDir = s"$root/fixture"; val cdcDir = s"$root/cdc"
+    val n = writeCdcFixture(spark, sfDir, fixDir)
+    new java.io.File(cdcDir).mkdirs()
+    def sliceFiles(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    def feed(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(cdcDir, f.getName))
+    }
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"))
+    spark.read.text(fixDir)
+      .withColumn("ts", get_json_object(col("value"), "$.data.create_time"))
+      .withColumn("slice",
+        (((row_number().over(w) - 1) * nSlices) / n).cast("int"))
+      .select("value", "slice")
+      .write.partitionBy("slice").text(s"$root/slices")
+    // slice dirs reuse one task's part-file name — uniquify on move
+    val slices = (0 until nSlices).toArray.flatMap(i =>
+      sliceFiles(s"$root/slices/slice=$i").map { f =>
+        val named = new java.io.File(f.getParent, s"s$i-${f.getName}")
+        java.nio.file.Files.move(f.toPath, named.toPath); named
+      })
+    feed(slices.take(1))
+    val chain = start(spark, cdcDir,
+      s"$root/routed", s"$root/wide", s"$root/agg", s"$root/ckpt",
+      () => Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand")),
+      triggerInterval = Some(s"$triggerSec seconds"))
+    slices.drop(1).foreach { f =>
+      Thread.sleep(triggerSec * 1000L); feed(Array(f))
+    }
+    chain.drain()
+    // settle one more cycle so the tail batches' progress is recorded
+    Thread.sleep(triggerSec * 1000L); chain.drain()
+    val busy = Seq(chain.router, chain.wide, chain.agg).flatMap(q =>
+      q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong)))
+    chain.stopAll()
+    val got = trademarkTotals(spark, s"$root/agg")
+    val want = graft.operators.GmallQueries.trademarkStat(spark, sfDir)
+      .select(col("tm_name"), Tables.cents(col("amount")).as("amount_c"))
+    val gatePass = got.count() > 0 &&
+      want.exceptAll(got).count() == 0 && got.exceptAll(want).count() == 0
+    if (busy.isEmpty) PacedParity(-1, -1, -1, 0, gatePass)
+    else PacedParity(busy.max, busy.sum / busy.size,
+      busy.count(_ > triggerSec * 1000L), busy.size, gatePass)
+  }
 }
