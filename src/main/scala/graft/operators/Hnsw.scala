@@ -367,6 +367,35 @@ object Hnsw {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** The rescore tail for candidates that ARRIVE with their vectors
+    * (the sharded serve: [[searchShardWithVecs]] reads them off the
+    * resident graphs) — same `cosine` expression, same
+    * (cos desc, vec_id) window, same output shape as [[rescore]],
+    * minus the corpus join: the queries are a driver-local relation
+    * and the shortlist is dial-bounded (≤ nQueries × nShards ×
+    * efSearch rows), so a repeat serve's cost is INDEPENDENT of
+    * corpus size — no corpus scan, no stats-blind shortlist⋈corpus
+    * join (which Catalyst can only sort-merge: the shortlist comes
+    * off an RDD with no size statistics, so the old shape shuffled
+    * the whole corpus per call; at 1e7 that was ~2.5 s of the ~3 s
+    * resident-serve floor, SCALE.md). Values are identical: the
+    * index stores the corpus `embedding` floats verbatim. */
+  private def rescoreFromIndex(spark: SparkSession,
+                               qs: Array[(Long, Array[Float])],
+                               shortlist: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val qdf = spark.createDataset(qs.toSeq)
+      .toDF("query_id", "q_emb")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .join(broadcast(qdf), "query_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
   /** Shared by [[annHnsw]] and the at-rest serve path: search the
     * graph for the first `nQueries` corpus vectors, rescore in Spark. */
   private def shortlistRescore(spark: SparkSession, emb: DataFrame, g: Graph,
@@ -460,6 +489,21 @@ object Hnsw {
     qs.iterator.flatMap { case (qid, qv) =>
       search(g, qv, efSearch, visited).iterator
         .map { case (_, node) => (qid, g.ids(node)) }
+        .filter(_._2 != qid)
+    }
+  }
+
+  /** [[searchShard]] with each candidate's vector attached FROM THE
+    * GRAPH — the serving-tier map side: a sharded index is
+    * self-contained (level-0 rows carry the corpus vectors verbatim,
+    * [[ShardRow]]), so the resident graph can hand the rescore its
+    * inputs directly and the serve never joins back to the corpus. */
+  private def searchShardWithVecs(g: Graph, qs: Array[(Long, Array[Float])],
+                                  efSearch: Int): Iterator[(Long, Long, Array[Float])] = {
+    val visited = new java.util.BitSet(g.ids.length)
+    qs.iterator.flatMap { case (qid, qv) =>
+      search(g, qv, efSearch, visited).iterator
+        .map { case (_, node) => (qid, g.ids(node), g.vecs(node)) }
         .filter(_._2 != qid)
     }
   }
@@ -699,10 +743,15 @@ object Hnsw {
     * content stamp is the key), reads its own shard partition's
     * parquet directly ([[readShardRows]] — no DataFrame scan, no
     * shuffle of the graph relation, ever) and reconstructs once. The
-    * union shortlist gets the family's exact Spark rescore. The graph
-    * never exists on the driver; per-task memory is one shard; a
-    * repeat serve costs the walks + rescore only — measured at 1e6 it
-    * matches the single-graph memoized steady state (SCALE.md).
+    * union shortlist arrives WITH its vectors (the index is
+    * self-contained) and gets the family's exact Spark rescore
+    * without rejoining the corpus ([[rescoreFromIndex]]) — so a
+    * repeat serve costs the walks + a shortlist-bounded window only,
+    * independent of corpus size (SCALE.md prices the tiers). The
+    * graph never exists on the driver; per-task memory is one shard.
+    * Per-call corpus touches are exactly two bounded reads: the
+    * query collect (vec_id-pruned) and, once per index CONTENT
+    * stamp, the drift validation.
     * [[appendHnswIndexSharded]] rewrites only touched shards, so an
     * append invalidates exactly those shards' residency. */
   def annHnswServeSharded(spark: SparkSession, dir: String, indexPath: String,
@@ -756,17 +805,21 @@ object Hnsw {
     }
     // one element per partition ⇒ exactly one task per shard (the
     // fan-out layout residency assumes: shard s is always the whole
-    // unit of work, so its graph is resident wherever s last ran)
+    // unit of work, so its graph is resident wherever s last ran).
+    // Candidates carry their vectors off the resident graph
+    // ([[searchShardWithVecs]]): the rescore below never touches the
+    // corpus, so the serve's repeat cost is walks + a
+    // shortlist-bounded window, independent of corpus size.
     val shortlist = spark.sparkContext
       .parallelize(stamps, stamps.size)
       .flatMap { case (shard, stamp) =>
         val g = ShardGraphCache.get(indexPath, shard, stamp,
           () => graphFromRows(readShardRows(indexPath, shard, confProps),
             m, efC, s"$indexPath shard=$shard"))
-        searchShard(g, qs, efSearch)
+        searchShardWithVecs(g, qs, efSearch)
       }
-      .toDF("query_id", "vec_id")
-    rescore(emb, shortlist, nQueries, k)
+      .toDF("query_id", "vec_id", "embedding")
+    rescoreFromIndex(spark, qs, shortlist, k)
   }
 
   /** Incremental maintenance of a [[writeHnswIndexSharded]] index —

@@ -88,7 +88,10 @@ object DriveHnswScale {
         val serve10 = minOf2(Hnsw.annHnswServeSharded(spark, dir, idx, nQueries = 10).count())
         val serve100 = minOf2(Hnsw.annHnswServeSharded(spark, dir, idx, nQueries = 100).count())
         val want = setOf(Similarity.annBruteForce(spark, dir, nQueries = 100))
-        val efCurve = Seq(64, 128, 256).map { ef =>
+        // 512 on the sweep: shard graphs GROW with n at fixed nShards,
+        // and the recall-complete ef grows with graph size (the r12
+        // 1e7 rung reads 0.898 @256 — the dial, not the design)
+        val efCurve = Seq(64, 128, 256, 512).map { ef =>
           val t0 = System.nanoTime()
           val got = setOf(Hnsw.annHnswServeSharded(spark, dir, idx,
             nQueries = 100, efSearch = ef))
