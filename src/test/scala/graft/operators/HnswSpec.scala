@@ -162,6 +162,24 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
       "repeat serve must not reload any shard from parquet")
   }
 
+  test("sharded serve's plan never scans the corpus — candidates carry " +
+      "their vectors off the resident graphs (rescoreFromIndex)") {
+    // the serving-tier cost model: repeat-serve work is walks + a
+    // shortlist-bounded window, INDEPENDENT of corpus size. A corpus
+    // scan in the plan (the r11 shape: stats-blind shortlist⋈corpus
+    // sort-merge join) would re-couple serve latency to corpus bytes
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-noscan").toString
+    Hnsw.writeHnswIndexSharded(spark, sf, idx, nShards = 2)
+    Hnsw.annHnswServeSharded(spark, sf, idx).count() // drift check paid
+    val plan = Hnsw.annHnswServeSharded(spark, sf, idx)
+      .queryExecution.executedPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.isEmpty,
+      s"resident serve must not scan any table, got: ${scans.map(_.tableIdentifier)}")
+  }
+
   test("sharded append invalidates EXACTLY the touched shard's residency; " +
       "untouched shards keep serving from memory") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
