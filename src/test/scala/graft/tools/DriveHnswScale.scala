@@ -90,7 +90,8 @@ object DriveHnswScale {
         val want = setOf(Similarity.annBruteForce(spark, dir, nQueries = 100))
         // 512 on the sweep: shard graphs GROW with n at fixed nShards,
         // and the recall-complete ef grows with graph size (the r12
-        // 1e7 rung reads 0.898 @256 — the dial, not the design)
+        // 1e7/32-shard rung reads 0.842 @256, 0.932 @512 — the dial
+        // and the shard size, not the design; see SCALE.md)
         val efCurve = Seq(64, 128, 256, 512).map { ef =>
           val t0 = System.nanoTime()
           val got = setOf(Hnsw.annHnswServeSharded(spark, dir, idx,
