@@ -836,6 +836,68 @@ object Hnsw {
     * Returns the number of vectors appended. */
   def appendHnswIndexSharded(spark: SparkSession, dir: String,
                              indexPath: String): Long = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // reverse drift refuses loudly (the loadGraph contract): an indexed
+    // id with no corpus vector cannot be walked through
+    val level0Ids = spark.read.parquet(s"$indexPath/graph")
+      .filter(col("level") === 0).select(col("vec_id"))
+    val missing = level0Ids.join(emb.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+    require(missing == 0,
+      s"Hnsw sharded append: $missing indexed vec_ids are not in the corpus " +
+        s"at $dir — the index at $indexPath was built over a different " +
+        "corpus; rebuild it (writeHnswIndexSharded) or append the right dir")
+    appendVectorsSharded(spark, indexPath, emb)
+  }
+
+  /** [[appendHnswIndexSharded]] driven by a BATCH of new vectors
+    * instead of a corpus diff — the streaming-maintenance entry point
+    * ([[graft.streaming.Runner.hnswMaintainQuery]] calls this per
+    * micro-batch). Same idempotence, same touched-shards contract:
+    * vectors already in the index left-anti away (a replayed batch
+    * appends 0 and writes nothing), intra-batch duplicate vec_ids
+    * collapse to one row, and only routed shards rewrite — so a
+    * steady stream of arrivals keeps every UNTOUCHED shard's graph
+    * executor-resident ([[ShardGraphCache]]) across batches. The
+    * index must already carry `_meta.json` (the maintain query's
+    * [[ensureShardedMeta]] creates it on the first batch); `graph/`
+    * itself may be absent — the first batch CREATES it, so a
+    * maintained index needs no offline writeHnswIndexSharded seed. */
+  def appendHnswIndexShardedBatch(spark: SparkSession, indexPath: String,
+                                  newVecs: DataFrame): Long =
+    appendVectorsSharded(spark, indexPath,
+      newVecs.select(col("vec_id"), col("embedding")).dropDuplicates("vec_id"))
+
+  /** Create-or-match the sharded-index `_meta.json` — the
+    * [[Similarity.ensureAnnMeta]] contract for the graph family: the
+    * first maintained batch CREATES the dials; later batches, and any
+    * restart that passes different arguments, must match them, because
+    * inserting with different (m, efConstruction) than the base graph
+    * silently changes recall and a different nShards silently
+    * unbalances future routing. */
+  private[graft] def ensureShardedMeta(indexPath: String, m: Int,
+                                       efConstruction: Int,
+                                       nShards: Int): Unit = {
+    if (graft.sources.IndexMeta.exists(indexPath)) {
+      import graft.sources.IndexMeta.{intField, strField}
+      val s = graft.sources.IndexMeta.readRaw(indexPath, "writeHnswIndexSharded")
+      val have = (strField(s, "family"), intField(s, "m"),
+        intField(s, "efConstruction"), intField(s, "nShards"))
+      require(have == (("hnsw_sharded", m, efConstruction, nShards)),
+        s"maintained-index dial mismatch: index has $have, stream passed " +
+          s"${("hnsw_sharded", m, efConstruction, nShards)}")
+    } else graft.sources.IndexMeta.write(indexPath, Seq(
+      "family" -> "hnsw_sharded", "m" -> m,
+      "efConstruction" -> efConstruction, "nShards" -> nShards))
+  }
+
+  /** Shared core of the corpus-diff and batch appends: route the not-
+    * yet-indexed vectors to their id-modulo shards, re-insert inside
+    * the same one-task-per-shard `flatMapGroups` the build uses, and
+    * rewrite ONLY the touched `shard=` partitions (two-phase through
+    * a staging dir on the index's own filesystem). `vecs` must be
+    * (vec_id, embedding) with unique vec_ids. */
+  private def appendVectorsSharded(spark: SparkSession, indexPath: String,
+                                   vecs: DataFrame): Long = {
     import graft.sources.IndexMeta.{intField, strField}
     val meta = graft.sources.IndexMeta.readRaw(indexPath, "writeHnswIndexSharded")
     require(strField(meta, "family") == "hnsw_sharded",
@@ -844,15 +906,15 @@ object Hnsw {
     val efC = intField(meta, "efConstruction")
     val nShards = intField(meta, "nShards")
     import spark.implicits._
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val graph = spark.read.parquet(s"$indexPath/graph")
+    val graphPath = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
+    val gfs = graphPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a maintained index's FIRST batch finds no graph/ yet — the empty
+    // relation makes every arriving vector fresh and every routed
+    // shard a from-scratch buildGraph (rest.isEmpty below)
+    val graph = if (gfs.exists(graphPath)) spark.read.parquet(graphPath.toString)
+      else spark.emptyDataset[ShardRow].toDF()
     val level0Ids = graph.filter(col("level") === 0).select(col("vec_id"))
-    val missing = level0Ids.join(emb.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
-    require(missing == 0,
-      s"Hnsw sharded append: $missing indexed vec_ids are not in the corpus " +
-        s"at $dir — the index at $indexPath was built over a different " +
-        "corpus; rebuild it (writeHnswIndexSharded) or append the right dir")
-    val fresh = emb.join(level0Ids, Seq("vec_id"), "left_anti")
+    val fresh = vecs.join(level0Ids, Seq("vec_id"), "left_anti")
       .withColumn("shard", pmod(col("vec_id"), lit(nShards.toLong)).cast("int"))
     // bounded collect: ≤ nShards ids — the probed-cells pattern; also
     // the idempotence early-out (no new vectors → no write at all)
@@ -907,6 +969,70 @@ object Hnsw {
       fs.delete(staging, true); ()
     }
     nNew
+  }
+
+  /** Re-balance a [[writeHnswIndexSharded]] index to a NEW shard
+    * count — the growth operation the scale ladder demands: the 1e7
+    * rung (SCALE.md §"Sharded HNSW") measured that per-shard SIZE, not
+    * corpus size, is the recall dial (312 k/shard at fixed m=8/efC=96
+    * reads 0.842 @ef=256 vs 0.996 at 125 k/shard), so a maintained
+    * index that has grown N× holds its recall by raising nShards N×,
+    * keeping shard size at the rung it was tuned for — this is that
+    * knob. The index is self-contained (level-0 rows carry vectors),
+    * so resharding reads NO corpus: vectors regroup by the new
+    * id-modulo and one executor task per shard rebuilds with the SAME
+    * deterministic [[buildGraph]], producing row-for-row the graph
+    * [[writeHnswIndexSharded]] would build at `newNShards` over the
+    * same vectors (spec-pinned; file-internal row order may differ —
+    * [[graphFromRows]] is order-insensitive).
+    *
+    * `graph/` swaps first (staged on the index's filesystem, then a
+    * STATIC overwrite — `shard=` dirs from the old count must vanish,
+    * which dynamic overwrite would leave behind on a shrink), then
+    * `_meta.json` rewrites nShards. A crash between the two leaves new
+    * graph + old meta, which misroutes only FUTURE appends' shard
+    * ASSIGNMENT — never answers: serve fans out over the directory
+    * listing (every query walks every shard) and append's diff is the
+    * global level-0 id set, so membership is balance, not truth;
+    * re-running the reshard repairs it. Every shard's content stamp
+    * changes, so all residency ([[ShardGraphCache]]) and drift
+    * validations re-key structurally. */
+  def reshardHnswIndexSharded(spark: SparkSession, indexPath: String,
+                              newNShards: Int): Unit = {
+    require(newNShards >= 1, s"newNShards must be >= 1, got $newNShards")
+    import graft.sources.IndexMeta.{intField, strField}
+    val meta = graft.sources.IndexMeta.readRaw(indexPath, "writeHnswIndexSharded")
+    require(strField(meta, "family") == "hnsw_sharded",
+      s"$indexPath is a '${strField(meta, "family")}' index, not hnsw_sharded")
+    val m = intField(meta, "m")
+    val efC = intField(meta, "efConstruction")
+    if (intField(meta, "nShards") == newNShards) return
+    import spark.implicits._
+    val rebuilt = spark.read.parquet(s"$indexPath/graph")
+      .filter(col("level") === 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .groupByKey { case (id, _) => shardOf(id, newNShards) }
+      .flatMapGroups { (shard: Int, it: Iterator[(Long, Array[Float])]) =>
+        val rows = it.toArray.sortBy(_._1)
+        graphRows(buildGraph(rows.map(_._1), rows.map(_._2), m, efC), shard)
+      }
+    val staging = new org.apache.hadoop.fs.Path(s"$indexPath/.staging-reshard")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true) // a crashed reshard's leftovers
+    try {
+      rebuilt.toDF()
+        .write.mode("overwrite").partitionBy("shard").parquet(staging.toString)
+      spark.read.parquet(staging.toString)
+        .repartition(col("shard")) // keep the one-file-per-shard layout
+        .write.mode("overwrite") // static: the OLD count's shard= dirs must go
+        .partitionBy("shard").parquet(s"$indexPath/graph")
+    } finally {
+      fs.delete(staging, true); ()
+    }
+    graft.sources.IndexMeta.write(indexPath, Seq(
+      "family" -> "hnsw_sharded", "m" -> m,
+      "efConstruction" -> efC, "nShards" -> newNShards))
   }
 
   // ---------------------------------------------------------------

@@ -278,6 +278,44 @@ object Runner {
       }
       .start()
 
+  /** Streaming maintenance of a SHARDED HNSW index — the graph
+    * family's [[annIndexMaintainQuery]]: each micro-batch of (vec_id,
+    * embedding) rows inserts into the at-rest sharded graph via
+    * [[graft.operators.Hnsw.appendHnswIndexShardedBatch]]. The first
+    * batch CREATES `_meta.json` (create-or-match — a restarted stream
+    * passing different dials refuses loudly, because inserting with
+    * different (m, efConstruction) than the base graph silently
+    * changes recall) and `graph/` itself (no offline seed build
+    * needed). Exactly-once here falls out of the append's DIFF-driven
+    * idempotence rather than batch_id partitions: an already-indexed
+    * vec_id left-antis away, so a replayed batch appends 0 and writes
+    * nothing — the decision the batch_id layout buys for row-shaped
+    * indexes, bought structurally for a graph-shaped one (whose rows
+    * REWIRE existing shards rather than append alongside them, so
+    * partition-per-batch cannot express it). Only routed shards
+    * rewrite per batch, so untouched shard graphs stay
+    * executor-resident across batches (ShardGraphCache) — arriving
+    * vectors keep the SERVING tier warm while the index grows; when
+    * growth pushes per-shard size past the recall rung it was tuned
+    * for, [[graft.operators.Hnsw.reshardHnswIndexSharded]] re-balances
+    * (the SCALE.md 1e7-rung contract: hold shard size, scale
+    * nShards). */
+  def hnswMaintainQuery(spark: SparkSession, indexPath: String,
+                        vectorStream: DataFrame, checkpoint: String,
+                        m: Int = 8, efConstruction: Int = 96,
+                        nShards: Int = 4): StreamingQuery =
+    vectorStream
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Hnsw.ensureShardedMeta(indexPath, m, efConstruction,
+          nShards)
+        graft.operators.Hnsw.appendHnswIndexShardedBatch(spark, indexPath, batch)
+        ()
+      }
+      .start()
+
   /** Streaming QUALITY-CLASSIFIER scoring — the stream-side deployment
     * of t29's NB filter (the shape a crawl-intake pipeline runs: train
     * the classifier offline on the curated seeds, score every arriving

@@ -396,4 +396,132 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seen.cardinality() == n,
       s"layer-0 graph disconnected: ${seen.cardinality()} of $n reachable")
   }
+
+  /** Canonical graph content: (shard, vec_id, level, neighbors,
+    * level-0 vector) — file/row order erased, adjacency order kept
+    * (the build is deterministic, so two builds of the same vectors at
+    * the same dials must agree on the ARRAYS, not just the sets). */
+  private def graphRowSet(idx: String): Set[String] = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(s"$idx/graph")
+      .select(col("shard"), col("vec_id"), col("level"),
+        col("neighbor_ids"), col("embedding"))
+      .collect()
+      .map { r =>
+        val nb = r.getSeq[Long](3).mkString(",")
+        val emb = if (r.isNullAt(4)) "" else r.getSeq[Float](4).mkString(",")
+        s"${r.getInt(0)}|${r.getLong(1)}|${r.getInt(2)}|$nb|$emb"
+      }.toSet
+  }
+
+  test("reshard: 4 → 8 equals a fresh build at 8 row-for-row, meta " +
+      "re-pins nShards, a shrink leaves no stale shard dirs, equal " +
+      "count no-ops") {
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-reshard").toString
+    Hnsw.writeHnswIndexSharded(spark, sf, idx, nShards = 4)
+    Hnsw.reshardHnswIndexSharded(spark, idx, 8)
+    val fresh8 = java.nio.file.Files.createTempDirectory("hnsw-fresh8").toString
+    Hnsw.writeHnswIndexSharded(spark, sf, fresh8, nShards = 8)
+    assert(graphRowSet(idx) == graphRowSet(fresh8),
+      "resharding must produce exactly the graph a fresh build at the " +
+        "new count produces (same deterministic buildGraph per shard)")
+    val meta = graft.sources.IndexMeta.readRaw(idx, "writeHnswIndexSharded")
+    assert(graft.sources.IndexMeta.intField(meta, "nShards") == 8)
+    // the re-pinned meta routes the NEXT append by the new modulo
+    assert(rows(Hnsw.annHnswServeSharded(spark, sf, idx, efSearch = 256)) ==
+      rows(Similarity.annBruteForce(spark, sf)))
+    // shrink: old shard= dirs beyond the new count must vanish
+    Hnsw.reshardHnswIndexSharded(spark, idx, 2)
+    val dirs = new java.io.File(s"$idx/graph").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(dirs == Set("shard=0", "shard=1"),
+      s"shrink to 2 left stale shard dirs: $dirs")
+    assert(rows(Hnsw.annHnswServeSharded(spark, sf, idx, efSearch = 256)) ==
+      rows(Similarity.annBruteForce(spark, sf)))
+    // equal count: no rewrite at all (file mtimes untouched)
+    def snap() = new java.io.File(s"$idx/graph").listFiles().toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("shard="))
+      .flatMap(d => d.listFiles().toSeq.map(f => (f.getName, f.lastModified())))
+      .sorted
+    val before = snap()
+    Hnsw.reshardHnswIndexSharded(spark, idx, 2)
+    assert(snap() == before, "reshard to the current count must no-op")
+  }
+
+  test("batch append: a maintained index grown from NOTHING serves " +
+      "exactly; intra-batch dup vec_ids collapse; replay appends 0; " +
+      "dial mismatch refuses") {
+    import org.apache.spark.sql.functions.col
+    val ss = spark; import ss.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-bappend").toString
+    Hnsw.ensureShardedMeta(idx, 8, 96, 4)
+    val corpus = forgeCorpus(col("vec_id") < 120)
+    val emb = graft.Tables.embeddings(spark, corpus)
+    // first batch CREATES graph/ (no offline seed build)
+    assert(Hnsw.appendHnswIndexShardedBatch(spark, idx,
+      emb.filter(col("vec_id") < 70)) == 70L)
+    // second batch overlaps the first (re-delivery) AND duplicates one
+    // of its own rows — both collapse
+    val dupRow = emb.filter(col("vec_id") === 70L)
+    assert(Hnsw.appendHnswIndexShardedBatch(spark, idx,
+      emb.filter(col("vec_id") >= 60).unionAll(dupRow)) == 50L)
+    assert(rows(Hnsw.annHnswServeSharded(spark, corpus, idx, efSearch = 256)) ==
+      rows(Similarity.annBruteForce(spark, corpus)),
+      "the batch-maintained index must serve the whole corpus exactly")
+    assert(Hnsw.appendHnswIndexShardedBatch(spark, idx, emb) == 0L,
+      "a full replay must left-anti away")
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.ensureShardedMeta(idx, 8, 96, nShards = 8)
+    }
+    assert(e.getMessage.contains("dial mismatch"), e.getMessage)
+  }
+
+  test("streaming maintain: hnswMaintainQuery grows the index per " +
+      "micro-batch, serves exactly, and a full replay changes nothing") {
+    import org.apache.spark.sql.functions.col
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = forgeCorpus(col("vec_id") < 100)
+    val feed = graft.Tables.embeddings(spark, corpus)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-stream").toString
+    def runFeed(): Unit = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val ckpt = java.nio.file.Files.createTempDirectory("hnsw-sckpt").toString
+      val q = graft.streaming.Runner.hnswMaintainQuery(spark, idx,
+        mem.toDS().toDF("vec_id", "embedding"), ckpt, nShards = 4)
+      try {
+        mem.addData(feed.take(60).toSeq); q.processAllAvailable()
+        mem.addData(feed.drop(60).toSeq); q.processAllAvailable()
+      } finally q.stop()
+    }
+    runFeed()
+    assert(rows(Hnsw.annHnswServeSharded(spark, corpus, idx, efSearch = 256)) ==
+      rows(Similarity.annBruteForce(spark, corpus)),
+      "the stream-maintained index must serve the fed corpus exactly")
+    val content = graphRowSet(idx)
+    // replay the SAME feed from a fresh checkpoint: the diff-driven
+    // append is idempotent, so the graph must not change at all
+    runFeed()
+    assert(graphRowSet(idx) == content, "replay changed the index")
+    // a restarted stream passing different dials refuses loudly: the
+    // first replayed batch hits ensureShardedMeta's create-or-match
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val ckpt2 = java.nio.file.Files.createTempDirectory("hnsw-sckpt2").toString
+    val q2 = graft.streaming.Runner.hnswMaintainQuery(spark, idx,
+      mem2.toDS().toDF("vec_id", "embedding"), ckpt2, m = 4, nShards = 4)
+    try {
+      mem2.addData(feed.take(1).toSeq)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain.contains("dial mismatch"), chain)
+    } finally q2.stop()
+  }
 }

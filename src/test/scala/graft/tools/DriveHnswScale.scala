@@ -23,13 +23,25 @@ import org.apache.spark.sql.functions._
   * distributed build wall (one graph per executor task — the number
   * that should drop ~nShards× vs the single-thread driver build
   * recorded above), at-rest bytes/vector, fan-out serve latency, and
-  * recall vs the exact sweep on the same clustered corpus. */
+  * recall vs the exact sweep on the same clustered corpus.
+  *
+  * `Test/runMain graft.tools.DriveHnswScale reshard [n:nClusters:from:to ...]`
+  * (default 1000000:256:4:8) measures [[graft.operators.Hnsw
+  * .reshardHnswIndexSharded]] — the growth knob the 1e7 rung demands
+  * (hold shard SIZE, scale nShards): reshard wall vs the fresh-build
+  * wall at the target count (the operational saving is reading the
+  * index's own vectors instead of the corpus + the staged swap; the
+  * rebuild work is the same), and the recall curve BEFORE vs AFTER,
+  * which is the point — from:to is chosen so per-shard size crosses
+  * the recall rung. */
 object DriveHnswScale {
   def main(args: Array[String]): Unit = {
     val sharded = args.headOption.contains("sharded")
-    val rest = if (sharded) args.drop(1).toSeq else args.toSeq
+    val reshard = args.headOption.contains("reshard")
+    val rest = if (sharded || reshard) args.drop(1).toSeq else args.toSeq
     val ladder: Seq[(Long, Int, Int)] =
-      if (rest.nonEmpty) rest.map { a =>
+      if (reshard) Nil // reshard parses its own 4-part rungs below
+      else if (rest.nonEmpty) rest.map { a =>
         a.split(":") match {
           case Array(n, c) => (n.toLong, c.toInt, 8)
           case Array(n, c, s) => (n.toLong, c.toInt, s.toInt)
@@ -66,6 +78,45 @@ object DriveHnswScale {
     def setOf(df: DataFrame): Set[(Long, Long)] =
       df.select(col("query_id"), col("neighbor_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    if (reshard) {
+      val rungs: Seq[(Long, Int, Int, Int)] =
+        if (rest.nonEmpty) rest.map { a =>
+          val Array(n, c, f, t) = a.split(":"); (n.toLong, c.toInt, f.toInt, t.toInt)
+        } else Seq((1000000L, 256, 4, 8))
+      for ((n, g, from, to) <- rungs) {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-hnswresh-$n").toString
+        corpus(n, g).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        val idx = s"$dir/hnsw_sharded"
+        Hnsw.writeHnswIndexSharded(spark, dir, idx, nShards = from)
+        val want = setOf(Similarity.annBruteForce(spark, dir, nQueries = 100))
+        def curve(): String = Seq(128, 256).map { ef =>
+          val got = setOf(Hnsw.annHnswServeSharded(spark, dir, idx,
+            nQueries = 100, efSearch = ef))
+          f"ef=$ef:recall=${(want & got).size.toDouble / want.size}%5.3f"
+        }.mkString(" ")
+        Hnsw.ShardGraphCache.invalidate(); Hnsw.invalidateDriftChecks()
+        val before = curve()
+        val tr = System.nanoTime()
+        Hnsw.reshardHnswIndexSharded(spark, idx, to)
+        val reshS = (System.nanoTime() - tr) / 1e9
+        Hnsw.ShardGraphCache.invalidate(); Hnsw.invalidateDriftChecks()
+        val after = curve()
+        // the honest comparator: a fresh distributed build at `to`
+        val idx2 = s"$dir/hnsw_fresh"
+        val tb = System.nanoTime()
+        Hnsw.writeHnswIndexSharded(spark, dir, idx2, nShards = to)
+        val buildS = (System.nanoTime() - tb) / 1e9
+        println(f"HNSWRESHARD n=$n%-8d nClusters=$g%-4d $from%d->$to%d " +
+          f"reshard=$reshS%7.1fs freshBuild=$buildS%7.1fs " +
+          f"before[$before] after[$after]")
+        def rmR(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmR)); f.delete(); ()
+        }
+        rmR(new java.io.File(dir))
+      }
+      spark.stop(); return
+    }
 
     for ((n, g, nSh) <- ladder) {
       val dir = java.nio.file.Files.createTempDirectory(s"graft-hnswscale-$n").toString
