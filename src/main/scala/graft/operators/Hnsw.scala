@@ -297,15 +297,20 @@ object Hnsw {
     * deterministic function of (corpus, m, efConstruction), so a session
     * answering many queries builds it once (the production shape: build
     * once, serve). */
-  private val graphMemo = new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int), Graph]()
+  private val graphMemo = new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, String), Graph]()
   private[graft] def invalidateGraphMemo(): Unit = graphMemo.clear()
 
   private[graft] def graphFor(spark: SparkSession, dir: String,
-                              m: Int, efConstruction: Int): Graph =
+                              m: Int, efConstruction: Int): Graph = {
     // keyed by applicationId like every model memo in Similarity
-    // (centsFor/booksFor): a corpus regenerated under a new session at
-    // the same path must rebuild, never serve a stale graph
-    graphMemo.computeIfAbsent((spark.sparkContext.applicationId, dir, m, efConstruction), _ => {
+    // (centsFor/booksFor) PLUS the corpus relation's content stamp
+    // (round 13): a corpus regenerated under the same path — new
+    // session or same — must rebuild, never serve a stale graph
+    // (writeHnswIndex goes through here, so a stale memo wouldn't just
+    // answer wrong, it would PERSIST the stale graph into an index)
+    val stamp = corpusStamp(spark, dir)
+    graphMemo.keySet.removeIf(k => k._2 == dir && k._5 != stamp)
+    graphMemo.computeIfAbsent((spark.sparkContext.applicationId, dir, m, efConstruction, stamp), _ => {
       // bounded collect: the corpus vector relation, checked against
       // driverMaxVectors BEFORE collecting (count is a cheap column-
       // pruned scan; collecting first would OOM before the require)
@@ -319,6 +324,7 @@ object Hnsw {
         .as[(Long, Array[Float])].collect().sortBy(_._1)
       buildGraph(rows.map(_._1), rows.map(_._2), m, efConstruction)
     })
+  }
 
   /** v18: HNSW ANN — driver graph search generates each query's
     * efSearch-shortlist; Spark rescores exactly (same cosine
@@ -1144,10 +1150,46 @@ object Hnsw {
     newRows.length.toLong
   }
 
-  /** Serve memo: at-rest graphs reloaded once per (indexPath) — the
-    * annIvfPqServeQueries model-memo idea for the graph family. */
-  private val servedMemo = new java.util.concurrent.ConcurrentHashMap[(String, String, String), Graph]()
+  /** Serve memo: at-rest graphs reloaded once per (indexPath, content
+    * stamp) — the annIvfPqServeQueries model-memo idea for the graph
+    * family, stamp-keyed like [[ShardGraphCache]] (round 13): an index
+    * REWRITTEN at the same path, or a corpus dir regenerated under the
+    * same name, changes the stamp and re-keys structurally, so a stale
+    * graph can't be looked up; stale-stamp entries for the same
+    * (dir, indexPath) are purged at the next load, keeping the map one
+    * live entry per served index. */
+  private val servedMemo = new java.util.concurrent.ConcurrentHashMap[(String, String, String, String), Graph]()
   private[graft] def invalidateServedMemo(): Unit = servedMemo.clear()
+
+  /** Content stamp of a single-graph index's `graph/` relation plus
+    * the corpus relation's own file listing (the memoized graph holds
+    * corpus VECTORS, so a regenerated corpus must re-key too). Empty
+    * when `graph/` is absent — the memo body's meta read produces the
+    * loud, named refusal. */
+  private def servedStamp(spark: SparkSession, dir: String,
+                          indexPath: String): String =
+    fileListingStamp(spark, s"$indexPath/graph") + "||" + corpusStamp(spark, dir)
+
+  /** Content stamp of the corpus relation — keys [[graphFor]]'s build
+    * memo (and half of [[servedStamp]]): a regenerated corpus under
+    * the same path must rebuild. */
+  private def corpusStamp(spark: SparkSession, dir: String): String =
+    fileListingStamp(spark, s"$dir/embeddings.parquet")
+
+  /** Sorted name:length:mtime of a path's visible files (works for a
+    * single-file relation too — listStatus on a file returns itself);
+    * empty when absent, so the caller's own read produces the loud,
+    * named refusal. */
+  private def fileListingStamp(spark: SparkSession, pathStr: String): String = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) ""
+    else fs.listStatus(p).toSeq
+      .filter(f => f.isFile && isVisible(f.getPath.getName))
+      .sortBy(_.getPath.getName)
+      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .mkString(";")
+  }
 
   /** Load a [[writeHnswIndex]] graph: dials and entry from `_meta.json`
     * (REQUIRED — the self-description contract), adjacency from
@@ -1157,12 +1199,16 @@ object Hnsw {
     * from the corpus has no vector to walk through, and a corpus
     * vector missing from the graph has no in-edges, so no walk can
     * ever shortlist it). */
-  private def loadGraph(spark: SparkSession, dir: String, indexPath: String): Graph =
-    // keyed by (applicationId, dir, indexPath) — the graph's VECTORS
-    // come from `dir`, so the same index served against a different
-    // corpus relation (or a regenerated one in a new session) must
-    // reload, never reuse shortlists walked over the wrong vectors
-    servedMemo.computeIfAbsent((spark.sparkContext.applicationId, dir, indexPath), _ => {
+  private def loadGraph(spark: SparkSession, dir: String, indexPath: String): Graph = {
+    // keyed by (applicationId, dir, indexPath, content stamp) — the
+    // graph's VECTORS come from `dir`, so the same index served
+    // against a different corpus relation must reload, and a rewrite
+    // of either relation under the SAME names re-keys structurally
+    // (never reuse shortlists walked over the wrong vectors/graph)
+    val stamp = servedStamp(spark, dir, indexPath)
+    servedMemo.keySet.removeIf(k =>
+      k._2 == dir && k._3 == indexPath && k._4 != stamp)
+    servedMemo.computeIfAbsent((spark.sparkContext.applicationId, dir, indexPath, stamp), _ => {
       import graft.sources.IndexMeta.{intField, strField}
       val meta = graft.sources.IndexMeta.readRaw(indexPath, "writeHnswIndex")
       require(strField(meta, "family") == "hnsw",
@@ -1210,6 +1256,7 @@ object Hnsw {
           "appendHnswIndex the new vectors or rebuild")
       new Graph(ids, rows.map(_._2), layers, resolve(entryId, "entry"), maxLevel, m, efC)
     })
+  }
 
   /** Serve v18 from the at-rest graph — same shortlist + exact Spark
     * rescore as the in-session operator, so serve == in-session at

@@ -217,6 +217,28 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
       "serve after an in-place rewrite must reflect the new index")
   }
 
+  test("single-graph serve is never stale: an index rewritten at the " +
+      "same path AND a corpus regenerated under the same dir both re-key") {
+    import org.apache.spark.sql.functions.col
+    // corpus A (100 vectors) at dir D, index at P, serve → memo holds
+    // the 100-vector graph keyed by (D, P, stamp)
+    val dir = forgeCorpus(col("vec_id") < 100)
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-stale").toString
+    Hnsw.writeHnswIndex(spark, dir, idx)
+    assert(rows(Hnsw.annHnswServe(spark, dir, idx, efSearch = 256)) ==
+      rows(Similarity.annBruteForce(spark, dir)))
+    // regenerate BOTH under the same names: corpus shrinks to 80,
+    // index rebuilt over it in place. A path-keyed memo would serve
+    // the old 100-vector graph (ids 80-99 in the top-k = silently
+    // wrong); the content stamp re-keys and reloads
+    graft.Tables.embeddings(spark, sf).filter(col("vec_id") < 80)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Hnsw.writeHnswIndex(spark, dir, idx)
+    assert(rows(Hnsw.annHnswServe(spark, dir, idx, efSearch = 256)) ==
+      rows(Similarity.annBruteForce(spark, dir)),
+      "serve after an in-place corpus+index rewrite must reflect the new state")
+  }
+
   test("serve refuses corpus/index drift in BOTH directions, loudly") {
     // the graph stores vec_ids; vectors come from the corpus relation.
     // Drift either way is silent recall loss (an indexed id with no
