@@ -355,13 +355,14 @@ object Dedup {
     * round — no vertex data ever leaves the cluster.
     *
     * The fast path's label table (bounded by `driverMaxEdges`) is
-    * memoized per (application, dir, minJ): d7 and d8 both need the
-    * pair graph — the most expensive subgraph in the suite — and input
-    * parquet is immutable for a session under the standard warehouse
-    * contract, so the second caller reuses the labels instead of
-    * rebuilding the graph. Call [[invalidateClusterMemo]] after an
-    * in-place data rewrite. The distributed fall-through is never
-    * memoized (its result is corpus-sized, not driver-bounded). */
+    * memoized per (application, dir, minJ, content stamp): d7 and d8
+    * both need the pair graph — the most expensive subgraph in the
+    * suite — so the second caller reuses the labels instead of
+    * rebuilding the graph. An in-place rewrite of the input parquet
+    * re-keys structurally ([[graft.sources.ContentStamp]], round 13);
+    * [[invalidateClusterMemo]] remains for cold timing. The
+    * distributed fall-through is never memoized (its result is
+    * corpus-sized, not driver-bounded). */
   def nearDupClusters(spark: SparkSession, dir: String, minJ: Double = ngramMinJ,
                       maxIters: Int = 20,
                       driverMaxEdges: Int = 100000): DataFrame =
@@ -372,7 +373,8 @@ object Dedup {
       },
       Tables.documents(spark, dir).select(col("doc_id")),
       maxIters, driverMaxEdges,
-      (spark.sparkContext.applicationId, dir, "ngram", minJ))
+      (spark.sparkContext.applicationId, dir, "ngram", minJ,
+        graft.sources.ContentStamp.of(spark, s"$dir/documents.parquet")))
 
   /** Connected components over an arbitrary undirected PAIR graph — the
     * engine behind [[nearDupClusters]] (d7, n-gram pairs) and
@@ -380,12 +382,20 @@ object Dedup {
     * is a THUNK so a memo hit never builds the pair graph at all;
     * `allIds` supplies the id universe as a single `doc_id` column
     * (rename at the call site); `memoKey._3` tags the pair SOURCE so
-    * different graphs over the same dir don't collide in the memo. */
+    * different graphs over the same dir don't collide in the memo;
+    * `memoKey._5` is the input relation's content stamp
+    * ([[graft.sources.ContentStamp]], round 13 — caller-computed,
+    * since only the caller knows which table the pairs derive from):
+    * an in-place rewrite re-keys structurally, stale-stamp entries
+    * purge at the next call. */
   private[operators] def componentsOf(spark: SparkSession,
       pairsWithScratch: () => (DataFrame, Seq[DataFrame]),
       allIds: DataFrame, maxIters: Int, driverMaxEdges: Int,
-      memoKey: (String, String, String, Double)): DataFrame = {
+      memoKey: (String, String, String, Double, String)): DataFrame = {
     if (driverMaxEdges > 0) {
+      clusterMemo.keySet.removeIf(k => k._1 == memoKey._1 &&
+        k._2 == memoKey._2 && k._3 == memoKey._3 &&
+        k._4 == memoKey._4 && k._5 != memoKey._5)
       val hit = clusterMemo.get(memoKey)
       if (hit != null) return labelsFor(spark, allIds, hit)
     }
@@ -505,7 +515,7 @@ object Dedup {
     * most one entry per (app, dir, source, threshold) actually queried,
     * so this cannot grow past a handful of bounded tables per session. */
   private val clusterMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String, Double), Seq[(Long, Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, Double, String), Seq[(Long, Long)]]()
 
   /** Drop memoized cluster labels (call after rewriting input parquet
     * in place — memo entries assume session-immutable inputs). */

@@ -1174,22 +1174,10 @@ object Hnsw {
     * memo (and half of [[servedStamp]]): a regenerated corpus under
     * the same path must rebuild. */
   private def corpusStamp(spark: SparkSession, dir: String): String =
-    fileListingStamp(spark, s"$dir/embeddings.parquet")
+    graft.sources.ContentStamp.of(spark, s"$dir/embeddings.parquet")
 
-  /** Sorted name:length:mtime of a path's visible files (works for a
-    * single-file relation too — listStatus on a file returns itself);
-    * empty when absent, so the caller's own read produces the loud,
-    * named refusal. */
-  private def fileListingStamp(spark: SparkSession, pathStr: String): String = {
-    val p = new org.apache.hadoop.fs.Path(pathStr)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) ""
-    else fs.listStatus(p).toSeq
-      .filter(f => f.isFile && isVisible(f.getPath.getName))
-      .sortBy(_.getPath.getName)
-      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-      .mkString(";")
-  }
+  private def fileListingStamp(spark: SparkSession, pathStr: String): String =
+    graft.sources.ContentStamp.of(spark, pathStr)
 
   /** Load a [[writeHnswIndex]] graph: dials and entry from `_meta.json`
     * (REQUIRED — the self-description contract), adjacency from

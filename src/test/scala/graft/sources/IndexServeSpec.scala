@@ -352,4 +352,28 @@ class IndexServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scanned <= total / 2,
       s"expected <= half the index at 2x2 probes, read $scanned of $total")
   }
+
+  test("the ANN model memo re-keys on an in-place corpus rewrite — " +
+      "no invalidate call needed (content stamps, round 13)") {
+    import org.apache.spark.sql.functions.col
+    // private corpus dir so the rewrite can't disturb other suites
+    val dir = java.nio.file.Files.createTempDirectory("graft-stamp").toString
+    graft.Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val a = graft.operators.Similarity.centsFor(spark, dir, 4, 1, 1.0)
+    val b = graft.operators.Similarity.centsFor(spark, dir, 4, 1, 1.0)
+    assert(a eq b, "same corpus content must memo-hit (same instance)")
+    // rewrite the corpus under the SAME path: the memo must MISS and
+    // retrain — a path-keyed memo would hand writeAnnIndex a model
+    // trained on data that no longer exists
+    graft.Tables.embeddings(spark, sf).filter(col("vec_id") < 60)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val c = graft.operators.Similarity.centsFor(spark, dir, 4, 1, 1.0)
+    assert(!(a eq c), "rewritten corpus must retrain, not memo-hit")
+    // and the retrained model is over the NEW corpus: every centroid id
+    // (centroids are (cid, vector)) resolves against 60 vectors' train
+    // set — pin via a fresh session-independent recompute
+    val d = graft.operators.Similarity.centsFor(spark, dir, 4, 1, 1.0)
+    assert(c eq d, "the new stamp must memo-hit in turn")
+  }
 }
