@@ -867,11 +867,94 @@ object Hnsw {
     * index must already carry `_meta.json` (the maintain query's
     * [[ensureShardedMeta]] creates it on the first batch); `graph/`
     * itself may be absent — the first batch CREATES it, so a
-    * maintained index needs no offline writeHnswIndexSharded seed. */
+    * maintained index needs no offline writeHnswIndexSharded seed.
+    *
+    * SCALE CAVEAT — when arrivals are UNIFORM over the id space (the
+    * common case), id-modulo routing touches EVERY shard every batch,
+    * so the per-batch cost is a whole-index rewrite regardless of
+    * batch size. That is fine for occasional corpus-diff catch-ups
+    * and id-range-skewed arrivals; a steady uniform stream wants
+    * [[appendHnswIndexSegment]] (write each batch as its own small
+    * segment, rewrite nothing) with [[reshardHnswIndexSharded]] as
+    * the periodic compaction — the LSM shape every production vector
+    * store converges on. */
   def appendHnswIndexShardedBatch(spark: SparkSession, indexPath: String,
                                   newVecs: DataFrame): Long =
     appendVectorsSharded(spark, indexPath,
       newVecs.select(col("vec_id"), col("embedding")).dropDuplicates("vec_id"))
+
+  /** LSM-style batch append: the not-yet-indexed vectors of `newVecs`
+    * land as ONE NEW `shard=` partition (a SEGMENT — graph built by a
+    * single executor task, one file, nothing existing is opened or
+    * rewritten), because the fan-out serve is already partition-
+    * agnostic: [[annHnswServeSharded]] lists `shard=` dirs and walks
+    * each independent graph, and its recall composition only needs
+    * each partition's walk to find its OWN members of the global
+    * top-k — ANY partition of the corpus serves, id-modulo is just
+    * the balanced one. So a maintained index under uniform arrivals
+    * pays O(|batch|) per batch instead of a whole-index rewrite, and
+    * every existing partition's residency ([[ShardGraphCache]]) stays
+    * warm across appends.
+    *
+    * The trade is segment ACCUMULATION: serve walks nBase + nSegments
+    * graphs, so fan-out cost grows per batch until
+    * [[reshardHnswIndexSharded]] compacts — reshard already reads
+    * every partition's level-0 rows (segments included), regroups by
+    * id-modulo at the target count, and STATIC-overwrites, which
+    * removes the segment dirs; run it when segment count or mean
+    * segment size drifts past the serving budget (SCALE.md measures
+    * the drift). Idempotence is the diff contract shared with the
+    * routed append: a replayed batch's vectors are already indexed,
+    * left-anti to zero, and NO segment is written. Segment ids
+    * allocate above the current max `shard=` value — the index
+    * directory is single-writer (the maintain query's contract), so
+    * allocation cannot race. Returns the number of vectors appended. */
+  def appendHnswIndexSegment(spark: SparkSession, indexPath: String,
+                             newVecs: DataFrame): Long = {
+    import graft.sources.IndexMeta.{intField, strField}
+    val meta = graft.sources.IndexMeta.readRaw(indexPath, "writeHnswIndexSharded")
+    require(strField(meta, "family") == "hnsw_sharded",
+      s"$indexPath is a '${strField(meta, "family")}' index, not hnsw_sharded")
+    val m = intField(meta, "m")
+    val efC = intField(meta, "efConstruction")
+    import spark.implicits._
+    val graphPath = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
+    val gfs = graphPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (level0Ids, nextSegment) =
+      if (gfs.exists(graphPath)) {
+        val g = spark.read.parquet(graphPath.toString)
+        val maxShard = gfs.listStatus(graphPath).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+          .map(_.getPath.getName.stripPrefix("shard=").toInt)
+          .foldLeft(-1)(math.max)
+        (g.filter(col("level") === 0).select(col("vec_id")), maxShard + 1)
+      } else (spark.emptyDataset[Long].toDF("vec_id"), 0)
+    val fresh = newVecs.select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
+      .join(level0Ids, Seq("vec_id"), "left_anti")
+      .withColumn("shard", lit(nextSegment))
+      .as[(Long, Array[Float], Int)]
+      .persist() // counted, then (if non-empty) built — one diff join
+    try {
+      val nNew = fresh.count()
+      if (nNew == 0) return 0L // replay / fully-known batch: no segment
+      // write DIRECTLY into the new `shard=` dir (files without the
+      // partition column, exactly the layout partitionBy lands) — the
+      // write path is a child the read relation never listed, so no
+      // staging round is needed and nothing existing is opened
+      fresh
+        .groupByKey(_._3) // one group ⇒ one executor task builds the segment
+        .flatMapGroups { (shard: Int, it: Iterator[(Long, Array[Float], Int)]) =>
+          val rows = it.toArray.sortBy(_._1)
+          graphRows(buildGraph(rows.map(_._1), rows.map(_._2), m, efC), shard)
+        }
+        .toDF().drop("shard")
+        .repartition(1) // one file per segment — the one-file-per-shard layout
+        .write.mode("overwrite")
+        .parquet(s"$indexPath/graph/shard=$nextSegment")
+      nNew
+    } finally { fresh.unpersist(blocking = false); () }
+  }
 
   /** Create-or-match the sharded-index `_meta.json` — the
     * [[Similarity.ensureAnnMeta]] contract for the graph family: the
@@ -1012,7 +1095,17 @@ object Hnsw {
       s"$indexPath is a '${strField(meta, "family")}' index, not hnsw_sharded")
     val m = intField(meta, "m")
     val efC = intField(meta, "efConstruction")
-    if (intField(meta, "nShards") == newNShards) return
+    // no-op ONLY when the layout already IS the target id-modulo one:
+    // equal meta count with extra `shard=` dirs means accumulated
+    // SEGMENTS (appendHnswIndexSegment), and reshard is their
+    // compaction — it must run
+    val gp = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
+    val gFs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = gFs.listStatus(gp).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+      .map(_.getPath.getName.stripPrefix("shard=").toInt).toSet
+    if (intField(meta, "nShards") == newNShards &&
+      dirs == (0 until newNShards).toSet) return
     import spark.implicits._
     val rebuilt = spark.read.parquet(s"$indexPath/graph")
       .filter(col("level") === 0)

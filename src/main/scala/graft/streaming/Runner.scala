@@ -299,11 +299,25 @@ object Runner {
     * growth pushes per-shard size past the recall rung it was tuned
     * for, [[graft.operators.Hnsw.reshardHnswIndexSharded]] re-balances
     * (the SCALE.md 1e7-rung contract: hold shard size, scale
-    * nShards). */
+    * nShards).
+    *
+    * `segmented` (the default) picks the LSM shape
+    * ([[graft.operators.Hnsw.appendHnswIndexSegment]]): each batch
+    * lands as its own small `shard=` partition and NOTHING existing
+    * is rewritten — under uniform vec_id arrivals the routed append
+    * touches every shard every batch (a whole-index rewrite per
+    * trigger), so per-batch cost there is index-sized while the
+    * segment path's is batch-sized. The trade is fan-out growth (one
+    * more graph walked per batch) until `reshardHnswIndexSharded`
+    * compacts the segments back into the balanced id-modulo layout —
+    * schedule it by segment count, exactly like any LSM store's
+    * merge policy. Set `segmented = false` only when arrivals are
+    * id-range-skewed enough that batches touch few shards. */
   def hnswMaintainQuery(spark: SparkSession, indexPath: String,
                         vectorStream: DataFrame, checkpoint: String,
                         m: Int = 8, efConstruction: Int = 96,
-                        nShards: Int = 4): StreamingQuery =
+                        nShards: Int = 4,
+                        segmented: Boolean = true): StreamingQuery =
     vectorStream
       .writeStream
       .outputMode("append")
@@ -311,7 +325,10 @@ object Runner {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.Hnsw.ensureShardedMeta(indexPath, m, efConstruction,
           nShards)
-        graft.operators.Hnsw.appendHnswIndexShardedBatch(spark, indexPath, batch)
+        if (segmented)
+          graft.operators.Hnsw.appendHnswIndexSegment(spark, indexPath, batch)
+        else
+          graft.operators.Hnsw.appendHnswIndexShardedBatch(spark, indexPath, batch)
         ()
       }
       .start()

@@ -498,6 +498,58 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("dial mismatch"), e.getMessage)
   }
 
+  test("segment append: a batch lands as ONE new shard= partition, " +
+      "base shards stay byte-stable AND resident, serve is exact, " +
+      "replay appends 0, reshard compacts the segments away") {
+    import org.apache.spark.sql.functions.col
+    val base = forgeCorpus(col("vec_id") < 100)
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-seg").toString
+    Hnsw.writeHnswIndexSharded(spark, base, idx, nShards = 4)
+    Hnsw.ShardGraphCache.invalidate(); Hnsw.invalidateDriftChecks()
+    Hnsw.annHnswServeSharded(spark, base, idx).count() // residency warm
+    val loads0 = Hnsw.ShardGraphCache.loadCount
+    def shardDirs() = new java.io.File(s"$idx/graph").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("shard="))
+      .map(_.getName).toSet
+    def snapshot(s: Int) = new java.io.File(s"$idx/graph/shard=$s")
+      .listFiles().toSeq.map(f => (f.getName, f.length(), f.lastModified()))
+    val basesBefore = (0 to 3).map(snapshot)
+    val grown = forgeCorpus(col("vec_id") < 130)
+    val emb = graft.Tables.embeddings(spark, grown)
+    assert(Hnsw.appendHnswIndexSegment(spark, idx,
+      emb.filter(col("vec_id") >= 100)) == 30L)
+    assert(shardDirs() == Set("shard=0", "shard=1", "shard=2", "shard=3", "shard=4"),
+      "the batch must land as exactly one NEW partition")
+    assert((0 to 3).map(snapshot) == basesBefore,
+      "a segment append must not rewrite any base shard")
+    val served = rows(Hnsw.annHnswServeSharded(spark, grown, idx, efSearch = 256))
+    assert(served == rows(Similarity.annBruteForce(spark, grown)),
+      "fan-out serve must be exact over base shards + the segment")
+    assert(Hnsw.ShardGraphCache.loadCount == loads0 + 1,
+      "only the new segment may load; base residency must survive the append")
+    assert(Hnsw.appendHnswIndexSegment(spark, idx, emb) == 0L,
+      "a full replay must left-anti away")
+    assert(shardDirs().size == 5, "a 0-vector replay must write NO segment")
+    // compaction: reshard reads segments too and restores id-modulo
+    Hnsw.reshardHnswIndexSharded(spark, idx, 8)
+    assert(shardDirs() == (0 to 7).map(s => s"shard=$s").toSet,
+      "reshard must fold the segments back into the balanced layout")
+    assert(rows(Hnsw.annHnswServeSharded(spark, grown, idx, efSearch = 256)) ==
+      rows(Similarity.annBruteForce(spark, grown)))
+    // EQUAL-COUNT compaction: with a segment present, reshard to the
+    // CURRENT count must still compact (the no-op guard checks the
+    // layout, not just the meta count)
+    val grown2 = forgeCorpus(col("vec_id") < 140)
+    assert(Hnsw.appendHnswIndexSegment(spark, idx,
+      graft.Tables.embeddings(spark, grown2).filter(col("vec_id") >= 130)) == 10L)
+    assert(shardDirs().size == 9)
+    Hnsw.reshardHnswIndexSharded(spark, idx, 8)
+    assert(shardDirs() == (0 to 7).map(s => s"shard=$s").toSet,
+      "equal-count reshard must compact segments, not no-op")
+    assert(rows(Hnsw.annHnswServeSharded(spark, grown2, idx, efSearch = 256)) ==
+      rows(Similarity.annBruteForce(spark, grown2)))
+  }
+
   test("streaming maintain: hnswMaintainQuery grows the index per " +
       "micro-batch, serves exactly, and a full replay changes nothing") {
     import org.apache.spark.sql.functions.col
@@ -523,11 +575,31 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(Hnsw.annHnswServeSharded(spark, corpus, idx, efSearch = 256)) ==
       rows(Similarity.annBruteForce(spark, corpus)),
       "the stream-maintained index must serve the fed corpus exactly")
+    // segmented default: each busy batch is its own partition
+    assert(new java.io.File(s"$idx/graph").listFiles()
+      .count(d => d.isDirectory && d.getName.startsWith("shard=")) == 2,
+      "two fed batches under the segmented default = two segments")
     val content = graphRowSet(idx)
     // replay the SAME feed from a fresh checkpoint: the diff-driven
     // append is idempotent, so the graph must not change at all
     runFeed()
     assert(graphRowSet(idx) == content, "replay changed the index")
+    // the routed (segmented = false) mode reaches the same serve
+    // verdicts from the same feed — modes differ in COST shape only
+    val idxR = java.nio.file.Files.createTempDirectory("hnsw-streamR").toString
+    val memR = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val ckptR = java.nio.file.Files.createTempDirectory("hnsw-sckptR").toString
+    val qR = graft.streaming.Runner.hnswMaintainQuery(spark, idxR,
+      memR.toDS().toDF("vec_id", "embedding"), ckptR, nShards = 4,
+      segmented = false)
+    try {
+      memR.addData(feed.take(60).toSeq); qR.processAllAvailable()
+      memR.addData(feed.drop(60).toSeq); qR.processAllAvailable()
+    } finally qR.stop()
+    assert(rows(Hnsw.annHnswServeSharded(spark, corpus, idxR, efSearch = 256)) ==
+      rows(Similarity.annBruteForce(spark, corpus)),
+      "the routed mode must serve the fed corpus exactly too")
     // a restarted stream passing different dials refuses loudly: the
     // first replayed batch hits ensureShardedMeta's create-or-match
     val mem2 = org.apache.spark.sql.execution.streaming.runtime

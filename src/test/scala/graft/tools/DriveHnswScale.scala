@@ -33,14 +33,25 @@ import org.apache.spark.sql.functions._
   * index's own vectors instead of the corpus + the staged swap; the
   * rebuild work is the same), and the recall curve BEFORE vs AFTER,
   * which is the point — from:to is chosen so per-shard size crosses
-  * the recall rung. */
+  * the recall rung.
+  *
+  * `Test/runMain graft.tools.DriveHnswScale maintain
+  * [n:nClusters:nShards:batches:batchSize ...]` (default
+  * 1000000:256:8:10:10000) A/Bs the two maintain-append modes over a
+  * base index: ROUTED (`appendHnswIndexShardedBatch` — id-modulo
+  * routing; uniform arrivals touch every shard, so per-batch cost is
+  * an index rewrite) vs SEGMENT (`appendHnswIndexSegment` — each
+  * batch its own partition, cost is batch-sized), plus the segment
+  * path's serve-cost drift across the accumulated segments and the
+  * reshard compaction that removes it. */
 object DriveHnswScale {
   def main(args: Array[String]): Unit = {
     val sharded = args.headOption.contains("sharded")
     val reshard = args.headOption.contains("reshard")
-    val rest = if (sharded || reshard) args.drop(1).toSeq else args.toSeq
+    val maintain = args.headOption.contains("maintain")
+    val rest = if (sharded || reshard || maintain) args.drop(1).toSeq else args.toSeq
     val ladder: Seq[(Long, Int, Int)] =
-      if (reshard) Nil // reshard parses its own 4-part rungs below
+      if (reshard || maintain) Nil // these parse their own rungs below
       else if (rest.nonEmpty) rest.map { a =>
         a.split(":") match {
           case Array(n, c) => (n.toLong, c.toInt, 8)
@@ -78,6 +89,71 @@ object DriveHnswScale {
     def setOf(df: DataFrame): Set[(Long, Long)] =
       df.select(col("query_id"), col("neighbor_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    if (maintain) {
+      val rungs: Seq[(Long, Int, Int, Int, Int)] =
+        if (rest.nonEmpty) rest.map { a =>
+          val Array(n, c, s, b, bs) = a.split(":")
+          (n.toLong, c.toInt, s.toInt, b.toInt, bs.toInt)
+        } else Seq((1000000L, 256, 8, 10, 10000))
+      for ((n, g, nSh, nBatches, batchSize) <- rungs) {
+        // base corpus ids [0, n); arrivals [n, n + batches*size) —
+        // uniform over id space, so id-modulo routing touches every
+        // shard every batch (the case the segment path exists for)
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-hnswmnt-$n").toString
+        val total = n + nBatches.toLong * batchSize
+        corpus(total, g).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        def batchVecs(i: Int) = emb.filter(
+          col("vec_id") >= n + i.toLong * batchSize &&
+            col("vec_id") < n + (i + 1).toLong * batchSize)
+        def runMode(tag: String,
+                    append: (String, DataFrame) => Long): (String, Double) = {
+          val idx = s"$dir/hnsw_$tag"
+          // base index over [0, n) only — stage the base corpus dir
+          val baseDir = s"$dir/base"
+          emb.filter(col("vec_id") < n)
+            .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+          Hnsw.writeHnswIndexSharded(spark, baseDir, idx, nShards = nSh)
+          val walls = (0 until nBatches).map { i =>
+            val t0 = System.nanoTime()
+            val appended = append(idx, batchVecs(i))
+            require(appended == batchSize, s"$tag batch $i appended $appended")
+            (System.nanoTime() - t0) / 1e9
+          }
+          (idx, walls.sum / walls.length)
+        }
+        val (idxSeg, segS) = runMode("seg",
+          (idx, b) => Hnsw.appendHnswIndexSegment(spark, idx, b))
+        val (idxRoute, routeS) = runMode("route",
+          (idx, b) => Hnsw.appendHnswIndexShardedBatch(spark, idx, b))
+        // serve drift: fan-out over nSh + nBatches graphs vs the
+        // routed nSh, then reshard-compact the segments and re-serve
+        Hnsw.ShardGraphCache.invalidate(); Hnsw.invalidateDriftChecks()
+        Hnsw.annHnswServeSharded(spark, dir, idxSeg).count() // warm
+        val segServe = minOf2(Hnsw.annHnswServeSharded(spark, dir, idxSeg,
+          nQueries = 100).count())
+        Hnsw.annHnswServeSharded(spark, dir, idxRoute).count() // warm
+        val routeServe = minOf2(Hnsw.annHnswServeSharded(spark, dir, idxRoute,
+          nQueries = 100).count())
+        val tc = System.nanoTime()
+        Hnsw.reshardHnswIndexSharded(spark, idxSeg, nSh)
+        val compactS = (System.nanoTime() - tc) / 1e9
+        Hnsw.annHnswServeSharded(spark, dir, idxSeg).count() // warm
+        val compServe = minOf2(Hnsw.annHnswServeSharded(spark, dir, idxSeg,
+          nQueries = 100).count())
+        println(f"HNSWMAINTAIN n=$n%-8d nShards=$nSh%-3d batches=$nBatches%-3d " +
+          f"batchSize=$batchSize%-6d segAppend=$segS%6.2fs/batch " +
+          f"routedAppend=$routeS%6.2fs/batch " +
+          f"serve100 seg=$segServe%5.2fs routed=$routeServe%5.2fs " +
+          f"compact=$compactS%6.1fs servedCompacted=$compServe%5.2fs")
+        def rmM(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmM)); f.delete(); ()
+        }
+        rmM(new java.io.File(dir))
+      }
+      spark.stop(); return
+    }
 
     if (reshard) {
       val rungs: Seq[(Long, Int, Int, Int)] =
