@@ -653,32 +653,35 @@ object Hnsw {
     }
   }
 
-  /** Hidden-file convention (shared with Spark's own listing): `_`
-    * metadata and `.` working files are not shard content. */
+  /** Hidden-file convention (shared with Spark's own listing and
+    * [[graft.sources.ContentStamp]]): `_` metadata and `.` working
+    * files are not shard content. */
   private def isVisible(name: String): Boolean =
-    !name.startsWith(".") && !name.startsWith("_")
+    graft.sources.ContentStamp.isVisible(name)
 
-  /** One FS listing of `indexPath/graph` → (shard, content stamp) per
-    * `shard=` partition, ascending. The stamp (sorted
-    * name:length:mtime of visible files) is the residency key: it
-    * changes exactly when the shard's bytes change. Driver-side, one
-    * RPC round to the index's own filesystem — the per-batch cost of
-    * serving from a mutable index. */
+  /** One FS listing pass of `indexPath/graph` → (shard, content stamp)
+    * per NON-EMPTY `shard=` partition, ascending (stamps via
+    * [[graft.sources.ContentStamp]] — the residency key changes
+    * exactly when the shard's bytes change). Driver-side, one RPC
+    * round per shard dir to the index's own filesystem — the per-batch
+    * cost of serving from a mutable index. EMPTY dirs (no visible
+    * files — the debris of a failed segment write, whose committer
+    * aborted before any part file landed) are SKIPPED, not served: an
+    * empty partition has no graph, no entry row, and nothing a walk
+    * could find; refusing on it would take serving down until manual
+    * cleanup for a write the replay already made whole. */
   private def shardStamps(indexPath: String,
-                          conf: org.apache.hadoop.conf.Configuration): Seq[(Int, String)] = {
+                          conf: org.apache.hadoop.conf.Configuration,
+                          spark: SparkSession): Seq[(Int, String)] = {
     val graphPath = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
     val fs = graphPath.getFileSystem(conf)
     fs.listStatus(graphPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
       .map { st =>
-        val shard = st.getPath.getName.stripPrefix("shard=").toInt
-        val stamp = fs.listStatus(st.getPath).toSeq
-          .filter(f => f.isFile && isVisible(f.getPath.getName))
-          .sortBy(_.getPath.getName)
-          .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-          .mkString(";")
-        (shard, stamp)
+        (st.getPath.getName.stripPrefix("shard=").toInt,
+          graft.sources.ContentStamp.of(spark, st.getPath.toString))
       }
+      .filter(_._2.nonEmpty)
       .sortBy(_._1)
   }
 
@@ -772,19 +775,22 @@ object Hnsw {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     val hconf = spark.sparkContext.hadoopConfiguration
-    val stamps = shardStamps(indexPath, hconf)
+    val stamps = shardStamps(indexPath, hconf, spark)
     require(stamps.nonEmpty,
-      s"$indexPath/graph has no shard= partitions — not a populated " +
-        "writeHnswIndexSharded index")
+      s"$indexPath/graph has no populated shard= partitions — not a " +
+        "populated writeHnswIndexSharded index")
     // corpus/index drift refuses loudly (the loadGraph contract, made
     // cheap for the fan-out path): an un-indexed corpus vector is in no
     // shard graph, so no walk can ever shortlist it, and an indexed id
     // missing from the corpus silently drops from the rescore join.
     // nIndexed == nCorpus plus indexed ⊆ corpus ⇒ the id sets are
     // equal — two id-only aggregates, no wide shuffle. Validated once
-    // per (session, corpus, index CONTENT) — the resident tier's
-    // check-at-load; an append (new stamp) re-validates.
-    val globalStamp = stamps.map { case (s, st) => s"$s=$st" }.mkString("|")
+    // per (session, CORPUS content, index CONTENT) — the resident
+    // tier's check-at-load; an append (new index stamp) OR an in-place
+    // corpus rewrite (new corpus stamp — the ContentStamp contract
+    // every other memo carries) re-validates.
+    val globalStamp = stamps.map { case (s, st) => s"$s=$st" }.mkString("|") +
+      "||" + corpusStamp(spark, dir)
     val driftKey = (spark.sparkContext.applicationId, dir, indexPath, globalStamp)
     if (!shardedDriftChecked.contains(driftKey)) {
       val graph = spark.read.parquet(s"$indexPath/graph")
@@ -920,15 +926,25 @@ object Hnsw {
     import spark.implicits._
     val graphPath = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
     val gfs = graphPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (level0Ids, nextSegment) =
-      if (gfs.exists(graphPath)) {
-        val g = spark.read.parquet(graphPath.toString)
-        val maxShard = gfs.listStatus(graphPath).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
-          .map(_.getPath.getName.stripPrefix("shard=").toInt)
-          .foldLeft(-1)(math.max)
-        (g.filter(col("level") === 0).select(col("vec_id")), maxShard + 1)
-      } else (spark.emptyDataset[Long].toDF("vec_id"), 0)
+    // content-aware, not exists-aware: a FAILED first segment write
+    // leaves graph/ holding only an empty shard= dir (the committer
+    // aborted before any part file landed), and reading that would
+    // fail schema inference and wedge the maintain stream. Empty dirs
+    // still count toward segment-id allocation (never reuse a dir
+    // that a concurrent abort may still be touching).
+    val hasContent =
+      graft.sources.ContentStamp.of(spark, graphPath.toString).nonEmpty
+    val nextSegment =
+      if (!gfs.exists(graphPath)) 0
+      else gfs.listStatus(graphPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+        .map(_.getPath.getName.stripPrefix("shard=").toInt)
+        .foldLeft(-1)(math.max) + 1
+    val level0Ids =
+      if (hasContent)
+        spark.read.parquet(graphPath.toString)
+          .filter(col("level") === 0).select(col("vec_id"))
+      else spark.emptyDataset[Long].toDF("vec_id")
     val fresh = newVecs.select(col("vec_id"), col("embedding"))
       .dropDuplicates("vec_id")
       .join(level0Ids, Seq("vec_id"), "left_anti")
@@ -996,11 +1012,14 @@ object Hnsw {
     val nShards = intField(meta, "nShards")
     import spark.implicits._
     val graphPath = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
-    val gfs = graphPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a maintained index's FIRST batch finds no graph/ yet — the empty
-    // relation makes every arriving vector fresh and every routed
-    // shard a from-scratch buildGraph (rest.isEmpty below)
-    val graph = if (gfs.exists(graphPath)) spark.read.parquet(graphPath.toString)
+    // a maintained index's FIRST batch finds no graph/ CONTENT yet
+    // (absent, or only a failed write's empty dir — content-aware like
+    // the segment path) — the empty relation makes every arriving
+    // vector fresh and every routed shard a from-scratch buildGraph
+    // (rest.isEmpty below)
+    val graph =
+      if (graft.sources.ContentStamp.of(spark, graphPath.toString).nonEmpty)
+        spark.read.parquet(graphPath.toString)
       else spark.emptyDataset[ShardRow].toDF()
     val level0Ids = graph.filter(col("level") === 0).select(col("vec_id"))
     val fresh = vecs.join(level0Ids, Seq("vec_id"), "left_anti")
@@ -1075,17 +1094,26 @@ object Hnsw {
     * same vectors (spec-pinned; file-internal row order may differ —
     * [[graphFromRows]] is order-insensitive).
     *
-    * `graph/` swaps first (staged on the index's filesystem, then a
-    * STATIC overwrite — `shard=` dirs from the old count must vanish,
-    * which dynamic overwrite would leave behind on a shrink), then
-    * `_meta.json` rewrites nShards. A crash between the two leaves new
-    * graph + old meta, which misroutes only FUTURE appends' shard
-    * ASSIGNMENT — never answers: serve fans out over the directory
-    * listing (every query walks every shard) and append's diff is the
-    * global level-0 id set, so membership is balance, not truth;
-    * re-running the reshard repairs it. Every shard's content stamp
-    * changes, so all residency ([[ShardGraphCache]]) and drift
-    * validations re-key structurally. */
+    * `graph/` swaps first (the rebuilt graph is STAGED complete on the
+    * index's own filesystem, then the old dir is deleted and the
+    * staging RENAMED in — the old count's `shard=` dirs and any
+    * accumulated segments must vanish, which a dynamic overwrite would
+    * leave behind; the staged copy is kept on any failure, because for
+    * a segment-maintained index it can be the only complete copy), then
+    * `_meta.json` rewrites nShards. A crash between swap and meta
+    * leaves new graph + old meta, which misroutes only FUTURE appends'
+    * shard ASSIGNMENT — never answers: serve fans out over the
+    * directory listing (every query walks every shard) and append's
+    * diff is the global level-0 id set, so membership is balance, not
+    * truth; re-running the reshard repairs it. A crash inside the swap
+    * itself leaves `.staging-reshard` complete and the refusal names
+    * the one-rename recovery. Every shard's content stamp changes, so
+    * all residency ([[ShardGraphCache]]) and drift validations re-key
+    * structurally. Doubling as COMPACTION: accumulated
+    * [[appendHnswIndexSegment]] partitions fold back into the balanced
+    * id-modulo layout — the no-op guard checks the LAYOUT, not just
+    * the meta count, so an equal-count reshard with segments present
+    * still runs. */
   def reshardHnswIndexSharded(spark: SparkSession, indexPath: String,
                               newNShards: Int): Unit = {
     require(newNShards >= 1, s"newNShards must be >= 1, got $newNShards")
@@ -1101,6 +1129,10 @@ object Hnsw {
     // compaction — it must run
     val gp = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
     val gFs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(gFs.exists(gp) &&
+      graft.sources.ContentStamp.of(spark, gp.toString).nonEmpty,
+      s"$indexPath/graph has no populated shard= partitions — a meta-only " +
+        "maintained index has nothing to reshard yet; feed it a batch first")
     val dirs = gFs.listStatus(gp).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
       .map(_.getPath.getName.stripPrefix("shard=").toInt).toSet
@@ -1118,17 +1150,24 @@ object Hnsw {
       }
     val staging = new org.apache.hadoop.fs.Path(s"$indexPath/.staging-reshard")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(staging, true) // a crashed reshard's leftovers
-    try {
-      rebuilt.toDF()
-        .write.mode("overwrite").partitionBy("shard").parquet(staging.toString)
-      spark.read.parquet(staging.toString)
-        .repartition(col("shard")) // keep the one-file-per-shard layout
-        .write.mode("overwrite") // static: the OLD count's shard= dirs must go
-        .partitionBy("shard").parquet(s"$indexPath/graph")
-    } finally {
-      fs.delete(staging, true); ()
-    }
+    fs.delete(staging, true) // a PRIOR crashed reshard's leftovers
+    // the staged relation IS the final layout (one task per shard ⇒
+    // one file per shard= dir), so the swap is delete + RENAME — no
+    // second Spark job, and the old graph is removed only AFTER the
+    // staged copy fully committed. Staging is KEPT if anything below
+    // throws: for a segment-maintained index the staged copy may be
+    // the only complete one (its vectors need not exist in any
+    // corpus), so failure recovery is `mv .staging-reshard graph`,
+    // named in the refusals. A crash between the delete and the
+    // rename leaves exactly that state.
+    rebuilt.toDF()
+      .write.mode("overwrite").partitionBy("shard").parquet(staging.toString)
+    require(fs.delete(gp, true),
+      s"reshard: could not remove the old $gp; the complete resharded " +
+        s"graph is at $staging — rename it to graph/ to recover")
+    require(fs.rename(staging, gp),
+      s"reshard: rename $staging -> $gp failed; the complete resharded " +
+        "graph is at the staging path — rename it to graph/ to recover")
     graft.sources.IndexMeta.write(indexPath, Seq(
       "family" -> "hnsw_sharded", "m" -> m,
       "efConstruction" -> efC, "nShards" -> newNShards))
@@ -1267,7 +1306,7 @@ object Hnsw {
     * memo (and half of [[servedStamp]]): a regenerated corpus under
     * the same path must rebuild. */
   private def corpusStamp(spark: SparkSession, dir: String): String =
-    graft.sources.ContentStamp.of(spark, s"$dir/embeddings.parquet")
+    graft.sources.ContentStamp.ofCorpus(spark, dir)
 
   private def fileListingStamp(spark: SparkSession, pathStr: String): String =
     graft.sources.ContentStamp.of(spark, pathStr)

@@ -179,7 +179,7 @@ object Similarity {
     (String, String, Int, Int, Int, String), Seq[Seq[Array[Float]]]]()
 
   private def corpusStamp(spark: SparkSession, dir: String): String =
-    graft.sources.ContentStamp.of(spark, s"$dir/embeddings.parquet")
+    graft.sources.ContentStamp.ofCorpus(spark, dir)
 
   private[graft] def centsFor(spark: SparkSession, dir: String, nClusters: Int,
                        iters: Int, trainFraction: Double): Seq[(Long, Array[Float])] = {

@@ -550,6 +550,54 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(Similarity.annBruteForce(spark, grown2)))
   }
 
+  test("a failed segment write's EMPTY shard dir neither breaks serve " +
+      "nor gets reused for the next segment") {
+    import org.apache.spark.sql.functions.col
+    val base = forgeCorpus(col("vec_id") < 100)
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-empty").toString
+    Hnsw.writeHnswIndexSharded(spark, base, idx, nShards = 4)
+    // the debris a committer abort leaves: a shard= dir with no
+    // visible files (only working-file droppings)
+    val debris = new java.io.File(s"$idx/graph/shard=4")
+    debris.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(debris.getPath, "_temporary"),
+      Array.empty[Byte])
+    Hnsw.ShardGraphCache.invalidate(); Hnsw.invalidateDriftChecks()
+    assert(rows(Hnsw.annHnswServeSharded(spark, base, idx, efSearch = 256)) ==
+      rows(Similarity.annBruteForce(spark, base)),
+      "serve must skip the empty partition, not refuse on it")
+    // the next segment allocates PAST the debris (never reuse a dir a
+    // concurrent abort may still touch)
+    val grown = forgeCorpus(col("vec_id") < 110)
+    assert(Hnsw.appendHnswIndexSegment(spark, idx,
+      graft.Tables.embeddings(spark, grown).filter(col("vec_id") >= 100)) == 10L)
+    assert(new java.io.File(s"$idx/graph/shard=5").isDirectory,
+      "segment ids must allocate past the empty dir")
+    assert(rows(Hnsw.annHnswServeSharded(spark, grown, idx, efSearch = 256)) ==
+      rows(Similarity.annBruteForce(spark, grown)))
+  }
+
+  test("sharded serve re-validates drift after an IN-PLACE corpus " +
+      "rewrite — the drift check is corpus-stamped, not corpus-pathed") {
+    import org.apache.spark.sql.functions.col
+    val dir = forgeCorpus(col("vec_id") < 100)
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-driftstamp").toString
+    Hnsw.writeHnswIndexSharded(spark, dir, idx, nShards = 4)
+    Hnsw.invalidateDriftChecks()
+    assert(rows(Hnsw.annHnswServeSharded(spark, dir, idx, efSearch = 256)) ==
+      rows(Similarity.annBruteForce(spark, dir))) // drift check cached
+    // regenerate the corpus under the SAME path with a smaller id set:
+    // the index now holds ids 80-99 that no corpus row backs — a
+    // path-keyed drift cache would skip the check and serve them
+    graft.Tables.embeddings(spark, sf).filter(col("vec_id") < 80)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.annHnswServeSharded(spark, dir, idx).collect()
+    }
+    assert(e.getMessage.contains("not in the corpus"), e.getMessage)
+  }
+
   test("streaming maintain: hnswMaintainQuery grows the index per " +
       "micro-batch, serves exactly, and a full replay changes nothing") {
     import org.apache.spark.sql.functions.col
