@@ -710,6 +710,39 @@ object Bench {
       intakeRate("stream_curate_intake_20k", intake20kFixture())((ds, idx, out, ckpt) =>
         streaming.Runner.curateIntakeQuery(spark, sfDir, idx, ds, out, ckpt))
     }
+    // streaming HNSW index maintenance (round 13): the sf embedding
+    // table fed as 4 micro-batches through hnswMaintainQuery's
+    // LSM-segment default, a fresh index per attempt. Like the intake
+    // floors, sf-scale input (2 k vectors at sf0.1) makes this the
+    // FIXED-COST FLOOR of the loop (checkpoint + per-batch left-anti +
+    // one small segment build/write per trigger), carried on the
+    // artifact so the maintain path is round-over-round comparable;
+    // SCALE.md's maintain A/B prices the sustained 1e6-base shape.
+    // Guard: every fed vector indexed exactly once (level-0 count).
+    val streamHnswMaintainRate: Double = streamSection("stream_hnsw_maintain") {
+      import org.apache.spark.sql.functions.col
+      val fix = {
+        val d = java.nio.file.Files.createTempDirectory("graft-bench-hnswfix").toString
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+          .repartition(4).write.mode("overwrite").parquet(d)
+        d
+      }
+      val nVecs = spark.read.parquet(fix).count()
+      val schema = spark.read.parquet(fix).schema
+      guardedRate("stream_hnsw_maintain") { () =>
+        val idx = java.nio.file.Files.createTempDirectory("graft-bench-hnswidx").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-hnswckpt").toString
+        val vecStream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(fix)
+        val sec = timedStream(partitions = 8) { () =>
+          streaming.Runner.hnswMaintainQuery(spark, idx, vecStream, ckpt)
+        }
+        val indexed = spark.read.parquet(s"$idx/graph")
+          .filter(col("level") === 0).count()
+        if (indexed != nVecs) -1.0 else nVecs / sec
+      }
+    }
     // second anchor: sustained load that began after the first
     // calibration (mid-queries or mid-streams) is only visible here —
     // compare calib_end_sec to calib_sec before trusting a slow run
@@ -789,7 +822,8 @@ object Bench {
       "stream_heavy_hitters_rocksdb" -> streamHhRate,
       "stream_dedup_intake" -> streamDedupIntakeRate,
       "stream_curate_intake" -> streamCurateIntakeRate,
-      "stream_curate_intake_20k" -> streamCurateIntake20kRate)
+      "stream_curate_intake_20k" -> streamCurateIntake20kRate,
+      "stream_hnsw_maintain" -> streamHnswMaintainRate)
       .map { case (n, r) => s""""${n}_rows_per_calib":${streamNorm(n, r)}""" }
       .mkString(",")
     val streamCalibsJson = streamCalibs
@@ -815,6 +849,7 @@ object Bench {
       s""""stream_dedup_intake_rows_per_sec":${streamDedupIntakeRate.toLong},""" +
       s""""stream_curate_intake_rows_per_sec":${streamCurateIntakeRate.toLong},""" +
       s""""stream_curate_intake_20k_rows_per_sec":${streamCurateIntake20kRate.toLong},""" +
+      s""""stream_hnsw_maintain_rows_per_sec":${streamHnswMaintainRate.toLong},""" +
       streamNormJson + "," +
       s""""stream_topology_local4_max_trigger_ms":${local4Parity.maxMs},""" +
       s""""stream_topology_local4_mean_trigger_ms":${local4Parity.meanMs},""" +
