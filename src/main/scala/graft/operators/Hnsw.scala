@@ -659,31 +659,28 @@ object Hnsw {
   private def isVisible(name: String): Boolean =
     graft.sources.ContentStamp.isVisible(name)
 
-  /** One FS listing pass of `indexPath/graph` → (shard, content stamp)
-    * per NON-EMPTY `shard=` partition, ascending (stamps via
-    * [[graft.sources.ContentStamp]] — the residency key changes
-    * exactly when the shard's bytes change). Driver-side, one RPC
-    * round per shard dir to the index's own filesystem — the per-batch
-    * cost of serving from a mutable index. EMPTY dirs (no visible
-    * files — the debris of a failed segment write, whose committer
-    * aborted before any part file landed) are SKIPPED, not served: an
-    * empty partition has no graph, no entry row, and nothing a walk
-    * could find; refusing on it would take serving down until manual
-    * cleanup for a write the replay already made whole. */
+  /** ONE recursive FS listing of `indexPath/graph` → (shard, content
+    * stamp) per NON-EMPTY `shard=` partition, ascending (stamps via
+    * [[graft.sources.ContentStamp.ofChildren]] — the residency key
+    * changes exactly when the shard's bytes change, and the per-shard
+    * stamps are byte-identical to the per-dir `ContentStamp.of` walks
+    * this replaced, so resident graphs keyed under the old shape stay
+    * valid). Driver-side, one listing pass to the index's own
+    * filesystem per serve call — NOT one RPC round per shard dir,
+    * which at the prescribed ~1.25e5 vectors/shard would be ~8,000
+    * round-trips per serve batch on a 1e9-vector index. EMPTY dirs (no
+    * visible files — the debris of a failed segment write, whose
+    * committer aborted before any part file landed) are SKIPPED, not
+    * served: an empty partition has no graph, no entry row, and
+    * nothing a walk could find; refusing on it would take serving down
+    * until manual cleanup for a write the replay already made whole. */
   private def shardStamps(indexPath: String,
-                          conf: org.apache.hadoop.conf.Configuration,
-                          spark: SparkSession): Seq[(Int, String)] = {
-    val graphPath = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
-    val fs = graphPath.getFileSystem(conf)
-    fs.listStatus(graphPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
-      .map { st =>
-        (st.getPath.getName.stripPrefix("shard=").toInt,
-          graft.sources.ContentStamp.of(spark, st.getPath.toString))
+                          spark: SparkSession): Seq[(Int, String)] =
+    graft.sources.ContentStamp.ofChildren(spark, s"$indexPath/graph")
+      .collect { case (name, stamp) if name.startsWith("shard=") =>
+        (name.stripPrefix("shard=").toInt, stamp)
       }
-      .filter(_._2.nonEmpty)
       .sortBy(_._1)
-  }
 
   /** Read one shard partition's [[ShardRow]]s EXECUTOR-SIDE, straight
     * from its parquet files (parquet-hadoop's Group API — public,
@@ -739,10 +736,18 @@ object Hnsw {
   /** Drift validations already paid this session, keyed by the index
     * CONTENT stamp — a serving tier validates corpus/index agreement
     * once at graph load, not per batch; any index rewrite (new stamp)
-    * or new corpus dir re-validates. */
+    * or new corpus dir re-validates. Stale-stamp entries for the same
+    * (app, dir, indexPath) are purged before each new validation (the
+    * removeIf pattern every stamp-keyed memo uses): the stamp embeds
+    * the full per-shard file listing, so under a maintain stream every
+    * batch mints a new one — without the purge the designed steady
+    * state (maintain + per-batch serve) would accrete dead entries
+    * forever. */
   private val shardedDriftChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, String, String)]()
   private[graft] def invalidateDriftChecks(): Unit = shardedDriftChecked.clear()
+  /** Observability + the spec's leak pin: live drift entries. */
+  private[graft] def driftCheckedSize: Int = shardedDriftChecked.size()
 
   /** Serve from a [[writeHnswIndexSharded]] index — the fan-out/merge
     * deployment in its SERVING-TIER shape: the bounded query set fans
@@ -775,7 +780,8 @@ object Hnsw {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
     val hconf = spark.sparkContext.hadoopConfiguration
-    val stamps = shardStamps(indexPath, hconf, spark)
+    recoverStagedReshard(spark, indexPath)
+    val stamps = shardStamps(indexPath, spark)
     require(stamps.nonEmpty,
       s"$indexPath/graph has no populated shard= partitions — not a " +
         "populated writeHnswIndexSharded index")
@@ -792,6 +798,9 @@ object Hnsw {
     val globalStamp = stamps.map { case (s, st) => s"$s=$st" }.mkString("|") +
       "||" + corpusStamp(spark, dir)
     val driftKey = (spark.sparkContext.applicationId, dir, indexPath, globalStamp)
+    shardedDriftChecked.removeIf(k =>
+      k._1 == driftKey._1 && k._2 == dir && k._3 == indexPath &&
+        k._4 != globalStamp)
     if (!shardedDriftChecked.contains(driftKey)) {
       val graph = spark.read.parquet(s"$indexPath/graph")
       val level0Ids = graph.filter(col("level") === 0).select(col("vec_id"))
@@ -848,6 +857,7 @@ object Hnsw {
     * Returns the number of vectors appended. */
   def appendHnswIndexSharded(spark: SparkSession, dir: String,
                              indexPath: String): Long = {
+    recoverStagedReshard(spark, indexPath)
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     // reverse drift refuses loudly (the loadGraph contract): an indexed
     // id with no corpus vector cannot be walked through
@@ -923,6 +933,7 @@ object Hnsw {
       s"$indexPath is a '${strField(meta, "family")}' index, not hnsw_sharded")
     val m = intField(meta, "m")
     val efC = intField(meta, "efConstruction")
+    recoverStagedReshard(spark, indexPath)
     import spark.implicits._
     val graphPath = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
     val gfs = graphPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1010,6 +1021,7 @@ object Hnsw {
     val m = intField(meta, "m")
     val efC = intField(meta, "efConstruction")
     val nShards = intField(meta, "nShards")
+    recoverStagedReshard(spark, indexPath)
     import spark.implicits._
     val graphPath = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
     // a maintained index's FIRST batch finds no graph/ CONTENT yet
@@ -1079,6 +1091,41 @@ object Hnsw {
     nNew
   }
 
+  /** Crash recovery for [[reshardHnswIndexSharded]]'s swap window: a
+    * crash between the old graph's delete and the staging rename
+    * leaves `.staging-reshard` as the ONLY complete copy (for a
+    * segment-maintained index its vectors need not exist in any
+    * corpus, so losing it loses data). Every entry point that reads
+    * `graph/` — serve, all three appends, reshard itself — calls this
+    * first: when `graph/` has no visible content but a COMPLETE staged
+    * copy exists (`_SUCCESS`, the committer's all-files-landed
+    * marker), the staged copy is renamed into place and the operation
+    * proceeds normally — one rename, no operator in the loop, and no
+    * window in which a maintain stream could write a fresh tiny
+    * segment next to a stranded full copy (the failure the old
+    * "feed it a batch first" refusal used to invite). An INCOMPLETE
+    * staging (no `_SUCCESS`: the crash hit during the staged write, so
+    * the old graph is still intact or the index genuinely empty) is
+    * not content and is left for reshard's own pre-write cleanup.
+    * Returns true when a recovery was performed. */
+  private[graft] def recoverStagedReshard(spark: SparkSession,
+                                          indexPath: String): Boolean = {
+    val gp = new org.apache.hadoop.fs.Path(s"$indexPath/graph")
+    val staging = new org.apache.hadoop.fs.Path(s"$indexPath/.staging-reshard")
+    val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (graft.sources.ContentStamp.of(spark, gp.toString).nonEmpty) return false
+    if (!fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+      return false
+    // removes at most an EMPTY graph/ (no visible content — the crash
+    // left either no dir at all or working-file droppings)
+    if (fs.exists(gp)) fs.delete(gp, true)
+    require(fs.rename(staging, gp),
+      s"reshard recovery: rename $staging -> $gp failed; the complete " +
+        "resharded graph is at the staging path — rename it to graph/ " +
+        "to recover")
+    true
+  }
+
   /** Re-balance a [[writeHnswIndexSharded]] index to a NEW shard
     * count — the growth operation the scale ladder demands: the 1e7
     * rung (SCALE.md §"Sharded HNSW") measured that per-shard SIZE, not
@@ -1106,8 +1153,9 @@ object Hnsw {
     * directory listing (every query walks every shard) and append's
     * diff is the global level-0 id set, so membership is balance, not
     * truth; re-running the reshard repairs it. A crash inside the swap
-    * itself leaves `.staging-reshard` complete and the refusal names
-    * the one-rename recovery. Every shard's content stamp changes, so
+    * itself leaves `.staging-reshard` complete, and EVERY graph-reading
+    * entry point auto-recovers it ([[recoverStagedReshard]]) — no
+    * operator in the loop. Every shard's content stamp changes, so
     * all residency ([[ShardGraphCache]]) and drift validations re-key
     * structurally. Doubling as COMPACTION: accumulated
     * [[appendHnswIndexSegment]] partitions fold back into the balanced
@@ -1123,6 +1171,7 @@ object Hnsw {
       s"$indexPath is a '${strField(meta, "family")}' index, not hnsw_sharded")
     val m = intField(meta, "m")
     val efC = intField(meta, "efConstruction")
+    recoverStagedReshard(spark, indexPath)
     // no-op ONLY when the layout already IS the target id-modulo one:
     // equal meta count with extra `shard=` dirs means accumulated
     // SEGMENTS (appendHnswIndexSegment), and reshard is their

@@ -666,4 +666,81 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(chain.contains("dial mismatch"), chain)
     } finally q2.stop()
   }
+
+  test("drift-check memo stays ONE live entry per served index under " +
+      "the maintain-then-serve steady state (stale stamps purged)") {
+    import org.apache.spark.sql.functions.col
+    val corpus = forgeCorpus(col("vec_id") < 100)
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-driftleak").toString
+    Hnsw.writeHnswIndexSharded(spark, corpus, idx, nShards = 4)
+    Hnsw.invalidateDriftChecks()
+    // the designed steady state: maintain batch → serve, repeated —
+    // every batch mints a NEW index stamp (and the in-place corpus
+    // growth a new corpus stamp), so without the purge each cycle
+    // would add one dead entry forever
+    (0 until 3).foreach { i =>
+      graft.Tables.embeddings(spark, sf)
+        .filter(col("vec_id") < 100 + 10 * (i + 1))
+        .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+      Hnsw.appendHnswIndexSegment(spark, idx,
+        graft.Tables.embeddings(spark, corpus)
+          .filter(col("vec_id") >= 100 + 10 * i))
+      Hnsw.annHnswServeSharded(spark, corpus, idx, efSearch = 256).count()
+    }
+    assert(Hnsw.driftCheckedSize == 1,
+      s"stale drift entries must purge, got ${Hnsw.driftCheckedSize}")
+  }
+
+  test("a crash between reshard's delete and rename auto-recovers: the " +
+      "stranded complete staging is renamed in by serve, segment append " +
+      "and reshard — never overwritten by a fresh tiny segment") {
+    import org.apache.spark.sql.functions.col
+    val corpus = forgeCorpus(col("vec_id") < 100)
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-crash").toString
+    Hnsw.writeHnswIndexSharded(spark, corpus, idx, nShards = 4)
+    val exact = rows(Similarity.annBruteForce(spark, corpus))
+    def forgeCrash(): Unit = {
+      // graph/ carries _SUCCESS from its own committed write, so the
+      // moved dir is exactly the complete staged copy the swap leaves
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$idx/graph"),
+        java.nio.file.Paths.get(s"$idx/.staging-reshard"))
+      assert(new java.io.File(s"$idx/.staging-reshard/_SUCCESS").exists())
+    }
+    forgeCrash()
+    Hnsw.ShardGraphCache.invalidate(); Hnsw.invalidateDriftChecks()
+    assert(rows(Hnsw.annHnswServeSharded(spark, corpus, idx, efSearch = 256))
+      == exact, "serve must auto-recover the stranded staging")
+    assert(new java.io.File(s"$idx/graph/shard=0").isDirectory &&
+      !new java.io.File(s"$idx/.staging-reshard").exists(),
+      "recovery must be the one rename, not a copy")
+    // segment append on the crashed state: recover FIRST, then diff —
+    // a fresh-index append here would write a near-empty segment and
+    // strand the full copy
+    forgeCrash()
+    val grown = forgeCorpus(col("vec_id") < 110)
+    assert(Hnsw.appendHnswIndexSegment(spark, idx,
+      graft.Tables.embeddings(spark, grown)) == 10L,
+      "append must diff against the RECOVERED graph (10 new), not " +
+        "treat the index as empty (110)")
+    assert(rows(Hnsw.annHnswServeSharded(spark, grown, idx, efSearch = 256))
+      == rows(Similarity.annBruteForce(spark, grown)))
+    // reshard on the crashed state completes instead of refusing
+    forgeCrash()
+    Hnsw.reshardHnswIndexSharded(spark, idx, 8)
+    assert(rows(Hnsw.annHnswServeSharded(spark, grown, idx, efSearch = 256))
+      == rows(Similarity.annBruteForce(spark, grown)))
+    // an INCOMPLETE staging (no _SUCCESS) is not content: nothing to
+    // recover, the empty-index refusal stays loud
+    val idx2 = java.nio.file.Files.createTempDirectory("hnsw-crash2").toString
+    Hnsw.ensureShardedMeta(idx2, 8, 96, 4)
+    new java.io.File(s"$idx2/.staging-reshard/shard=0").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$idx2/.staging-reshard/shard=0/part-0"),
+      Array[Byte](1))
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.reshardHnswIndexSharded(spark, idx2, 8)
+    }
+    assert(e.getMessage.contains("nothing to reshard"), e.getMessage)
+  }
 }

@@ -50,6 +50,31 @@ class ContentStampSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a nested-partition rewrite must re-stamp")
   }
 
+  test("ofChildren: one deep listing == per-child of() walks, hidden " +
+      "dirs and root-level files excluded, empty children absent") {
+    val ss = spark; import ss.implicits._
+    val d = tmp()
+    Seq((1L, "0"), (2L, "1"), (3L, "0"), (4L, "2")).toDF("v", "shard")
+      .write.partitionBy("shard").parquet(s"$d/g")
+    // hidden working dir + empty child: neither is content
+    new java.io.File(s"$d/g/.staging-x").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$d/g/.staging-x/part-0"), Array[Byte](1))
+    new java.io.File(s"$d/g/shard=9").mkdirs()
+    val got = ContentStamp.ofChildren(spark, s"$d/g")
+    val expected = Seq("shard=0", "shard=1", "shard=2")
+      .map(c => (c, ContentStamp.of(spark, s"$d/g/$c")))
+    assert(got == expected,
+      "ofChildren must be byte-identical to per-child of() walks")
+    assert(!got.exists(_._1 == "shard=9"), "empty child must be absent")
+    assert(ContentStamp.ofChildren(spark, s"$d/absent") == Nil)
+    // NESTED child content: entries stay relative to the child
+    Seq((5L, "0", "x")).toDF("v", "shard", "sub")
+      .write.partitionBy("shard", "sub").parquet(s"$d/g2")
+    assert(ContentStamp.ofChildren(spark, s"$d/g2") ==
+      Seq(("shard=0", ContentStamp.of(spark, s"$d/g2/shard=0"))))
+  }
+
   test("working and metadata files are not content") {
     val ss = spark; import ss.implicits._
     val d = tmp()
