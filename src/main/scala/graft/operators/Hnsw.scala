@@ -607,8 +607,12 @@ object Hnsw {
     * break serve; the budget exists to stop unbounded accumulation
     * across many indexes, not to reject one big shard). */
   private[graft] object ShardGraphCache {
-    private val budget: Long = sys.props.get("graft.hnsw.residentVectors")
+    private val defaultBudget: Long = sys.props.get("graft.hnsw.residentVectors")
       .map(_.toLong).getOrElse(4000000L)
+    /** Spec hook: exercise eviction at a small budget without forking a
+      * JVM for the -D property. Production never sets it. */
+    @volatile private[graft] var budgetOverride: Option[Long] = None
+    private def budget: Long = budgetOverride.getOrElse(defaultBudget)
     // access-ordered: iteration starts at the least-recently-used entry
     private val lru = new java.util.LinkedHashMap[(String, Int, String), Graph](64, 0.75f, true)
     private var heldVectors: Long = 0L
@@ -616,6 +620,17 @@ object Hnsw {
 
     /** Parquet-load count — observability + the spec's cache-hit pin. */
     def loadCount: Long = loads.get()
+
+    /** The eviction ledger — spec-pinned: must equal the sum of
+      * resident graphs' vector counts across every put/evict path. */
+    private[graft] def heldVectorCount: Long = synchronized(heldVectors)
+
+    /** Resident keys in LRU order (least-recent first) — the spec's
+      * eviction-order pin. */
+    private[graft] def residentKeys: Seq[(String, Int, String)] = synchronized {
+      import scala.jdk.CollectionConverters._
+      lru.keySet.asScala.toSeq
+    }
 
     def residentShards(indexPath: String): Set[Int] = synchronized {
       import scala.jdk.CollectionConverters._

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ShardGraphCache LRU budget — the bookkeeping a serving tier
+  * leans on and a regression would silently break: eviction starts at
+  * the least-recently-USED graph, `heldVectors` tracks the resident
+  * sum exactly across every put/evict path, a single over-budget graph
+  * is kept alone rather than refused, and the just-inserted key is
+  * never its own victim. Exercised directly against the cache (no
+  * Spark) at a tiny overridden budget. */
+class ShardGraphCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private def graph(n: Int): Hnsw.Graph = {
+    val ids = Array.tabulate(n)(_.toLong)
+    val vecs = Array.fill(n)(Array(0f))
+    new Hnsw.Graph(ids, vecs, Array(Array.fill(n)(Array.empty[Int])), 0, 0, 8, 96)
+  }
+
+  private def put(idx: String, shard: Int, n: Int): Hnsw.Graph =
+    Hnsw.ShardGraphCache.get(idx, shard, s"stamp-$shard", () => graph(n))
+
+  override def beforeAll(): Unit = {
+    Hnsw.ShardGraphCache.budgetOverride = Some(10L)
+    Hnsw.ShardGraphCache.invalidate()
+  }
+  override def afterAll(): Unit = {
+    Hnsw.ShardGraphCache.budgetOverride = None
+    Hnsw.ShardGraphCache.invalidate()
+  }
+
+  test("eviction is LRU by ACCESS at the vector budget; heldVectors " +
+      "tracks the resident sum across every put and evict") {
+    Hnsw.ShardGraphCache.invalidate()
+    assert(Hnsw.ShardGraphCache.heldVectorCount == 0L)
+    val loads0 = Hnsw.ShardGraphCache.loadCount
+    put("idx", 0, 4); put("idx", 1, 4)
+    assert(Hnsw.ShardGraphCache.heldVectorCount == 8L)
+    assert(Hnsw.ShardGraphCache.loadCount == loads0 + 2)
+    // touch shard 0: shard 1 becomes the LRU victim
+    val hit = put("idx", 0, 4)
+    assert(Hnsw.ShardGraphCache.loadCount == loads0 + 2, "hit must not load")
+    put("idx", 2, 4) // 12 > 10: evict exactly ONE (shard 1), back to 8
+    assert(Hnsw.ShardGraphCache.residentShards("idx") == Set(0, 2),
+      "the least-recently-USED graph (shard 1, not the older-inserted " +
+        "but recently-touched shard 0) must be the victim")
+    assert(Hnsw.ShardGraphCache.heldVectorCount == 8L,
+      "eviction must give the victim's vectors back to the ledger")
+    // the evicted shard reloads on next touch (a real miss)
+    put("idx", 1, 4)
+    assert(Hnsw.ShardGraphCache.loadCount == loads0 + 4)
+    assert(Hnsw.ShardGraphCache.residentShards("idx") == Set(2, 1),
+      "the reload evicts the new LRU (shard 0)")
+    assert(hit.ids.length == 4)
+  }
+
+  test("a SINGLE graph over the whole budget is kept alone (refusing " +
+      "would break serve); the next insert evicts it") {
+    Hnsw.ShardGraphCache.invalidate()
+    put("big", 0, 25) // 25 > 10, cache empty: kept
+    assert(Hnsw.ShardGraphCache.residentShards("big") == Set(0),
+      "one over-budget graph must stay resident, not thrash")
+    assert(Hnsw.ShardGraphCache.heldVectorCount == 25L)
+    put("big", 1, 4) // over budget with 2 entries: the big one goes
+    assert(Hnsw.ShardGraphCache.residentShards("big") == Set(1))
+    assert(Hnsw.ShardGraphCache.heldVectorCount == 4L)
+  }
+
+  test("the just-inserted key is never its own victim even when it " +
+      "alone exceeds the budget with siblings resident") {
+    Hnsw.ShardGraphCache.invalidate()
+    put("mix", 0, 4); put("mix", 1, 4)
+    put("mix", 2, 25) // evicts 0 and 1, keeps ITSELF despite 25 > 10
+    assert(Hnsw.ShardGraphCache.residentShards("mix") == Set(2),
+      "eviction must drain the others and keep the inserted graph")
+    assert(Hnsw.ShardGraphCache.heldVectorCount == 25L)
+  }
+
+  test("invalidate() resets both the residency and the ledger") {
+    put("z", 0, 4)
+    Hnsw.ShardGraphCache.invalidate()
+    assert(Hnsw.ShardGraphCache.residentShards("z").isEmpty)
+    assert(Hnsw.ShardGraphCache.heldVectorCount == 0L)
+  }
+
+  test("multi-index pressure: budget is global across indexes and " +
+      "evicts the coldest regardless of which index owns it") {
+    Hnsw.ShardGraphCache.invalidate()
+    put("a", 0, 4); put("b", 0, 4)
+    put("c", 0, 4) // 12 > 10: "a" is coldest
+    assert(Hnsw.ShardGraphCache.residentShards("a").isEmpty)
+    assert(Hnsw.ShardGraphCache.residentShards("b") == Set(0))
+    assert(Hnsw.ShardGraphCache.residentShards("c") == Set(0))
+    assert(Hnsw.ShardGraphCache.heldVectorCount == 8L)
+  }
+}
