@@ -914,6 +914,200 @@ object Hnsw {
     appendVectorsSharded(spark, indexPath,
       newVecs.select(col("vec_id"), col("embedding")).dropDuplicates("vec_id"))
 
+  /** Sidecar Bloom filter over the index's level-0 vec_ids — the
+    * structure that makes the maintain stream's per-trigger DIFF flat
+    * in base-index size. Without it, [[appendHnswIndexSegment]]'s
+    * freshness check (idempotence: a replayed batch must append 0)
+    * left-antied every batch against EVERY level-0 id — distributed
+    * and column-pruned, but at a 1e9-vector maintained index that is a
+    * billion-row scan per 5 s trigger to discover that a 10 k-doc
+    * batch is new. With it, the steady state (genuinely new ids)
+    * resolves the diff from the broadcast bloom alone — zero index
+    * reads — and only ids the bloom flags as "maybe indexed" (true
+    * re-deliveries, plus false positives at the configured fpp=1e-6:
+    * ~1% of 10 k-row batches see ANY) fall back to the exact
+    * left-anti, preserving exact idempotence. A bloom can only err
+    * toward "maybe", so the fallback path makes wrong answers
+    * impossible; over-capacity insertion degrades fpp and therefore
+    * COST (more fallbacks, converging to the old per-batch scan),
+    * never correctness.
+    *
+    * Validity is content-stamped like every corpus-derived memo: the
+    * sidecar (`_idbloom` — underscore-prefixed, so Spark's listing and
+    * [[graft.sources.ContentStamp]] never see it as relation content)
+    * records the md5 of the `graph/` content stamp it was built
+    * against; a digest mismatch (out-of-band write, torn sidecar)
+    * makes it invisible and the next segment append rebuilds it from
+    * one distributed level-0 scan — the cost the sidecar normally
+    * saves, paid once. Every writer keeps it a SUPERSET of the
+    * level-0 id set: segment and routed appends fold their fresh ids
+    * in post-write; reshard (id-set-preserving) carries a valid bloom
+    * over to the new stamp. All filters are created with the same
+    * (capacity, fpp) so merges are compatible by construction.
+    *
+    * Sizing: ~3.6 bytes/id at fpp=1e-6 — 0.3% of the index's own
+    * bytes at 64-dim floats. `-Dgraft.hnsw.bloomCapacity` (default
+    * 1e6) should be set to the index's TARGET id count on a real
+    * deployment (SCALE.md prices the ladder). */
+  private[graft] object IdBloom {
+    import org.apache.spark.util.sketch.BloomFilter
+
+    private[graft] def capacity: Long = sys.props
+      .get("graft.hnsw.bloomCapacity").map(_.toLong).getOrElse(1000000L)
+    private val fpp: Double = 1e-6
+
+    private def sidecar(indexPath: String) =
+      new org.apache.hadoop.fs.Path(s"$indexPath/_idbloom")
+    private def fsOf(spark: SparkSession, indexPath: String) =
+      sidecar(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private def digestOf(stamp: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+
+    /** One live (digest, bloom) per (app, index) — replaced in place on
+      * every append, so the designed steady state holds one entry per
+      * maintained index, not one per batch. */
+    private val memo = new java.util.concurrent.ConcurrentHashMap[(String, String), (String, BloomFilter)]()
+    private[graft] def invalidateBloomMemo(): Unit = memo.clear()
+    /** Observability + the spec's rebuild pin. */
+    private val rebuilds = new java.util.concurrent.atomic.AtomicLong()
+    private[graft] def rebuildCount: Long = rebuilds.get()
+    /** Exact-check fallbacks taken (a batch had ≥1 "maybe indexed"
+      * id) — the spec pins that genuinely-new batches take none. */
+    private val fallbacks = new java.util.concurrent.atomic.AtomicLong()
+    private[graft] def fallbackCount: Long = fallbacks.get()
+    private[graft] def noteFallback(): Unit = { fallbacks.incrementAndGet(); () }
+
+    private def readSidecar(spark: SparkSession,
+                            indexPath: String): Option[(String, BloomFilter)] = {
+      val p = sidecar(indexPath)
+      val f = fsOf(spark, indexPath)
+      if (!f.exists(p)) return None
+      val in = f.open(p)
+      try Some((in.readUTF(), BloomFilter.readFrom(in)))
+      catch { case _: java.io.IOException => None } // torn write → rebuild
+      finally in.close()
+    }
+
+    private def writeSidecar(spark: SparkSession, indexPath: String,
+                             dg: String, bloom: BloomFilter): Unit = {
+      val f = fsOf(spark, indexPath)
+      val out = f.create(sidecar(indexPath), true)
+      try { out.writeUTF(dg); bloom.writeTo(out) } finally out.close()
+    }
+
+    /** Distributed build — executors fold partitions into same-dial
+      * filters, merged up a tree; nothing id-shaped crosses the driver
+      * row-by-row. */
+    private def buildBloom(ids: DataFrame): BloomFilter = {
+      val spark = ids.sparkSession
+      import spark.implicits._
+      ids.select(col("vec_id")).as[Long].rdd
+        .coalesce(64, shuffle = false) // bound the 3.6 MB zero-value fan-out
+        .treeAggregate(BloomFilter.create(capacity, fpp))(
+          (b, id) => { b.putLong(id); b },
+          (a, b) => { a.mergeInPlace(b); a })
+    }
+
+    /** The bloom valid for `stamp` WITHOUT rebuilding: session memo
+      * first, then the sidecar; None on any digest mismatch. */
+    private def validFor(spark: SparkSession, indexPath: String,
+                         stamp: String): Option[BloomFilter] = {
+      val key = (spark.sparkContext.applicationId, indexPath)
+      val dg = digestOf(stamp)
+      Option(memo.get(key)).collect { case (d, b) if d == dg => b }
+        .orElse(readSidecar(spark, indexPath).collect {
+          case (d, b) if d == dg =>
+            memo.put(key, (dg, b)); b
+        })
+    }
+
+    /** The bloom valid for `stamp`, rebuilding (and persisting the
+      * sidecar) from a distributed scan of `ids()` when no valid copy
+      * exists — the one-time migration / out-of-band-write recovery
+      * cost. An EMPTY stamp (graph not created yet) yields an empty
+      * filter without calling ids(). */
+    def forStamp(spark: SparkSession, indexPath: String, stamp: String,
+                 ids: () => DataFrame): BloomFilter =
+      validFor(spark, indexPath, stamp).getOrElse {
+        val b =
+          if (stamp.isEmpty) BloomFilter.create(capacity, fpp)
+          else { rebuilds.incrementAndGet(); buildBloom(ids()) }
+        writeSidecar(spark, indexPath, digestOf(stamp), b)
+        memo.put((spark.sparkContext.applicationId, indexPath),
+          (digestOf(stamp), b))
+        b
+      }
+
+    /** Eagerly materialize the bloom increment for an append's fresh
+      * ids. MUST run BEFORE the graph write commits: committing a
+      * write recaches-by-path every cached plan rooted at (or under)
+      * the written path, so a post-write evaluation of a `fresh` plan
+      * that left-antis against `graph/` would diff against the
+      * REWRITTEN graph, yield zero rows, and fold in nothing —
+      * silently breaking the superset invariant the whole scheme
+      * rests on. An action here pins the pre-write answer. */
+    private[graft] def incrementOf(ids: DataFrame): BloomFilter =
+      buildBloom(ids)
+
+    /** Fold a pre-materialized increment ([[incrementOf]]) in and
+      * re-key sidecar + memo to the POST-write `graph/` stamp. Runs
+      * only after the graph write committed; a failure between merge
+      * and sidecar write leaves the old-digest sidecar, which the next
+      * batch treats as invalid and rebuilds — self-healing, never
+      * stale-served. */
+    def mergeAndRestamp(spark: SparkSession, indexPath: String,
+                        bloom: BloomFilter, increment: BloomFilter): Unit = {
+      bloom.mergeInPlace(increment)
+      restamp(spark, indexPath, bloom)
+    }
+
+    private def restamp(spark: SparkSession, indexPath: String,
+                        bloom: BloomFilter): Unit = {
+      val dg = digestOf(
+        graft.sources.ContentStamp.of(spark, s"$indexPath/graph"))
+      writeSidecar(spark, indexPath, dg, bloom)
+      memo.put((spark.sparkContext.applicationId, indexPath), (dg, bloom))
+    }
+
+    /** After a write that did NOT change the id set (reshard /
+      * compaction): carry a pre-write-valid bloom over to the new
+      * stamp; drop an invalid one (ignored anyway — hygiene). */
+    def carryOver(spark: SparkSession, indexPath: String,
+                  preStamp: String): Unit =
+      validFor(spark, indexPath, preStamp) match {
+        case Some(b) => restamp(spark, indexPath, b)
+        case None =>
+          memo.remove((spark.sparkContext.applicationId, indexPath))
+          fsOf(spark, indexPath).delete(sidecar(indexPath), false); ()
+      }
+
+    /** A write that changed the id set withOUT folding its ids in (the
+      * corpus-diff routed append when no valid bloom existed): drop
+      * any sidecar so nothing downstream can trust a stale one. */
+    def drop(spark: SparkSession, indexPath: String): Unit = {
+      memo.remove((spark.sparkContext.applicationId, indexPath))
+      fsOf(spark, indexPath).delete(sidecar(indexPath), false); ()
+    }
+
+    /** The routed-append hook: a valid pre-write bloom gets the
+      * pre-materialized increment folded in post-write; no valid
+      * bloom → drop (the segment path will rebuild on its next
+      * touch). */
+    def afterRoutedAppend(spark: SparkSession, indexPath: String,
+                          preBloom: Option[BloomFilter],
+                          freshIncrement: Option[BloomFilter]): Unit =
+      (preBloom, freshIncrement) match {
+        case (Some(b), Some(inc)) => mergeAndRestamp(spark, indexPath, b, inc)
+        case _ => drop(spark, indexPath)
+      }
+
+    private[graft] def preBloomFor(spark: SparkSession, indexPath: String,
+                                   preStamp: String): Option[BloomFilter] =
+      validFor(spark, indexPath, preStamp)
+  }
+
   /** LSM-style batch append: the not-yet-indexed vectors of `newVecs`
     * land as ONE NEW `shard=` partition (a SEGMENT — graph built by a
     * single executor task, one file, nothing existing is opened or
@@ -958,44 +1152,78 @@ object Hnsw {
     // fail schema inference and wedge the maintain stream. Empty dirs
     // still count toward segment-id allocation (never reuse a dir
     // that a concurrent abort may still be touching).
-    val hasContent =
-      graft.sources.ContentStamp.of(spark, graphPath.toString).nonEmpty
+    val stampPre = graft.sources.ContentStamp.of(spark, graphPath.toString)
+    val hasContent = stampPre.nonEmpty
     val nextSegment =
       if (!gfs.exists(graphPath)) 0
       else gfs.listStatus(graphPath).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
         .map(_.getPath.getName.stripPrefix("shard=").toInt)
         .foldLeft(-1)(math.max) + 1
-    val level0Ids =
+    def level0Ids =
       if (hasContent)
         spark.read.parquet(graphPath.toString)
           .filter(col("level") === 0).select(col("vec_id"))
       else spark.emptyDataset[Long].toDF("vec_id")
-    val fresh = newVecs.select(col("vec_id"), col("embedding"))
+    // the BOUNDED diff ([[IdBloom]]): probe the batch against the
+    // broadcast id-bloom; ids the bloom has never seen are fresh with
+    // ZERO index reads (the steady state — per-trigger diff cost is
+    // O(|batch|), flat in base-index size), and only "maybe indexed"
+    // ids (re-deliveries + the fpp tail) pay the exact left-anti scan
+    // that used to run every batch
+    val bloom = IdBloom.forStamp(spark, indexPath, stampPre, () => level0Ids)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val probed = newVecs.select(col("vec_id"), col("embedding"))
       .dropDuplicates("vec_id")
-      .join(level0Ids, Seq("vec_id"), "left_anti")
-      .withColumn("shard", lit(nextSegment))
-      .as[(Long, Array[Float], Int)]
-      .persist() // counted, then (if non-empty) built — one diff join
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, bloomBc.value.mightContainLong(id)) }
+      .toDF("vec_id", "embedding", "maybe")
+      .persist() // probed once; feeds the maybe-count, the diff and the build
     try {
-      val nNew = fresh.count()
-      if (nNew == 0) return 0L // replay / fully-known batch: no segment
-      // write DIRECTLY into the new `shard=` dir (files without the
-      // partition column, exactly the layout partitionBy lands) — the
-      // write path is a child the read relation never listed, so no
-      // staging round is needed and nothing existing is opened
-      fresh
-        .groupByKey(_._3) // one group ⇒ one executor task builds the segment
-        .flatMapGroups { (shard: Int, it: Iterator[(Long, Array[Float], Int)]) =>
-          val rows = it.toArray.sortBy(_._1)
-          graphRows(buildGraph(rows.map(_._1), rows.map(_._2), m, efC), shard)
-        }
-        .toDF().drop("shard")
-        .repartition(1) // one file per segment — the one-file-per-shard layout
-        .write.mode("overwrite")
-        .parquet(s"$indexPath/graph/shard=$nextSegment")
-      nNew
-    } finally { fresh.unpersist(blocking = false); () }
+      // the guard keeps the level-0 relation OUT of the plan entirely
+      // when no id needs the exact check (count is batch-bounded)
+      val nMaybe = probed.filter(col("maybe")).count()
+      if (nMaybe > 0) IdBloom.noteFallback()
+      val freshRows =
+        if (nMaybe == 0) probed
+        else probed.filter(!col("maybe")).unionByName(
+          probed.filter(col("maybe"))
+            .join(level0Ids, Seq("vec_id"), "left_anti"))
+      val fresh = freshRows
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("shard", lit(nextSegment))
+        .as[(Long, Array[Float], Int)]
+        .persist() // counted, then (if non-empty) built — one diff pass
+      try {
+        val nNew = fresh.count()
+        if (nNew == 0) return 0L // replay / fully-known batch: no segment
+        // the bloom increment is materialized BEFORE the write (see
+        // [[IdBloom.incrementOf]]): `fresh`'s fallback branch left-antis
+        // against graph/, and a committed write under that root may
+        // recache-by-path the plan — evaluated after, it would diff
+        // against the rewritten graph and fold in nothing
+        val increment = IdBloom.incrementOf(fresh.toDF().select(col("vec_id")))
+        // write DIRECTLY into the new `shard=` dir (files without the
+        // partition column, exactly the layout partitionBy lands) — the
+        // write path is a child the read relation never listed, so no
+        // staging round is needed and nothing existing is opened
+        fresh
+          .groupByKey(_._3) // one group ⇒ one executor task builds the segment
+          .flatMapGroups { (shard: Int, it: Iterator[(Long, Array[Float], Int)]) =>
+            val rows = it.toArray.sortBy(_._1)
+            graphRows(buildGraph(rows.map(_._1), rows.map(_._2), m, efC), shard)
+          }
+          .toDF().drop("shard")
+          .repartition(1) // one file per segment — the one-file-per-shard layout
+          .write.mode("overwrite")
+          .parquet(s"$indexPath/graph/shard=$nextSegment")
+        // post-write: fold the appended ids in and re-key to the new
+        // stamp, so the NEXT batch's probe sees them (idempotence
+        // without the scan)
+        IdBloom.mergeAndRestamp(spark, indexPath, bloom, increment)
+        nNew
+      } finally { fresh.unpersist(blocking = false); () }
+    } finally { probed.unpersist(blocking = false); () }
   }
 
   /** Create-or-match the sharded-index `_meta.json` — the
@@ -1044,18 +1272,24 @@ object Hnsw {
     // the segment path) — the empty relation makes every arriving
     // vector fresh and every routed shard a from-scratch buildGraph
     // (rest.isEmpty below)
+    val stampPre = graft.sources.ContentStamp.of(spark, graphPath.toString)
+    // a valid pre-write bloom ([[IdBloom]]) gets this append's ids
+    // folded in post-write; captured BEFORE the rewrite (the diff
+    // below must never recompute against the rewritten graph)
+    val preBloom = IdBloom.preBloomFor(spark, indexPath, stampPre)
     val graph =
-      if (graft.sources.ContentStamp.of(spark, graphPath.toString).nonEmpty)
+      if (stampPre.nonEmpty)
         spark.read.parquet(graphPath.toString)
       else spark.emptyDataset[ShardRow].toDF()
     val level0Ids = graph.filter(col("level") === 0).select(col("vec_id"))
     val fresh = vecs.join(level0Ids, Seq("vec_id"), "left_anti")
       .withColumn("shard", pmod(col("vec_id"), lit(nShards.toLong)).cast("int"))
+      .persist() // touched-collect + count + pending + the bloom fold
     // bounded collect: ≤ nShards ids — the probed-cells pattern; also
     // the idempotence early-out (no new vectors → no write at all)
     val touched = fresh.select(col("shard")).distinct()
       .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) return 0L
+    if (touched.isEmpty) { fresh.unpersist(blocking = false); return 0L }
     val nNew = fresh.count()
     // pending rows ride the same ShardRow relation as level = -2
     // markers (vector present, no adjacency) so ONE group per shard
@@ -1092,6 +1326,14 @@ object Hnsw {
     val staging = new org.apache.hadoop.fs.Path(s"$indexPath/.staging-append")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(staging, true) // a crashed append's leftovers
+    // the bloom increment must be materialized BEFORE the graph/
+    // overwrite commits: the commit recaches-by-path every cached plan
+    // rooted at graph/ — including `fresh`, whose left-anti would then
+    // re-evaluate against the REWRITTEN graph, yield zero rows, and
+    // fold in nothing (silently breaking the superset invariant).
+    // `.persist()` does not protect against recache-by-path.
+    val freshIncrement =
+      preBloom.map(_ => IdBloom.incrementOf(fresh.select(col("vec_id"))))
     try {
       updated.toDF()
         .write.mode("overwrite").partitionBy("shard").parquet(staging.toString)
@@ -1100,8 +1342,11 @@ object Hnsw {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("shard").parquet(s"$indexPath/graph")
+      // keep the id-bloom sidecar a superset of level-0
+      IdBloom.afterRoutedAppend(spark, indexPath, preBloom, freshIncrement)
     } finally {
-      fs.delete(staging, true); ()
+      fs.delete(staging, true)
+      fresh.unpersist(blocking = false); ()
     }
     nNew
   }
@@ -1202,6 +1447,9 @@ object Hnsw {
       .map(_.getPath.getName.stripPrefix("shard=").toInt).toSet
     if (intField(meta, "nShards") == newNShards &&
       dirs == (0 until newNShards).toSet) return
+    // resharding regroups the SAME id set — a valid id-bloom carries
+    // over to the post-swap stamp below instead of being rebuilt
+    val stampPre = graft.sources.ContentStamp.of(spark, gp.toString)
     import spark.implicits._
     val rebuilt = spark.read.parquet(s"$indexPath/graph")
       .filter(col("level") === 0)
@@ -1235,6 +1483,7 @@ object Hnsw {
     graft.sources.IndexMeta.write(indexPath, Seq(
       "family" -> "hnsw_sharded", "m" -> m,
       "efConstruction" -> efC, "nShards" -> newNShards))
+    IdBloom.carryOver(spark, indexPath, stampPre)
   }
 
   // ---------------------------------------------------------------

@@ -667,6 +667,86 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("bounded diff: a genuinely-new batch resolves freshness from " +
+      "the id-bloom alone (no exact-check fallback, no rebuild); " +
+      "replays and dup rows still left-anti to 0 through the fallback") {
+    import org.apache.spark.sql.functions.col
+    val corpus = forgeCorpus(col("vec_id") < 140)
+    val emb = graft.Tables.embeddings(spark, corpus)
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-bloom").toString
+    Hnsw.ensureShardedMeta(idx, 8, 96, 4)
+    Hnsw.IdBloom.invalidateBloomMemo()
+    val rb0 = Hnsw.IdBloom.rebuildCount
+    val fb0 = Hnsw.IdBloom.fallbackCount
+    // three all-new batches: the steady state — the diff must come
+    // from the bloom probe alone (fpp=1e-6 on tiny batches: no FPs)
+    assert(Hnsw.appendHnswIndexSegment(spark, idx,
+      emb.filter(col("vec_id") < 50)) == 50L)
+    assert(Hnsw.appendHnswIndexSegment(spark, idx,
+      emb.filter(col("vec_id") >= 50 && col("vec_id") < 100)) == 50L)
+    assert(Hnsw.appendHnswIndexSegment(spark, idx,
+      emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)) == 20L)
+    assert(Hnsw.IdBloom.fallbackCount == fb0,
+      "all-new batches must take ZERO exact-check fallbacks")
+    assert(Hnsw.IdBloom.rebuildCount == rb0,
+      "the maintained sidecar must never need a rebuild")
+    // a full replay: every id is a bloom hit → the exact check runs
+    // once and confirms nothing is fresh
+    assert(Hnsw.appendHnswIndexSegment(spark, idx,
+      emb.filter(col("vec_id") < 120)) == 0L)
+    assert(Hnsw.IdBloom.fallbackCount == fb0 + 1,
+      "a replay goes through the exact check — and appends 0")
+    // overlap + intra-batch dup: only the truly-new ids land
+    assert(Hnsw.appendHnswIndexSegment(spark, idx,
+      emb.filter(col("vec_id") >= 110 && col("vec_id") < 130)
+        .unionAll(emb.filter(col("vec_id") === 125L))) == 10L)
+    val served = forgeCorpus(col("vec_id") < 130)
+    Hnsw.ShardGraphCache.invalidate(); Hnsw.invalidateDriftChecks()
+    assert(rows(Hnsw.annHnswServeSharded(spark, served, idx, efSearch = 256))
+      == rows(Similarity.annBruteForce(spark, served)))
+    // session restart (memo cold): the SIDECAR answers — no rebuild —
+    // and idempotence still holds
+    Hnsw.IdBloom.invalidateBloomMemo()
+    val rb1 = Hnsw.IdBloom.rebuildCount
+    assert(Hnsw.appendHnswIndexSegment(spark, idx,
+      emb.filter(col("vec_id") < 130)) == 0L)
+    assert(Hnsw.IdBloom.rebuildCount == rb1,
+      "a cold memo must read the sidecar, not rescan level-0")
+    // an out-of-band id-set change (routed append with no valid bloom
+    // present) DROPS the sidecar; the next segment append rebuilds it
+    // from one scan and stays idempotent
+    Hnsw.IdBloom.invalidateBloomMemo()
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$idx/_idbloom"))
+    val grown = forgeCorpus(col("vec_id") < 135)
+    assert(Hnsw.appendHnswIndexShardedBatch(spark, idx,
+      graft.Tables.embeddings(spark, grown)
+        .filter(col("vec_id") >= 130)) == 5L)
+    val rb2 = Hnsw.IdBloom.rebuildCount
+    assert(Hnsw.appendHnswIndexSegment(spark, idx,
+      graft.Tables.embeddings(spark, grown)) == 0L,
+      "post-rebuild idempotence: the whole corpus is already indexed")
+    assert(Hnsw.IdBloom.rebuildCount == rb2 + 1,
+      "no valid sidecar after the out-of-band path → exactly one rebuild")
+    // reshard preserves the id set → the bloom CARRIES OVER: the next
+    // replay needs neither rebuild nor (bloom-miss) fresh inserts
+    Hnsw.reshardHnswIndexSharded(spark, idx, 8)
+    assert(Hnsw.appendHnswIndexSegment(spark, idx,
+      graft.Tables.embeddings(spark, grown)) == 0L)
+    assert(Hnsw.IdBloom.rebuildCount == rb2 + 1,
+      "a valid bloom must survive reshard via carry-over, not rebuild")
+    // routed append WITH a valid bloom folds its ids in: the following
+    // segment replay sees them with no rebuild
+    val grown2 = forgeCorpus(col("vec_id") < 140)
+    assert(Hnsw.appendHnswIndexShardedBatch(spark, idx,
+      graft.Tables.embeddings(spark, grown2)
+        .filter(col("vec_id") >= 135)) == 5L)
+    assert(Hnsw.appendHnswIndexSegment(spark, idx,
+      graft.Tables.embeddings(spark, grown2)) == 0L)
+    assert(Hnsw.IdBloom.rebuildCount == rb2 + 1,
+      "the routed fold must keep the sidecar valid — no rebuild")
+  }
+
   test("drift-check memo stays ONE live entry per served index under " +
       "the maintain-then-serve steady state (stale stamps purged)") {
     import org.apache.spark.sql.functions.col
