@@ -743,6 +743,86 @@ object Bench {
         if (indexed != nVecs) -1.0 else nVecs / sec
       }
     }
+    // amortized HNSW maintain (r13 verdict Next #6): the sf-table feed
+    // above is the FIXED-COST FLOOR (~500 vectors/trigger at sf0.1 —
+    // checkpoint + diff + one tiny segment build per trigger);
+    // production maintain batches are bigger and the segment path's
+    // cost is BATCH-sized, so the floor under-reports sustained
+    // throughput exactly the way the intake floor did (the 20 k-doc
+    // precedent above). Carry the amortized point: ONE 20 k-vector
+    // trigger of clustered hash-jittered synthetic embeddings (the
+    // DriveHnswScale corpus shape — the sf table is too small for an
+    // amortized feed), fresh index per attempt. Guard: every fed
+    // vector indexed exactly once (level-0 count).
+    val streamHnswMaintain20kRate: Double = streamSection("stream_hnsw_maintain_20k") {
+      import org.apache.spark.sql.functions._
+      val nVecs = 20000L
+      val fix = {
+        val d = java.nio.file.Files.createTempDirectory("graft-bench-hnsw20k").toString
+        val dim = 64
+        spark.range(nVecs).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)), i => {
+            val grp = pmod(col("id"), lit(64))
+            val center = pmod(grp * (i + 7) + grp * grp * 13, lit(401))
+              .cast("double") - 200.0
+            (center + pmod(xxhash64(col("id"), i), lit(160000)).cast("double")
+              / 10000.0 - 8.0).cast("float")
+          }).as("embedding"))
+          .coalesce(1).write.mode("overwrite").parquet(d)
+        d
+      }
+      val schema = spark.read.parquet(fix).schema
+      guardedRate("stream_hnsw_maintain_20k") { () =>
+        val idx = java.nio.file.Files.createTempDirectory("graft-bench-hnsw20kidx").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-hnsw20kckpt").toString
+        val vecStream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(fix)
+        val sec = timedStream(partitions = 8) { () =>
+          streaming.Runner.hnswMaintainQuery(spark, idx, vecStream, ckpt)
+        }
+        val indexed = spark.read.parquet(s"$idx/graph")
+          .filter(col("level") === 0).count()
+        if (indexed != nVecs) -1.0 else nVecs / sec
+      }
+    }
+    // ONLINE HNSW serving (r13 verdict Next #3): a (query_id,
+    // embedding) stream answered per micro-batch from the AT-REST
+    // sharded index (hnswServeQuery → annHnswServeShardedQueries
+    // through ShardGraphCache) — the deployment a vector store runs.
+    // Two ~50-query batches against the bench's prebuilt sf index;
+    // shard residency persists across attempts (the production steady
+    // state — the serving tier stays warm), so this line prices walks
+    // + rescore + the K5 sink, not reconstruction
+    // (v19_ann_hnsw_serve carries the cold tier). Rate over query
+    // rows. Guard: exactly k answers for every query across both
+    // batches.
+    val streamHnswServeRate: Double = streamSection("stream_hnsw_serve") {
+      import org.apache.spark.sql.functions.col
+      val idx = hnswShardedIndexFor(spark, sfDir)
+      val nQ = 100L
+      val fix = {
+        val d = java.nio.file.Files.createTempDirectory("graft-bench-hnswsrvfix").toString
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+          .repartition(2).write.mode("overwrite").parquet(d)
+        d
+      }
+      val schema = spark.read.parquet(fix).schema
+      guardedRate("stream_hnsw_serve") { () =>
+        val out = java.nio.file.Files.createTempDirectory("graft-bench-hnswsrvout").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-hnswsrvckpt").toString
+        val qStream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(fix)
+        val sec = timedStream(partitions = 8) { () =>
+          streaming.Runner.hnswServeQuery(spark, idx, qStream, out, ckpt)
+        }
+        val answers = spark.read.parquet(out)
+        if (answers.count() != nQ * 5 ||
+            answers.select(col("query_id")).distinct().count() != nQ) -1.0
+        else nQ / sec
+      }
+    }
     // second anchor: sustained load that began after the first
     // calibration (mid-queries or mid-streams) is only visible here —
     // compare calib_end_sec to calib_sec before trusting a slow run
@@ -823,7 +903,9 @@ object Bench {
       "stream_dedup_intake" -> streamDedupIntakeRate,
       "stream_curate_intake" -> streamCurateIntakeRate,
       "stream_curate_intake_20k" -> streamCurateIntake20kRate,
-      "stream_hnsw_maintain" -> streamHnswMaintainRate)
+      "stream_hnsw_maintain" -> streamHnswMaintainRate,
+      "stream_hnsw_maintain_20k" -> streamHnswMaintain20kRate,
+      "stream_hnsw_serve" -> streamHnswServeRate)
       .map { case (n, r) => s""""${n}_rows_per_calib":${streamNorm(n, r)}""" }
       .mkString(",")
     val streamCalibsJson = streamCalibs
@@ -850,6 +932,8 @@ object Bench {
       s""""stream_curate_intake_rows_per_sec":${streamCurateIntakeRate.toLong},""" +
       s""""stream_curate_intake_20k_rows_per_sec":${streamCurateIntake20kRate.toLong},""" +
       s""""stream_hnsw_maintain_rows_per_sec":${streamHnswMaintainRate.toLong},""" +
+      s""""stream_hnsw_maintain_20k_rows_per_sec":${streamHnswMaintain20kRate.toLong},""" +
+      s""""stream_hnsw_serve_rows_per_sec":${streamHnswServeRate.toLong},""" +
       streamNormJson + "," +
       s""""stream_topology_local4_max_trigger_ms":${local4Parity.maxMs},""" +
       s""""stream_topology_local4_mean_trigger_ms":${local4Parity.meanMs},""" +

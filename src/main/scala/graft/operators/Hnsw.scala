@@ -697,6 +697,17 @@ object Hnsw {
       }
       .sortBy(_._1)
 
+  /** Number of POPULATED `shard=` partitions currently on disk — the
+    * LSM depth ([[appendHnswIndexSegment]] adds one per non-empty
+    * batch; [[reshardHnswIndexSharded]] folds them back to the
+    * balanced nShards layout) that
+    * [[graft.streaming.Runner.hnswMaintainQuery]]'s merge policy
+    * watches. One recursive listing (the [[shardStamps]] walk); empty
+    * dirs — aborted writes that never landed a file — don't count,
+    * matching what serve fans out over. */
+  def shardPartitionCount(spark: SparkSession, indexPath: String): Int =
+    shardStamps(indexPath, spark).size
+
   /** Read one shard partition's [[ShardRow]]s EXECUTOR-SIDE, straight
     * from its parquet files (parquet-hadoop's Group API — public,
     * ships with Spark) — no DataFrame scan, no shuffle: the serving
@@ -794,7 +805,6 @@ object Hnsw {
     val efC = intField(meta, "efConstruction")
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    val hconf = spark.sparkContext.hadoopConfiguration
     recoverStagedReshard(spark, indexPath)
     val stamps = shardStamps(indexPath, spark)
     require(stamps.nonEmpty,
@@ -835,17 +845,62 @@ object Hnsw {
       shardedDriftChecked.add(driftKey)
     }
     val qs = collectQueries(spark, emb, nQueries)
+    serveShardedCore(spark, indexPath, qs, k, efSearch, stamps, m, efC)
+  }
+
+  /** Serve a caller-supplied batch of query vectors from a
+    * [[writeHnswIndexSharded]] index — the entry the ONLINE deployment
+    * uses ([[graft.streaming.Runner.hnswServeQuery]] calls this per
+    * micro-batch): queries arrive as (query_id, embedding) rows
+    * instead of being drawn from the indexed corpus, and the answer
+    * comes from the INDEX ALONE — shortlists carry their vectors off
+    * the resident shard graphs ([[ShardGraphCache]]) and the exact
+    * rescore never opens the corpus, so there is no corpus dir to
+    * drift-check and no scan whose cost grows with corpus size. The
+    * query batch is collected to the driver (the serve-batch contract
+    * every ANN serve path shares: a micro-batch of queries is
+    * dial-bounded, not corpus-shaped). Query ids share the corpus id
+    * space; a candidate whose vec_id equals the query_id is dropped as
+    * a self-match, same as every HNSW path. */
+  def annHnswServeShardedQueries(spark: SparkSession, indexPath: String,
+                                 queries: DataFrame, k: Int = 5,
+                                 efSearch: Int = 64): DataFrame = {
+    import graft.sources.IndexMeta.{intField, strField}
+    val meta = graft.sources.IndexMeta.readRaw(indexPath, "writeHnswIndexSharded")
+    require(strField(meta, "family") == "hnsw_sharded",
+      s"$indexPath is a '${strField(meta, "family")}' index, not hnsw_sharded")
+    import spark.implicits._
+    recoverStagedReshard(spark, indexPath)
+    val stamps = shardStamps(indexPath, spark)
+    require(stamps.nonEmpty,
+      s"$indexPath/graph has no populated shard= partitions — not a " +
+        "populated writeHnswIndexSharded index")
+    val qs = queries.select(col("query_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    serveShardedCore(spark, indexPath, qs, k, efSearch, stamps,
+      intField(meta, "m"), intField(meta, "efConstruction"))
+  }
+
+  /** The fan-out/merge core shared by [[annHnswServeSharded]] (corpus
+    * queries, drift-checked against `dir`) and
+    * [[annHnswServeShardedQueries]] (caller queries — the online
+    * serve). One element per partition ⇒ exactly one task per shard
+    * (the fan-out layout residency assumes: shard s is always the
+    * whole unit of work, so its graph is resident wherever s last
+    * ran). Candidates carry their vectors off the resident graph
+    * ([[searchShardWithVecs]]): the rescore never touches the corpus,
+    * so the serve's repeat cost is walks + a shortlist-bounded window,
+    * independent of corpus size. */
+  private def serveShardedCore(spark: SparkSession, indexPath: String,
+                               qs: Array[(Long, Array[Float])], k: Int,
+                               efSearch: Int, stamps: Seq[(Int, String)],
+                               m: Int, efC: Int): DataFrame = {
+    import spark.implicits._
     val confProps = {
       import scala.jdk.CollectionConverters._
-      hconf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
     }
-    // one element per partition ⇒ exactly one task per shard (the
-    // fan-out layout residency assumes: shard s is always the whole
-    // unit of work, so its graph is resident wherever s last ran).
-    // Candidates carry their vectors off the resident graph
-    // ([[searchShardWithVecs]]): the rescore below never touches the
-    // corpus, so the serve's repeat cost is walks + a
-    // shortlist-bounded window, independent of corpus size.
     val shortlist = spark.sparkContext
       .parallelize(stamps, stamps.size)
       .flatMap { case (shard, stamp) =>
@@ -942,13 +997,19 @@ object Hnsw {
     * saves, paid once. Every writer keeps it a SUPERSET of the
     * level-0 id set: segment and routed appends fold their fresh ids
     * in post-write; reshard (id-set-preserving) carries a valid bloom
-    * over to the new stamp. All filters are created with the same
-    * (capacity, fpp) so merges are compatible by construction.
+    * over to the new stamp. Merge compatibility is pinned by
+    * PERSISTING the creation-time capacity in the sidecar: increments
+    * are always built at the sidecar's own recorded capacity, never
+    * the current `-D` value, so an operator changing the property
+    * mid-life cannot produce an incompatible merge — the new capacity
+    * takes effect at the next rebuild.
     *
     * Sizing: ~3.6 bytes/id at fpp=1e-6 — 0.3% of the index's own
     * bytes at 64-dim floats. `-Dgraft.hnsw.bloomCapacity` (default
     * 1e6) should be set to the index's TARGET id count on a real
-    * deployment (SCALE.md prices the ladder). */
+    * deployment (SCALE.md prices the ladder; past capacity the fpp —
+    * and with it the fallback frequency, i.e. COST — degrades
+    * gracefully). */
   private[graft] object IdBloom {
     import org.apache.spark.util.sketch.BloomFilter
 
@@ -965,10 +1026,10 @@ object Hnsw {
       md.digest(stamp.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
 
-    /** One live (digest, bloom) per (app, index) — replaced in place on
-      * every append, so the designed steady state holds one entry per
-      * maintained index, not one per batch. */
-    private val memo = new java.util.concurrent.ConcurrentHashMap[(String, String), (String, BloomFilter)]()
+    /** One live (digest, capacity, bloom) per (app, index) — replaced
+      * in place on every append, so the designed steady state holds
+      * one entry per maintained index, not one per batch. */
+    private val memo = new java.util.concurrent.ConcurrentHashMap[(String, String), (String, Long, BloomFilter)]()
     private[graft] def invalidateBloomMemo(): Unit = memo.clear()
     /** Observability + the spec's rebuild pin. */
     private val rebuilds = new java.util.concurrent.atomic.AtomicLong()
@@ -980,95 +1041,102 @@ object Hnsw {
     private[graft] def noteFallback(): Unit = { fallbacks.incrementAndGet(); () }
 
     private def readSidecar(spark: SparkSession,
-                            indexPath: String): Option[(String, BloomFilter)] = {
+                            indexPath: String): Option[(String, Long, BloomFilter)] = {
       val p = sidecar(indexPath)
       val f = fsOf(spark, indexPath)
       if (!f.exists(p)) return None
       val in = f.open(p)
-      try Some((in.readUTF(), BloomFilter.readFrom(in)))
+      try Some((in.readUTF(), in.readLong(), BloomFilter.readFrom(in)))
       catch { case _: java.io.IOException => None } // torn write → rebuild
       finally in.close()
     }
 
     private def writeSidecar(spark: SparkSession, indexPath: String,
-                             dg: String, bloom: BloomFilter): Unit = {
+                             dg: String, cap: Long, bloom: BloomFilter): Unit = {
       val f = fsOf(spark, indexPath)
       val out = f.create(sidecar(indexPath), true)
-      try { out.writeUTF(dg); bloom.writeTo(out) } finally out.close()
+      try { out.writeUTF(dg); out.writeLong(cap); bloom.writeTo(out) }
+      finally out.close()
     }
 
-    /** Distributed build — executors fold partitions into same-dial
-      * filters, merged up a tree; nothing id-shaped crosses the driver
-      * row-by-row. */
-    private def buildBloom(ids: DataFrame): BloomFilter = {
+    /** Distributed build at an EXPLICIT capacity (the sidecar's own
+      * recorded one for increments, the current `-D` for creations) —
+      * executors fold partitions into same-dial filters, merged up a
+      * tree; nothing id-shaped crosses the driver row-by-row. */
+    private def buildBloom(ids: DataFrame, cap: Long): BloomFilter = {
       val spark = ids.sparkSession
       import spark.implicits._
       ids.select(col("vec_id")).as[Long].rdd
         .coalesce(64, shuffle = false) // bound the 3.6 MB zero-value fan-out
-        .treeAggregate(BloomFilter.create(capacity, fpp))(
+        .treeAggregate(BloomFilter.create(cap, fpp))(
           (b, id) => { b.putLong(id); b },
           (a, b) => { a.mergeInPlace(b); a })
     }
 
-    /** The bloom valid for `stamp` WITHOUT rebuilding: session memo
-      * first, then the sidecar; None on any digest mismatch. */
+    /** The (capacity, bloom) valid for `stamp` WITHOUT rebuilding:
+      * session memo first, then the sidecar; None on any digest
+      * mismatch. */
     private def validFor(spark: SparkSession, indexPath: String,
-                         stamp: String): Option[BloomFilter] = {
+                         stamp: String): Option[(Long, BloomFilter)] = {
       val key = (spark.sparkContext.applicationId, indexPath)
       val dg = digestOf(stamp)
-      Option(memo.get(key)).collect { case (d, b) if d == dg => b }
+      Option(memo.get(key)).collect { case (d, c, b) if d == dg => (c, b) }
         .orElse(readSidecar(spark, indexPath).collect {
-          case (d, b) if d == dg =>
-            memo.put(key, (dg, b)); b
+          case (d, c, b) if d == dg =>
+            memo.put(key, (dg, c, b)); (c, b)
         })
     }
 
-    /** The bloom valid for `stamp`, rebuilding (and persisting the
-      * sidecar) from a distributed scan of `ids()` when no valid copy
-      * exists — the one-time migration / out-of-band-write recovery
-      * cost. An EMPTY stamp (graph not created yet) yields an empty
-      * filter without calling ids(). */
+    /** The (capacity, bloom) valid for `stamp`, rebuilding (and
+      * persisting the sidecar) from a distributed scan of `ids()` when
+      * no valid copy exists — the one-time migration /
+      * out-of-band-write recovery cost. An EMPTY stamp (graph not
+      * created yet) yields an empty filter without calling ids().
+      * Creations (both branches) take the capacity from the current
+      * `-Dgraft.hnsw.bloomCapacity`; a LOADED sidecar keeps its own. */
     def forStamp(spark: SparkSession, indexPath: String, stamp: String,
-                 ids: () => DataFrame): BloomFilter =
+                 ids: () => DataFrame): (Long, BloomFilter) =
       validFor(spark, indexPath, stamp).getOrElse {
+        val cap = capacity
         val b =
-          if (stamp.isEmpty) BloomFilter.create(capacity, fpp)
-          else { rebuilds.incrementAndGet(); buildBloom(ids()) }
-        writeSidecar(spark, indexPath, digestOf(stamp), b)
+          if (stamp.isEmpty) BloomFilter.create(cap, fpp)
+          else { rebuilds.incrementAndGet(); buildBloom(ids(), cap) }
+        writeSidecar(spark, indexPath, digestOf(stamp), cap, b)
         memo.put((spark.sparkContext.applicationId, indexPath),
-          (digestOf(stamp), b))
-        b
+          (digestOf(stamp), cap, b))
+        (cap, b)
       }
 
     /** Eagerly materialize the bloom increment for an append's fresh
-      * ids. MUST run BEFORE the graph write commits: committing a
-      * write recaches-by-path every cached plan rooted at (or under)
-      * the written path, so a post-write evaluation of a `fresh` plan
-      * that left-antis against `graph/` would diff against the
-      * REWRITTEN graph, yield zero rows, and fold in nothing —
-      * silently breaking the superset invariant the whole scheme
-      * rests on. An action here pins the pre-write answer. */
-    private[graft] def incrementOf(ids: DataFrame): BloomFilter =
-      buildBloom(ids)
+      * ids, at the TARGET bloom's own capacity (merge compatibility by
+      * construction). MUST run BEFORE the graph write commits:
+      * committing a write recaches-by-path every cached plan rooted at
+      * (or under) the written path, so a post-write evaluation of a
+      * `fresh` plan that left-antis against `graph/` would diff
+      * against the REWRITTEN graph, yield zero rows, and fold in
+      * nothing — silently breaking the superset invariant the whole
+      * scheme rests on. An action here pins the pre-write answer. */
+    private[graft] def incrementOf(ids: DataFrame, cap: Long): BloomFilter =
+      buildBloom(ids, cap)
 
-    /** Fold a pre-materialized increment ([[incrementOf]]) in and
-      * re-key sidecar + memo to the POST-write `graph/` stamp. Runs
-      * only after the graph write committed; a failure between merge
-      * and sidecar write leaves the old-digest sidecar, which the next
-      * batch treats as invalid and rebuilds — self-healing, never
-      * stale-served. */
-    def mergeAndRestamp(spark: SparkSession, indexPath: String,
+    /** Fold a pre-materialized increment ([[incrementOf]], same
+      * capacity) in and re-key sidecar + memo to the POST-write
+      * `graph/` stamp. Runs only after the graph write committed; a
+      * failure between merge and sidecar write leaves the old-digest
+      * sidecar, which the next batch treats as invalid and rebuilds —
+      * self-healing, never stale-served. */
+    def mergeAndRestamp(spark: SparkSession, indexPath: String, cap: Long,
                         bloom: BloomFilter, increment: BloomFilter): Unit = {
       bloom.mergeInPlace(increment)
-      restamp(spark, indexPath, bloom)
+      restamp(spark, indexPath, cap, bloom)
     }
 
     private def restamp(spark: SparkSession, indexPath: String,
-                        bloom: BloomFilter): Unit = {
+                        cap: Long, bloom: BloomFilter): Unit = {
       val dg = digestOf(
         graft.sources.ContentStamp.of(spark, s"$indexPath/graph"))
-      writeSidecar(spark, indexPath, dg, bloom)
-      memo.put((spark.sparkContext.applicationId, indexPath), (dg, bloom))
+      writeSidecar(spark, indexPath, dg, cap, bloom)
+      memo.put((spark.sparkContext.applicationId, indexPath), (dg, cap, bloom))
     }
 
     /** After a write that did NOT change the id set (reshard /
@@ -1077,7 +1145,7 @@ object Hnsw {
     def carryOver(spark: SparkSession, indexPath: String,
                   preStamp: String): Unit =
       validFor(spark, indexPath, preStamp) match {
-        case Some(b) => restamp(spark, indexPath, b)
+        case Some((c, b)) => restamp(spark, indexPath, c, b)
         case None =>
           memo.remove((spark.sparkContext.applicationId, indexPath))
           fsOf(spark, indexPath).delete(sidecar(indexPath), false); ()
@@ -1096,15 +1164,16 @@ object Hnsw {
       * bloom → drop (the segment path will rebuild on its next
       * touch). */
     def afterRoutedAppend(spark: SparkSession, indexPath: String,
-                          preBloom: Option[BloomFilter],
+                          preBloom: Option[(Long, BloomFilter)],
                           freshIncrement: Option[BloomFilter]): Unit =
       (preBloom, freshIncrement) match {
-        case (Some(b), Some(inc)) => mergeAndRestamp(spark, indexPath, b, inc)
+        case (Some((c, b)), Some(inc)) =>
+          mergeAndRestamp(spark, indexPath, c, b, inc)
         case _ => drop(spark, indexPath)
       }
 
     private[graft] def preBloomFor(spark: SparkSession, indexPath: String,
-                                   preStamp: String): Option[BloomFilter] =
+                                   preStamp: String): Option[(Long, BloomFilter)] =
       validFor(spark, indexPath, preStamp)
   }
 
@@ -1171,7 +1240,8 @@ object Hnsw {
     // O(|batch|), flat in base-index size), and only "maybe indexed"
     // ids (re-deliveries + the fpp tail) pay the exact left-anti scan
     // that used to run every batch
-    val bloom = IdBloom.forStamp(spark, indexPath, stampPre, () => level0Ids)
+    val (bloomCap, bloom) =
+      IdBloom.forStamp(spark, indexPath, stampPre, () => level0Ids)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val probed = newVecs.select(col("vec_id"), col("embedding"))
       .dropDuplicates("vec_id")
@@ -1202,7 +1272,8 @@ object Hnsw {
         // against graph/, and a committed write under that root may
         // recache-by-path the plan — evaluated after, it would diff
         // against the rewritten graph and fold in nothing
-        val increment = IdBloom.incrementOf(fresh.toDF().select(col("vec_id")))
+        val increment =
+          IdBloom.incrementOf(fresh.toDF().select(col("vec_id")), bloomCap)
         // write DIRECTLY into the new `shard=` dir (files without the
         // partition column, exactly the layout partitionBy lands) — the
         // write path is a child the read relation never listed, so no
@@ -1220,7 +1291,7 @@ object Hnsw {
         // post-write: fold the appended ids in and re-key to the new
         // stamp, so the NEXT batch's probe sees them (idempotence
         // without the scan)
-        IdBloom.mergeAndRestamp(spark, indexPath, bloom, increment)
+        IdBloom.mergeAndRestamp(spark, indexPath, bloomCap, bloom, increment)
         nNew
       } finally { fresh.unpersist(blocking = false); () }
     } finally { probed.unpersist(blocking = false); () }
@@ -1332,8 +1403,9 @@ object Hnsw {
     // re-evaluate against the REWRITTEN graph, yield zero rows, and
     // fold in nothing (silently breaking the superset invariant).
     // `.persist()` does not protect against recache-by-path.
-    val freshIncrement =
-      preBloom.map(_ => IdBloom.incrementOf(fresh.select(col("vec_id"))))
+    val freshIncrement = preBloom.map { case (cap, _) =>
+      IdBloom.incrementOf(fresh.select(col("vec_id")), cap)
+    }
     try {
       updated.toDF()
         .write.mode("overwrite").partitionBy("shard").parquet(staging.toString)

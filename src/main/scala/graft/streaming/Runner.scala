@@ -309,15 +309,30 @@ object Runner {
     * trigger), so per-batch cost there is index-sized while the
     * segment path's is batch-sized. The trade is fan-out growth (one
     * more graph walked per batch) until `reshardHnswIndexSharded`
-    * compacts the segments back into the balanced id-modulo layout —
-    * schedule it by segment count, exactly like any LSM store's
-    * merge policy. Set `segmented = false` only when arrivals are
-    * id-range-skewed enough that batches touch few shards. */
+    * compacts the segments back into the balanced id-modulo layout.
+    * That merge policy is IN the loop: `compactEverySegments` (0 =
+    * off) is the LSM depth tolerated before the maintain loop folds
+    * the index back itself — when the post-append count of populated
+    * `shard=` partitions reaches it, the batch ends with
+    * [[graft.operators.Hnsw.reshardHnswIndexSharded]] at the pinned
+    * `nShards` (one distributed rebuild from the index's own level-0;
+    * no corpus read; the id-bloom sidecar carries over). Serve drift
+    * stays bounded at ~`compactEverySegments` × the measured
+    * +6 ms/segment instead of growing forever; set it above `nShards`
+    * (a fold to nShards partitions that already holds is the
+    * layout-aware no-op, so even a degenerate setting only wastes a
+    * listing per batch). A crash between append and fold retries the
+    * fold on the next batch (the count is still over); a replayed
+    * batch appends 0 and at most re-runs the idempotent,
+    * id-set-preserving fold. Set `segmented = false` only when
+    * arrivals are id-range-skewed enough that batches touch few
+    * shards. */
   def hnswMaintainQuery(spark: SparkSession, indexPath: String,
                         vectorStream: DataFrame, checkpoint: String,
                         m: Int = 8, efConstruction: Int = 96,
                         nShards: Int = 4,
-                        segmented: Boolean = true): StreamingQuery =
+                        segmented: Boolean = true,
+                        compactEverySegments: Int = 64): StreamingQuery =
     vectorStream
       .writeStream
       .outputMode("append")
@@ -325,11 +340,50 @@ object Runner {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.Hnsw.ensureShardedMeta(indexPath, m, efConstruction,
           nShards)
-        if (segmented)
+        if (segmented) {
           graft.operators.Hnsw.appendHnswIndexSegment(spark, indexPath, batch)
-        else
+          if (compactEverySegments > 0 &&
+              graft.operators.Hnsw.shardPartitionCount(spark, indexPath)
+                >= compactEverySegments)
+            graft.operators.Hnsw.reshardHnswIndexSharded(spark, indexPath,
+              nShards)
+        } else
           graft.operators.Hnsw.appendHnswIndexShardedBatch(spark, indexPath, batch)
         ()
+      }
+      .start()
+
+  /** ONLINE serving of a sharded HNSW index — the deployment a vector
+    * store actually runs: a stream of (query_id, embedding) queries
+    * answered per micro-batch from the at-rest index via
+    * [[graft.operators.Hnsw.annHnswServeShardedQueries]], each
+    * batch's (query_id, rank, neighbor_id, cos) answers landing
+    * partitioned by `batch_id` under write-scoped dynamic partition
+    * overwrite (the K5 idempotent sink — a replayed batch rewrites
+    * its own partition). Stateless per batch: all state is the
+    * at-rest index, and the shard graphs stay EXECUTOR-RESIDENT
+    * across batches ([[graft.operators.Hnsw.ShardGraphCache]] —
+    * repeat batches reload nothing until a maintain append rewrites a
+    * shard, whose new content stamp invalidates exactly that shard's
+    * residency). Composes with a concurrent [[hnswMaintainQuery]] on
+    * the same index: each serve batch answers from whatever index
+    * content is committed when it fires. */
+  def hnswServeQuery(spark: SparkSession, indexPath: String,
+                     queryStream: DataFrame, outDir: String,
+                     checkpoint: String, k: Int = 5,
+                     efSearch: Int = 64): StreamingQuery =
+    queryStream
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Hnsw
+          .annHnswServeShardedQueries(spark, indexPath, batch,
+            k = k, efSearch = efSearch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
       }
       .start()
 

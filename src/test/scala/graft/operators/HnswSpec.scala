@@ -667,6 +667,113 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("maintain merge policy: crossing compactEverySegments folds the " +
+      "segments back to the balanced nShards layout mid-stream; serve " +
+      "stays exact and a full replay changes nothing") {
+    import org.apache.spark.sql.functions.col
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = forgeCorpus(col("vec_id") < 120)
+    val feed = graft.Tables.embeddings(spark, corpus)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val batches = feed.grouped(30).toSeq // 4 batches of 30
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-compact").toString
+    def runFeed(perBatch: Int => Unit): Unit = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val ckpt = java.nio.file.Files.createTempDirectory("hnsw-cckpt").toString
+      val q = graft.streaming.Runner.hnswMaintainQuery(spark, idx,
+        mem.toDS().toDF("vec_id", "embedding"), ckpt, nShards = 2,
+        compactEverySegments = 3)
+      try batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b.toSeq); q.processAllAvailable(); perBatch(i)
+      } finally q.stop()
+    }
+    runFeed { i =>
+      val n = Hnsw.shardPartitionCount(spark, idx)
+      i match {
+        case 0 => assert(n == 1, s"one segment after one batch, got $n")
+        case 1 => assert(n == 2, s"two segments after two batches, got $n")
+        // batch 3 lands segment #3 → the policy folds back to nShards;
+        // batch 4 lands one more → 3 partitions → folds again
+        case _ => assert(n == 2,
+          s"post-threshold batches must end FOLDED at nShards=2, got $n")
+      }
+    }
+    // the folded layout is the balanced id-modulo one reshard writes
+    assert(Hnsw.shardPartitionCount(spark, idx) == 2)
+    assert(rows(Hnsw.annHnswServeSharded(spark, corpus, idx, efSearch = 256)) ==
+      rows(Similarity.annBruteForce(spark, corpus)),
+      "the compacted stream-maintained index must serve the corpus exactly")
+    val content = graphRowSet(idx)
+    // full replay from a fresh checkpoint: every batch appends 0, the
+    // partition count never re-crosses the threshold, nothing rewrites
+    runFeed { _ =>
+      assert(Hnsw.shardPartitionCount(spark, idx) == 2,
+        "a replayed batch must not grow the folded index")
+    }
+    assert(graphRowSet(idx) == content, "replay changed the index")
+  }
+
+  test("online HNSW serve: hnswServeQuery answers a query stream from " +
+      "the at-rest sharded index batch-for-batch equal to the batch " +
+      "serve, reusing resident shard graphs across batches; a replayed " +
+      "batch rewrites its own partition idempotently") {
+    import org.apache.spark.sql.functions.col
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = forgeCorpus(col("vec_id") < 100)
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-oserve").toString
+    Hnsw.writeHnswIndexSharded(spark, corpus, idx, nShards = 4)
+    val emb = graft.Tables.embeddings(spark, corpus)
+    val qvecs = emb.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 10)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val outDir = java.nio.file.Files.createTempDirectory("hnsw-oserve-out").toString
+    def answered(batchId: Long): Set[String] =
+      rows(spark.read.parquet(outDir)
+        .filter(col("batch_id") === batchId)
+        .drop("batch_id"))
+    def runServe(feeds: Seq[Seq[(Long, Array[Float])]], ckpt: String): Unit = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.Runner.hnswServeQuery(spark, idx,
+        mem.toDS().toDF("query_id", "embedding"), outDir, ckpt,
+        k = 5, efSearch = 256)
+      try feeds.foreach { f => mem.addData(f); q.processAllAvailable() }
+      finally q.stop()
+    }
+    Hnsw.ShardGraphCache.invalidate()
+    val ckpt1 = java.nio.file.Files.createTempDirectory("hnsw-ockpt").toString
+    runServe(Seq(qvecs.take(5).toSeq, qvecs.drop(5).toSeq), ckpt1)
+    // batch 0's query set IS annHnswServeSharded's nQueries=5 set —
+    // the online path must reproduce the batch serve row-for-row
+    assert(answered(0L) ==
+      rows(Hnsw.annHnswServeSharded(spark, corpus, idx, nQueries = 5,
+        efSearch = 256)),
+      "stream serve batch 0 != batch serve on the same query set")
+    assert(answered(1L) ==
+      rows(Hnsw.annHnswServeShardedQueries(spark, idx,
+        emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        k = 5, efSearch = 256)),
+      "stream serve batch 1 != caller-queries batch serve")
+    // residency: the second batch reloaded nothing (4 shards loaded
+    // once — by either the stream's first batch or the comparison
+    // serves above, all hitting the same content stamps)
+    val loadsBefore = Hnsw.ShardGraphCache.loadCount
+    val ckpt2 = java.nio.file.Files.createTempDirectory("hnsw-ockpt2").toString
+    runServe(Seq(qvecs.take(5).toSeq), ckpt2)
+    assert(Hnsw.ShardGraphCache.loadCount == loadsBefore,
+      "a repeat serve batch must reuse the resident shard graphs")
+    // the replay (fresh checkpoint, same batch id) rewrote batch 0's
+    // partition with the same answers — the K5 idempotent sink
+    assert(answered(0L) ==
+      rows(Hnsw.annHnswServeSharded(spark, corpus, idx, nQueries = 5,
+        efSearch = 256)))
+  }
+
   test("bounded diff: a genuinely-new batch resolves freshness from " +
       "the id-bloom alone (no exact-check fallback, no rebuild); " +
       "replays and dup rows still left-anti to 0 through the fallback") {
@@ -745,6 +852,27 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.Tables.embeddings(spark, grown2)) == 0L)
     assert(Hnsw.IdBloom.rebuildCount == rb2 + 1,
       "the routed fold must keep the sidecar valid — no rebuild")
+    // changing -Dgraft.hnsw.bloomCapacity mid-life must NOT break the
+    // sidecar: increments build at the sidecar's PERSISTED capacity,
+    // so merges stay compatible by construction; the new value takes
+    // effect only at the next rebuild
+    val prevCap = sys.props.get("graft.hnsw.bloomCapacity")
+    try {
+      sys.props("graft.hnsw.bloomCapacity") = "1234"
+      Hnsw.IdBloom.invalidateBloomMemo() // force the sidecar read path
+      val grown3 = forgeCorpus(col("vec_id") < 150)
+      assert(Hnsw.appendHnswIndexSegment(spark, idx,
+        graft.Tables.embeddings(spark, grown3)
+          .filter(col("vec_id") >= 140)) == 10L)
+      assert(Hnsw.appendHnswIndexSegment(spark, idx,
+        graft.Tables.embeddings(spark, grown3)) == 0L,
+        "a capacity flip must neither invalidate the sidecar nor break merges")
+      assert(Hnsw.IdBloom.rebuildCount == rb2 + 1,
+        "a capacity flip alone must not trigger a rebuild")
+    } finally prevCap match {
+      case Some(v) => sys.props("graft.hnsw.bloomCapacity") = v
+      case None => sys.props.remove("graft.hnsw.bloomCapacity"); ()
+    }
   }
 
   test("drift-check memo stays ONE live entry per served index under " +

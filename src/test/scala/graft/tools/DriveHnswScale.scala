@@ -43,15 +43,29 @@ import org.apache.spark.sql.functions._
   * an index rewrite) vs SEGMENT (`appendHnswIndexSegment` — each
   * batch its own partition, cost is batch-sized), plus the segment
   * path's serve-cost drift across the accumulated segments and the
-  * reshard compaction that removes it. */
+  * reshard compaction that removes it.
+  *
+  * `Test/runMain graft.tools.DriveHnswScale diffab
+  * [base:nClusters:nShards:batches:batchSize ...]` (default
+  * 100000:64:8:5:10000 1000000:256:8:5:10000) A/Bs the segment
+  * append's per-trigger DIFF cost against base-index size: STEADY =
+  * the id-bloom sidecar valid (the maintained stream's state — the
+  * freshness diff is a broadcast probe, zero index reads), FORCED =
+  * sidecar deleted + memo cold before every batch (each batch pays
+  * the full level-0 scan the bloom exists to avoid — the pre-round-14
+  * per-batch shape). The claim under test: steady is FLAT across base
+  * sizes while forced grows with the base. */
 object DriveHnswScale {
   def main(args: Array[String]): Unit = {
     val sharded = args.headOption.contains("sharded")
     val reshard = args.headOption.contains("reshard")
     val maintain = args.headOption.contains("maintain")
-    val rest = if (sharded || reshard || maintain) args.drop(1).toSeq else args.toSeq
+    val diffab = args.headOption.contains("diffab")
+    val rest =
+      if (sharded || reshard || maintain || diffab) args.drop(1).toSeq
+      else args.toSeq
     val ladder: Seq[(Long, Int, Int)] =
-      if (reshard || maintain) Nil // these parse their own rungs below
+      if (reshard || maintain || diffab) Nil // these parse their own rungs below
       else if (rest.nonEmpty) rest.map { a =>
         a.split(":") match {
           case Array(n, c) => (n.toLong, c.toInt, 8)
@@ -89,6 +103,72 @@ object DriveHnswScale {
     def setOf(df: DataFrame): Set[(Long, Long)] =
       df.select(col("query_id"), col("neighbor_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    if (diffab) {
+      val rungs: Seq[(Long, Int, Int, Int, Int)] =
+        if (rest.nonEmpty) rest.map { a =>
+          val Array(n, c, s, b, bs) = a.split(":")
+          (n.toLong, c.toInt, s.toInt, b.toInt, bs.toInt)
+        } else Seq((100000L, 64, 8, 5, 10000), (1000000L, 256, 8, 5, 10000))
+      for ((n, g, nSh, nBatches, batchSize) <- rungs) {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-hnswdiff-$n").toString
+        val total = n + (2 * nBatches + 1).toLong * batchSize
+        // the documented deployment sizes the bloom to the index's
+        // TARGET id count — size it to this rung's, so the steady
+        // numbers measure the designed fpp, not an over-capacity one
+        sys.props("graft.hnsw.bloomCapacity") = total.toString
+        corpus(total, g).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        def arrivals(i: Int) = emb.filter(
+          col("vec_id") >= n + i.toLong * batchSize &&
+            col("vec_id") < n + (i + 1).toLong * batchSize)
+        val idx = s"$dir/hnsw_diffab"
+        val baseDir = s"$dir/base"
+        emb.filter(col("vec_id") < n)
+          .write.mode("overwrite").parquet(s"$baseDir/embeddings.parquet")
+        Hnsw.writeHnswIndexSharded(spark, baseDir, idx, nShards = nSh)
+        // batch 0 = the one-time sidecar migration (no _idbloom exists
+        // after a fresh build): one distributed level-0 scan, priced
+        // separately
+        Hnsw.IdBloom.invalidateBloomMemo()
+        val tm = System.nanoTime()
+        require(Hnsw.appendHnswIndexSegment(spark, idx, arrivals(0)) == batchSize)
+        val migrateS = (System.nanoTime() - tm) / 1e9
+        // STEADY: sidecar + memo stay valid batch to batch (the
+        // maintain stream's state) — diff = broadcast bloom probe only
+        val (rb0, fb0) = (Hnsw.IdBloom.rebuildCount, Hnsw.IdBloom.fallbackCount)
+        val steady = (1 to nBatches).map { i =>
+          val t0 = System.nanoTime()
+          require(Hnsw.appendHnswIndexSegment(spark, idx, arrivals(i)) == batchSize)
+          (System.nanoTime() - t0) / 1e9
+        }
+        // the steady path must never rebuild the sidecar (deterministic
+        // — assert); fallbacks are the fpp tail, PROBABILISTIC by
+        // design (cost, never correctness) — report, don't require
+        require(Hnsw.IdBloom.rebuildCount == rb0,
+          "steady-state batches must not rebuild the sidecar")
+        val steadyFallbacks = Hnsw.IdBloom.fallbackCount - fb0
+        // FORCED: kill sidecar + memo before every batch — each one
+        // rebuilds from the full level-0 scan (the pre-bloom shape)
+        val forced = (nBatches + 1 to 2 * nBatches).map { i =>
+          Hnsw.IdBloom.invalidateBloomMemo()
+          new java.io.File(s"$idx/_idbloom").delete()
+          val t0 = System.nanoTime()
+          require(Hnsw.appendHnswIndexSegment(spark, idx, arrivals(i)) == batchSize)
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"HNSWDIFFAB base=$n%-8d nShards=$nSh%-3d batches=$nBatches%-3d " +
+          f"batchSize=$batchSize%-6d migrate=$migrateS%6.2fs " +
+          f"steady=${steady.sum / steady.size}%6.2fs/batch " +
+          f"(fallbacks=$steadyFallbacks) " +
+          f"forced=${forced.sum / forced.size}%6.2fs/batch")
+        def rmD(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rmD)); f.delete(); ()
+        }
+        rmD(new java.io.File(dir))
+      }
+      spark.stop(); return
+    }
 
     if (maintain) {
       val rungs: Seq[(Long, Int, Int, Int, Int)] =
