@@ -799,7 +799,8 @@ object Bench {
     val streamHnswServeRate: Double = streamSection("stream_hnsw_serve") {
       import org.apache.spark.sql.functions.col
       val idx = hnswShardedIndexFor(spark, sfDir)
-      val nQ = 100L
+      val nQ = math.min(100L,
+        spark.read.parquet(s"$sfDir/embeddings.parquet").count())
       val fix = {
         val d = java.nio.file.Files.createTempDirectory("graft-bench-hnswsrvfix").toString
         spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -365,9 +365,23 @@ object Runner {
     * across batches ([[graft.operators.Hnsw.ShardGraphCache]] —
     * repeat batches reload nothing until a maintain append rewrites a
     * shard, whose new content stamp invalidates exactly that shard's
-    * residency). Composes with a concurrent [[hnswMaintainQuery]] on
-    * the same index: each serve batch answers from whatever index
-    * content is committed when it fires. */
+    * residency). Composes with a concurrent [[hnswMaintainQuery]] in
+    * its SEGMENTED default on the same index: segments only ADD
+    * `shard=` partitions, so a serve batch's driver-side listing is a
+    * consistent (at worst one-segment-stale) view and every listed
+    * shard's content matches its stamp. Two caveats, both LOUD and
+    * recoverable, never wrong answers: (1) the maintain loop's
+    * auto-compaction swaps the whole layout (staged write → delete →
+    * rename) — a serve batch that lists or reads inside that
+    * millisecond window fails its trigger; the restarted query resumes
+    * from its checkpoint and the K5 sink rewrites the failed batch's
+    * own partition idempotently. (2) the routed maintain mode REWRITES
+    * shards in place — run serve and routed maintain serialized in one
+    * foreachBatch loop rather than as two concurrent queries, or a
+    * serve that lists between a rewrite's commit and its own reads can
+    * cache torn content under a stale stamp. A wait-free composition
+    * needs a versioned layout (manifest-pointer swap), which this
+    * layout deliberately avoids — one directory, self-describing. */
   def hnswServeQuery(spark: SparkSession, indexPath: String,
                      queryStream: DataFrame, outDir: String,
                      checkpoint: String, k: Int = 5,
