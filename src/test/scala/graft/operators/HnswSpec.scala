@@ -716,6 +716,58 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graphRowSet(idx) == content, "replay changed the index")
   }
 
+  test("composed online vector store: a maintain stream and a serve " +
+      "stream on ONE index — every serve batch answers exactly from " +
+      "the index state committed before it, across segment appends AND " +
+      "an in-loop compaction, ending equal to brute force") {
+    import org.apache.spark.sql.functions.col
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = forgeCorpus(col("vec_id") < 120)
+    val emb = graft.Tables.embeddings(spark, corpus)
+    val feed = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val queries = feed.take(5) // ids 0-4: indexed from the first batch on
+    val queriesDf = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-online").toString
+    val outDir = java.nio.file.Files.createTempDirectory("hnsw-online-out").toString
+    val memV = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val memQ = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val qM = graft.streaming.Runner.hnswMaintainQuery(spark, idx,
+      memV.toDS().toDF("vec_id", "embedding"),
+      java.nio.file.Files.createTempDirectory("hnsw-online-ckm").toString,
+      nShards = 2, compactEverySegments = 3)
+    val qS = graft.streaming.Runner.hnswServeQuery(spark, idx,
+      memQ.toDS().toDF("query_id", "embedding"), outDir,
+      java.nio.file.Files.createTempDirectory("hnsw-online-cks").toString,
+      k = 5, efSearch = 256)
+    try {
+      // 4 maintain batches of 30; batch 3 lands segment #3 and the
+      // in-loop policy folds to the balanced 2-shard layout, batch 4
+      // appends one more segment and folds again — the serve stream
+      // rides through both layouts
+      feed.grouped(30).zipWithIndex.foreach { case (batch, i) =>
+        memV.addData(batch.toSeq); qM.processAllAvailable()
+        memQ.addData(queries.toSeq); qS.processAllAvailable()
+        val got = rows(spark.read.parquet(outDir)
+          .filter(col("batch_id") === i.toLong).drop("batch_id"))
+        val want = rows(Hnsw.annHnswServeShardedQueries(spark, idx,
+          queriesDf, k = 5, efSearch = 256))
+        assert(got == want,
+          s"serve batch $i diverged from the committed index state")
+      }
+      assert(Hnsw.shardPartitionCount(spark, idx) == 2,
+        "the composition must end compacted at nShards")
+      assert(rows(spark.read.parquet(outDir)
+        .filter(col("batch_id") === 3L).drop("batch_id")) ==
+        rows(Similarity.annBruteForce(spark, corpus, nQueries = 5)),
+        "the final serve batch must equal brute force over the full corpus")
+    } finally { qM.stop(); qS.stop() }
+  }
+
   test("online HNSW serve: hnswServeQuery answers a query stream from " +
       "the at-rest sharded index batch-for-batch equal to the batch " +
       "serve, reusing resident shard graphs across batches; a replayed " +
