@@ -64,16 +64,21 @@ object DriveHnswScale {
     val rest =
       if (sharded || reshard || maintain || diffab) args.drop(1).toSeq
       else args.toSeq
-    val ladder: Seq[(Long, Int, Int)] =
+    // rung syntax: n:nClusters[:nShards[:m:efConstruction]] — the dial
+    // tail exists for the density experiments (a dense corpus needs a
+    // richer graph, not more shards; SCALE.md round 14)
+    val ladder: Seq[(Long, Int, Int, Int, Int)] =
       if (reshard || maintain || diffab) Nil // these parse their own rungs below
       else if (rest.nonEmpty) rest.map { a =>
         a.split(":") match {
-          case Array(n, c) => (n.toLong, c.toInt, 8)
-          case Array(n, c, s) => (n.toLong, c.toInt, s.toInt)
+          case Array(n, c) => (n.toLong, c.toInt, 8, 8, 96)
+          case Array(n, c, s) => (n.toLong, c.toInt, s.toInt, 8, 96)
+          case Array(n, c, s, m, ef) =>
+            (n.toLong, c.toInt, s.toInt, m.toInt, ef.toInt)
         }
       }
-      else if (sharded) Seq((1000000L, 256, 8))
-      else Seq((100000L, 64, 8), (1000000L, 256, 8))
+      else if (sharded) Seq((1000000L, 256, 8, 8, 96))
+      else Seq((100000L, 64, 8, 8, 96), (1000000L, 256, 8, 8, 96))
     val spark = GraftSession.local("graft-hnsw-scale")
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.{Hnsw, Similarity}
@@ -274,13 +279,14 @@ object DriveHnswScale {
       spark.stop(); return
     }
 
-    for ((n, g, nSh) <- ladder) {
+    for ((n, g, nSh, mDial, efCDial) <- ladder) {
       val dir = java.nio.file.Files.createTempDirectory(s"graft-hnswscale-$n").toString
       corpus(n, g).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       if (sharded) {
         val idx = s"$dir/hnsw_sharded"
         val tb = System.nanoTime()
-        Hnsw.writeHnswIndexSharded(spark, dir, idx, nShards = nSh)
+        Hnsw.writeHnswIndexSharded(spark, dir, idx, m = mDial,
+          efConstruction = efCDial, nShards = nSh)
         val buildS = (System.nanoTime() - tb) / 1e9
         val bytesPerVec = duBytes(idx).toDouble / n
         // residency split (round 12): COLD = first serve in a fresh
@@ -307,6 +313,7 @@ object DriveHnswScale {
           f"ef=$ef:recall=${(want & got).size.toDouble / want.size}%5.3f@$dt%4.2fs"
         }.mkString(" ")
         println(f"HNSWSHARD n=$n%-8d nClusters=$g%-4d nShards=$nSh%-3d " +
+          f"m=$mDial%-3d efC=$efCDial%-4d " +
           f"buildDist=$buildS%7.1fs idx=$bytesPerVec%6.1f B/vec " +
           f"serveCold=$coldS%5.2fs serve10=$serve10%5.2fs " +
           f"serve100=$serve100%5.2fs $efCurve")
@@ -317,7 +324,7 @@ object DriveHnswScale {
       } else {
       Hnsw.invalidateGraphMemo(); Hnsw.invalidateServedMemo()
       val tb = System.nanoTime()
-      val graph = Hnsw.graphFor(spark, dir, 8, 96) // includes corpus collect
+      val graph = Hnsw.graphFor(spark, dir, mDial, efCDial) // includes corpus collect
       val buildS = (System.nanoTime() - tb) / 1e9
       val idx = s"$dir/hnsw"
       Hnsw.writeHnswIndex(spark, dir, idx)
