@@ -394,6 +394,12 @@ object Hnsw {
       .toDF("query_id", "q_emb")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     shortlist
+      // belt-and-braces: a candidate reached through two walks (the
+      // diff-driven appends keep vec_ids unique per partition, so this
+      // only fires on a malformed index or duplicated queries) must
+      // not occupy two rank slots — the shortlist is dial-bounded, so
+      // the extra exchange is trivial next to the window's own
+      .dropDuplicates("query_id", "vec_id")
       .join(broadcast(qdf), "query_id")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
@@ -859,9 +865,14 @@ object Hnsw {
     * drift-check and no scan whose cost grows with corpus size. The
     * query batch is collected to the driver (the serve-batch contract
     * every ANN serve path shares: a micro-batch of queries is
-    * dial-bounded, not corpus-shaped). Query ids share the corpus id
-    * space; a candidate whose vec_id equals the query_id is dropped as
-    * a self-match, same as every HNSW path. */
+    * dial-bounded, not corpus-shaped). Query ids SHARE THE CORPUS ID
+    * SPACE: a candidate whose vec_id equals the query_id is dropped as
+    * a self-match, same as every HNSW path — a caller whose external
+    * query ids can collide with indexed vec_ids must remap them (e.g.
+    * negate) or that one vector silently vanishes from that query's
+    * answers. Duplicate query_id rows in one batch collapse to one
+    * (arbitrary) row — a query is its id, so two embeddings under one
+    * id would otherwise interleave at the same ranks. */
   def annHnswServeShardedQueries(spark: SparkSession, indexPath: String,
                                  queries: DataFrame, k: Int = 5,
                                  efSearch: Int = 64): DataFrame = {
@@ -876,6 +887,7 @@ object Hnsw {
       s"$indexPath/graph has no populated shard= partitions — not a " +
         "populated writeHnswIndexSharded index")
     val qs = queries.select(col("query_id"), col("embedding"))
+      .dropDuplicates("query_id")
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     serveShardedCore(spark, indexPath, qs, k, efSearch, stamps,
       intField(meta, "m"), intField(meta, "efConstruction"))
@@ -1039,6 +1051,23 @@ object Hnsw {
     private val fallbacks = new java.util.concurrent.atomic.AtomicLong()
     private[graft] def fallbackCount: Long = fallbacks.get()
     private[graft] def noteFallback(): Unit = { fallbacks.incrementAndGet(); () }
+    /** LOUD saturation signal (spec-pinned via the counter): a batch
+      * whose false-positive "maybe indexed" flags cross 10% means the
+      * filter is operating far past its design fpp (1e-6) — the silent
+      * degradation mode where every batch quietly pays the exact index
+      * scan the bloom exists to avoid. */
+    private val saturations = new java.util.concurrent.atomic.AtomicLong()
+    private[graft] def saturationCount: Long = saturations.get()
+    private[graft] def noteSaturation(indexPath: String, falsePos: Long,
+                                      nBatch: Long, cap: Long): Unit = {
+      saturations.incrementAndGet()
+      System.err.println(s"[hnsw] id-bloom SATURATED at $indexPath: " +
+        s"$falsePos of $nBatch batch ids were FALSE 'maybe indexed' flags " +
+        s"(sidecar capacity $cap) — each such batch pays the exact index " +
+        "scan the bloom exists to avoid; raise -Dgraft.hnsw.bloomCapacity " +
+        "and force a rebuild (delete the _idbloom sidecar — the rebuild " +
+        "auto-sizes from the observed id count)")
+    }
 
     private def readSidecar(spark: SparkSession,
                             indexPath: String): Option[(String, Long, BloomFilter)] = {
@@ -1091,16 +1120,30 @@ object Hnsw {
       * persisting the sidecar) from a distributed scan of `ids()` when
       * no valid copy exists — the one-time migration /
       * out-of-band-write recovery cost. An EMPTY stamp (graph not
-      * created yet) yields an empty filter without calling ids().
-      * Creations (both branches) take the capacity from the current
-      * `-Dgraft.hnsw.bloomCapacity`; a LOADED sidecar keeps its own. */
+      * created yet) yields an empty filter at the current
+      * `-Dgraft.hnsw.bloomCapacity` without calling ids(); a LOADED
+      * sidecar keeps its own recorded capacity. A REBUILD auto-sizes:
+      * it is already scanning the ids, so the new capacity is
+      * max(-D floor, 2 × observed count) — under the static default
+      * alone, a rebuild at a 1e9-vector index would silently
+      * over-saturate the filter (fpp degrades, every batch takes the
+      * exact-check fallback, and the diff quietly becomes the
+      * index-sized scan again — degradation with no signal). The 2×
+      * slack leaves append headroom before the next rebuild; the -D
+      * stays the FLOOR, so small indexes keep the configured size and
+      * an operator can still pre-size for a known target. */
     def forStamp(spark: SparkSession, indexPath: String, stamp: String,
                  ids: () => DataFrame): (Long, BloomFilter) =
       validFor(spark, indexPath, stamp).getOrElse {
-        val cap = capacity
-        val b =
-          if (stamp.isEmpty) BloomFilter.create(cap, fpp)
-          else { rebuilds.incrementAndGet(); buildBloom(ids(), cap) }
+        val (cap, b) =
+          if (stamp.isEmpty) (capacity, BloomFilter.create(capacity, fpp))
+          else {
+            rebuilds.incrementAndGet()
+            val rel = ids()
+            val observed = rel.count() // id-only, column-pruned — noise
+            val sized = math.max(capacity, 2L * observed)
+            (sized, buildBloom(rel, sized))
+          }
         writeSidecar(spark, indexPath, digestOf(stamp), cap, b)
         memo.put((spark.sparkContext.applicationId, indexPath),
           (digestOf(stamp), cap, b))
@@ -1266,6 +1309,15 @@ object Hnsw {
         .persist() // counted, then (if non-empty) built — one diff pass
       try {
         val nNew = fresh.count()
+        // saturation surfacing: maybes that turned out FRESH are bloom
+        // false positives; past 10% of the batch the filter is far over
+        // capacity and the fallback scan has silently become the norm
+        if (nMaybe > 0) {
+          val nBatch = probed.count() // cached — probed is persisted
+          val falsePos = nNew - (nBatch - nMaybe)
+          if (falsePos > 0 && falsePos * 10L >= nBatch)
+            IdBloom.noteSaturation(indexPath, falsePos, nBatch, bloomCap)
+        }
         if (nNew == 0) return 0L // replay / fully-known batch: no segment
         // the bloom increment is materialized BEFORE the write (see
         // [[IdBloom.incrementOf]]): `fresh`'s fallback branch left-antis
@@ -1294,7 +1346,16 @@ object Hnsw {
         IdBloom.mergeAndRestamp(spark, indexPath, bloomCap, bloom, increment)
         nNew
       } finally { fresh.unpersist(blocking = false); () }
-    } finally { probed.unpersist(blocking = false); () }
+    } finally {
+      probed.unpersist(blocking = false)
+      // release the per-trigger broadcast copy eagerly: at the
+      // documented deployment sizing (bloomCapacity = index target,
+      // ~3.6 GB at 1e9 ids) a 5 s trigger would otherwise accumulate
+      // multiple multi-GB copies in the block managers between
+      // ContextCleaner GC cycles
+      bloomBc.destroy()
+      ()
+    }
   }
 
   /** Create-or-match the sharded-index `_meta.json` — the

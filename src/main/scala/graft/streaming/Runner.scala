@@ -318,12 +318,16 @@ object Runner {
     * `nShards` (one distributed rebuild from the index's own level-0;
     * no corpus read; the id-bloom sidecar carries over). Serve drift
     * stays bounded at ~`compactEverySegments` × the measured
-    * +6 ms/segment instead of growing forever; set it above `nShards`
-    * (a fold to nShards partitions that already holds is the
-    * layout-aware no-op, so even a degenerate setting only wastes a
-    * listing per batch). A crash between append and fold retries the
-    * fold on the next batch (the count is still over); a replayed
-    * batch appends 0 and at most re-runs the idempotent,
+    * +6 ms/segment instead of growing forever. The threshold MUST sit
+    * above `nShards` (validated loudly): the fold lands exactly
+    * `nShards` populated partitions and the next non-empty batch makes
+    * it `nShards + 1`, so any setting in (0, nShards] keeps the count
+    * permanently at/over the threshold and the loop would run a FULL
+    * distributed rebuild every trigger — the fresh segment dir defeats
+    * the reshard's layout no-op, so this is not a wasted listing but a
+    * whole-index rewrite per batch. A crash between append and fold
+    * retries the fold on the next batch (the count is still over); a
+    * replayed batch appends 0 and at most re-runs the idempotent,
     * id-set-preserving fold. Set `segmented = false` only when
     * arrivals are id-range-skewed enough that batches touch few
     * shards. */
@@ -332,7 +336,12 @@ object Runner {
                         m: Int = 8, efConstruction: Int = 96,
                         nShards: Int = 4,
                         segmented: Boolean = true,
-                        compactEverySegments: Int = 64): StreamingQuery =
+                        compactEverySegments: Int = 64): StreamingQuery = {
+    require(compactEverySegments == 0 || compactEverySegments > nShards,
+      s"compactEverySegments ($compactEverySegments) must be 0 (off) or " +
+        s"> nShards ($nShards): the fold lands nShards partitions and every " +
+        "non-empty batch adds one, so a threshold <= nShards would trigger a " +
+        "full distributed index rebuild on every batch")
     vectorStream
       .writeStream
       .outputMode("append")
@@ -352,6 +361,7 @@ object Runner {
         ()
       }
       .start()
+  }
 
   /** ONLINE serving of a sharded HNSW index — the deployment a vector
     * store actually runs: a stream of (query_id, embedding) queries
@@ -360,7 +370,13 @@ object Runner {
     * batch's (query_id, rank, neighbor_id, cos) answers landing
     * partitioned by `batch_id` under write-scoped dynamic partition
     * overwrite (the K5 idempotent sink — a replayed batch rewrites
-    * its own partition). Stateless per batch: all state is the
+    * its own partition). Query ids SHARE THE INDEX'S ID SPACE (the
+    * annHnswServeShardedQueries contract): a query whose id collides
+    * with an indexed vec_id loses exactly that vector as a candidate
+    * (the self-match drop) — callers with an external id space must
+    * remap (e.g. negate) before feeding the stream; duplicate
+    * query_id rows within one batch collapse to one. Stateless per
+    * batch: all state is the
     * at-rest index, and the shard graphs stay EXECUTOR-RESIDENT
     * across batches ([[graft.operators.Hnsw.ShardGraphCache]] —
     * repeat batches reload nothing until a maintain append rewrites a

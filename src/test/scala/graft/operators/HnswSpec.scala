@@ -1003,4 +1003,90 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("nothing to reshard"), e.getMessage)
   }
+
+  test("hnswMaintainQuery refuses compactEverySegments in (0, nShards] " +
+      "loudly AT START: the fold lands nShards partitions and every " +
+      "batch adds one, so such a threshold would full-rebuild per trigger") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-degen").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hnsw-degen-ck").toString
+    Seq(4, 2, 1).foreach { t => // == nShards, inside (0, nShards), floor
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.Runner.hnswMaintainQuery(spark, idx,
+          mem.toDS().toDF("vec_id", "embedding"), ckpt, nShards = 4,
+          compactEverySegments = t)
+      }
+      assert(e.getMessage.contains("compactEverySegments"), e.getMessage)
+    }
+    // 0 (off) and nShards+1 construct fine — stop immediately, unfed
+    graft.streaming.Runner.hnswMaintainQuery(spark, idx,
+      mem.toDS().toDF("vec_id", "embedding"), ckpt, nShards = 4,
+      compactEverySegments = 0).stop()
+    graft.streaming.Runner.hnswMaintainQuery(spark, idx,
+      mem.toDS().toDF("vec_id", "embedding"), ckpt, nShards = 4,
+      compactEverySegments = 5).stop()
+  }
+
+  test("id-bloom rebuild AUTO-SIZES from the observed id count: an " +
+      "over-capacity index saturates loudly (counter + fallbacks), and " +
+      "after one rebuild the steady state takes zero fallbacks again") {
+    import org.apache.spark.sql.functions.col
+    val corpus = forgeCorpus(col("vec_id") < 350)
+    val emb = graft.Tables.embeddings(spark, corpus)
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-bloomsize").toString
+    val prevCap = sys.props.get("graft.hnsw.bloomCapacity")
+    try {
+      sys.props("graft.hnsw.bloomCapacity") = "20" // tiny -D floor
+      Hnsw.IdBloom.invalidateBloomMemo()
+      Hnsw.ensureShardedMeta(idx, 8, 96, 4)
+      // creation at cap=20, then 200 ids folded in → the filter runs
+      // far past its design fpp: a fresh 50-id batch gets flagged
+      // "maybe indexed" almost everywhere — false positives that cost
+      // an exact scan each. Correctness must hold anyway (the exact
+      // fallback), and the saturation signal must fire.
+      assert(Hnsw.appendHnswIndexSegment(spark, idx,
+        emb.filter(col("vec_id") < 200)) == 200L)
+      val fb0 = Hnsw.IdBloom.fallbackCount
+      val sat0 = Hnsw.IdBloom.saturationCount
+      assert(Hnsw.appendHnswIndexSegment(spark, idx,
+        emb.filter(col("vec_id") >= 200 && col("vec_id") < 250)) == 50L,
+        "saturation must never cost correctness — all 50 fresh ids land")
+      assert(Hnsw.IdBloom.fallbackCount > fb0,
+        "a saturated bloom flags fresh ids 'maybe' → exact fallback")
+      assert(Hnsw.IdBloom.saturationCount > sat0,
+        ">=10% false 'maybe' flags must fire the loud saturation signal")
+      // operator response: force a rebuild (drop the sidecar) — the
+      // rebuild scans the ids anyway, so it sizes the new filter from
+      // the OBSERVED count (2x slack), not the stale -D floor
+      Hnsw.IdBloom.invalidateBloomMemo()
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$idx/_idbloom"))
+      val rb0 = Hnsw.IdBloom.rebuildCount
+      assert(Hnsw.appendHnswIndexSegment(spark, idx,
+        emb.filter(col("vec_id") >= 250 && col("vec_id") < 300)) == 50L)
+      assert(Hnsw.IdBloom.rebuildCount == rb0 + 1)
+      val stamp = graft.sources.ContentStamp.of(spark, s"$idx/graph")
+      val cap = Hnsw.IdBloom.preBloomFor(spark, idx, stamp).map(_._1)
+      assert(cap.contains(500L), // max(20, 2 x 250 observed at rebuild)
+        s"rebuild must size from the observed id count, got $cap")
+      // steady state restored: an all-new batch at 10x+ the -D floor
+      // resolves from the bloom alone — zero fallbacks, zero signals
+      val fb1 = Hnsw.IdBloom.fallbackCount
+      val sat1 = Hnsw.IdBloom.saturationCount
+      assert(Hnsw.appendHnswIndexSegment(spark, idx,
+        emb.filter(col("vec_id") >= 300 && col("vec_id") < 350)) == 50L)
+      assert(Hnsw.IdBloom.fallbackCount == fb1,
+        "post-rebuild all-new batches must take ZERO exact fallbacks")
+      assert(Hnsw.IdBloom.saturationCount == sat1)
+      // and idempotence still holds across the resize
+      assert(Hnsw.appendHnswIndexSegment(spark, idx,
+        emb.filter(col("vec_id") < 350)) == 0L)
+    } finally prevCap match {
+      case Some(v) => sys.props("graft.hnsw.bloomCapacity") = v
+      case None => sys.props.remove("graft.hnsw.bloomCapacity"); ()
+    }
+  }
 }

@@ -9,7 +9,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * sum exactly across every put/evict path, a single over-budget graph
   * is kept alone rather than refused, and the just-inserted key is
   * never its own victim. Exercised directly against the cache (no
-  * Spark) at a tiny overridden budget. */
+  * Spark) at a tiny overridden budget.
+  *
+  * CONSTRAINT — suites must run SERIALIZED in one JVM (sbt's default;
+  * `Test / parallelExecution := false` territory if that ever changes):
+  * `budgetOverride` mutates the process-global production singleton, so
+  * this suite's 10-vector budget would evict graphs under any serve
+  * test running concurrently, turning their loadCount-pinned assertions
+  * flaky. If parallel suites ever become a goal, inject the budget
+  * per-get instead of overriding the singleton. */
 class ShardGraphCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def graph(n: Int): Hnsw.Graph = {
