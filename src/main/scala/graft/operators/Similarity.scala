@@ -632,6 +632,30 @@ object Similarity {
     }
   }
 
+  /** In-loop LSM compaction for the STREAM-MAINTAINED index — the
+    * row-shaped analog of the graph family's `compactEverySegments`
+    * fold: every COMMITTED `batch_id=` partition (those the checkpoint
+    * can never replay — everything except `excludeBatchId`, the
+    * in-flight batch) collapses into the `batch_id=-1` base, one file
+    * per cid, via [[graft.sources.BatchFold]]'s staged crash-safe swap.
+    * Without it, [[graft.streaming.Runner.annIndexMaintainQuery]] lands
+    * one `(batch_id, cid)` tree per trigger forever (~17 k/day at 5 s),
+    * so every probed cell's read fans out over thousands of tiny files
+    * within days and the batch-level listing itself grows without
+    * bound. The exactly-once property is untouched: the excluded batch
+    * keeps its own partition for dynamic-overwrite replay, and folded
+    * batches are by construction ones the commit log retired. Serving
+    * is layout-agnostic (the `cid isin` filter prunes cid dirs under
+    * the base exactly as it did under every batch). Returns the number
+    * of partitions folded. */
+  def compactMaintainedAnnBatches(spark: SparkSession, indexPath: String,
+                                  excludeBatchId: Long): Int =
+    graft.sources.BatchFold.fold(spark, indexPath, excludeBatchId) {
+      (rows, staging) =>
+        rows.repartition(col("cid")) // one file per cell in the base
+          .write.mode("overwrite").partitionBy("cid").parquet(staging)
+    }
+
   /** Serve IVF×PQ queries from a [[writeAnnIndex]] index on disk. The
     * probed cell set (≤ queries × nprobe ids — driver-bounded, the
     * model-collect pattern) becomes a STATIC partition filter on the
@@ -668,6 +692,10 @@ object Similarity {
                            queries: DataFrame, k: Int = 5,
                            nprobe: Int = 4, rerank: Int = 64,
                            modelDir: String = null): DataFrame = {
+    // a maintained index whose in-loop fold crashed mid-swap self-heals
+    // at read (the recoverStagedReshard precedent); offline indexes pay
+    // one exists() probe
+    graft.sources.BatchFold.recover(spark, indexPath)
     // MODEL dials from the index's own _meta.json — a caller-repeated
     // nClusters would train a different coarse quantizer whose probes
     // route to cells the index never wrote (silent recall loss); only

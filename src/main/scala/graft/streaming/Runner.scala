@@ -250,13 +250,41 @@ object Runner {
     * works on the second level: serving's `cid isin (...)` filter
     * prunes cid= subdirectories under every batch. A maintained index
     * is therefore a directory the stream ALONE writes — seed it by
-    * feeding the base corpus as the first batch(es). */
+    * feeding the base corpus as the first batch(es).
+    *
+    * The LSM merge policy is IN the loop (the `compactEverySegments`
+    * contract, row-shaped): `compactEveryBatches` (0 = off) is the
+    * batch-partition depth tolerated before the trigger folds every
+    * COMMITTED batch into the `batch_id=-1` base
+    * ([[graft.operators.Similarity.compactMaintainedAnnBatches]] —
+    * one file per cid, crash-safe staged swap; a mid-swap crash is
+    * self-healed at the next trigger or serve read). Without it the
+    * loop lands one partition tree per trigger forever — ~17 k/day at
+    * a 5 s trigger — and probed-cell reads fan out over thousands of
+    * tiny files within days. The fold runs at the HEAD of the trigger
+    * and always excludes the current batch id, so the replayed-batch-
+    * rewrites-own-partition property holds for exactly the batches the
+    * checkpoint can still replay (a crashed prior attempt's partition
+    * is dropped by the swap and rewritten by the append that follows —
+    * its rows replay from the source, not the index). Each fold
+    * rewrites the whole base, so amortized fold cost is ~index size /
+    * (compactEveryBatches − 2) per batch — size the threshold to the
+    * trigger rate; ≤ 2 would fold (= rewrite the index) every batch
+    * and is refused loudly. A serve racing the swap window of a
+    * CONCURRENT fold can read a partial index — run serve and maintain
+    * serialized on one index, the single-writer contract this layout
+    * documents everywhere. */
   def annIndexMaintainQuery(spark: SparkSession, modelDir: String,
                             indexPath: String, vectorStream: DataFrame,
                             checkpoint: String,
                             nClusters: Int = 16, iters: Int = 2,
                             m: Int = 4, nCodes: Int = 16,
-                            family: String = "pq"): StreamingQuery =
+                            family: String = "pq",
+                            compactEveryBatches: Int = 64): StreamingQuery = {
+    require(compactEveryBatches == 0 || compactEveryBatches >= 3,
+      s"compactEveryBatches ($compactEveryBatches) must be 0 (off) or >= 3: " +
+        "the fold leaves base + current = 2 partitions, so a threshold of " +
+        "2 would rewrite the whole index on every batch")
     vectorStream
       .writeStream
       .outputMode("append")
@@ -268,6 +296,12 @@ object Runner {
         // would silently encode against a different model
         graft.operators.Similarity
           .ensureAnnMeta(indexPath, family, nClusters, iters, m, nCodes)
+        graft.sources.BatchFold.recover(spark, indexPath)
+        if (compactEveryBatches > 0 &&
+            graft.sources.BatchFold.batchDirCount(spark, indexPath)
+              >= compactEveryBatches)
+          graft.operators.Similarity
+            .compactMaintainedAnnBatches(spark, indexPath, batchId)
         graft.operators.Similarity
           .encodeForIndex(spark, modelDir, batch, nClusters, iters, m, nCodes,
             family)
@@ -277,6 +311,7 @@ object Runner {
           .partitionBy("batch_id", "cid").parquet(indexPath)
       }
       .start()
+  }
 
   /** Streaming maintenance of a SHARDED HNSW index — the graph
     * family's [[annIndexMaintainQuery]]: each micro-batch of (vec_id,

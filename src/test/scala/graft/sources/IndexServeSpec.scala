@@ -226,6 +226,69 @@ class IndexServeSpec extends AnyFunSuite with BeforeAndAfterAll {
       vecs.length.toLong)
   }
 
+  test("in-loop compaction: crossing compactEveryBatches folds committed " +
+      "batches into the batch_id=-1 base mid-stream — partition count " +
+      "bounded, one file per cell, serve rows unchanged, and a replayed " +
+      "IN-FLIGHT batch still rewrites its own partition across the fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-fidx").toString
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val batches = vecs.grouped(100).toSeq // 500 vectors -> 5 batches
+    def dirs(): Set[String] =
+      new java.io.File(idx).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName).toSet
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ann-fckpt").toString
+    val q = graft.streaming.Runner.annIndexMaintainQuery(spark, sf, idx,
+      mem.toDS().toDF("vec_id", "embedding"), ckpt, compactEveryBatches = 3)
+    try batches.foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+      // the policy bounds the LSM depth at every trigger, not just at
+      // the end: <= threshold partitions ever visible post-commit
+      assert(BatchFold.batchDirCount(spark, idx) <= 3)
+    } finally q.stop()
+    // trace: b0 {0}; b1 {0,1}; b2 {0,1,2}; b3 folds -> {-1,3}; b4 appends
+    assert(dirs() === Set("batch_id=-1", "batch_id=3", "batch_id=4"))
+    assert(spark.read.parquet(idx).count() === 500L, "fold lost/duplicated rows")
+    assert(spark.read.parquet(idx).select("vec_id").distinct().count() === 500L)
+    // the folded base holds ONE file per cell (the file-count win the
+    // fold exists for — round 9 measured probe latency tracking it)
+    val baseCells = new java.io.File(s"$idx/batch_id=-1").listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(baseCells.nonEmpty)
+    assert(baseCells.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "the base must hold one file per cid")
+    def canon(df: DataFrame) = df.collect().map(_.mkString("|")).toSet
+    assert(canon(Similarity.annIvfPqServe(spark, sf, idx)) ===
+      canon(Similarity.annIvfPq(spark, sf)),
+      "the folded index must serve exactly what the in-session operator answers")
+    // replay the IN-FLIGHT batch — the only one a checkpoint can ever
+    // re-run: attempt 2 re-executes the trigger body (recover -> fold
+    // excluding ITSELF -> dynamic-overwrite append of its own
+    // partition). Rows must end exactly where attempt 1 left them.
+    assert(!BatchFold.recover(spark, idx), "no torn swap to recover")
+    if (BatchFold.batchDirCount(spark, idx) >= 3)
+      Similarity.compactMaintainedAnnBatches(spark, idx, excludeBatchId = 4L)
+    Similarity.encodeForIndex(spark, sf,
+        batches(4).toSeq.toDF("vec_id", "embedding"))
+      .withColumn("batch_id", lit(4L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cid").parquet(idx)
+    assert(dirs() === Set("batch_id=-1", "batch_id=4"))
+    assert(spark.read.parquet(idx).count() === 500L,
+      "a replayed in-flight batch must rewrite, never duplicate")
+    assert(spark.read.parquet(idx).select("vec_id").distinct().count() === 500L)
+    assert(canon(Similarity.annIvfPqServe(spark, sf, idx)) ===
+      canon(Similarity.annIvfPq(spark, sf)))
+  }
+
   test("all four encode families: serve from the at-rest index == in-session operator") {
     def canon(df: DataFrame) = df.collect().map(_.mkString("|")).toSet
     // (family, in-session form at default dials, in-session at a
