@@ -1172,6 +1172,50 @@ object Dedup {
     } finally docs.unpersist(blocking = false)
   }
 
+  /** In-loop LSM compaction for the MAINTAINED dedup index — the
+    * [[graft.operators.Similarity.compactMaintainedAnnBatches]] twin:
+    * both relations' COMMITTED `batch_id=` partitions (everything
+    * except `excludeBatchId`, the in-flight batch the checkpoint can
+    * still replay) fold into their `batch_id=-1` bases via
+    * [[graft.sources.BatchFold]]'s crash-safe staged swap — buckets
+    * back to one file per shard (exactly the [[writeDedupIndex]]
+    * layout whose file-count round 9 measured probe latency tracking:
+    * 5.74 → 1.24 s on a 16× cut), shingles back to one range-clustered
+    * relation (doc-id pruning restored across the base). Without the
+    * fold, [[graft.streaming.Runner.dedupIntakeQuery]] accretes one
+    * file per batch per touched shard FOREVER, eroding that win one
+    * trigger at a time. The two relations fold one after the other; a
+    * crash between them leaves both complete and correct, just at
+    * asymmetric depth, and the next threshold crossing folds the
+    * laggard — each relation's swap is independently recovered
+    * ([[recoverDedupIndexFolds]], called by the intake loops at
+    * trigger head; serve paths stay READ-ONLY by this file's
+    * contract, so a standalone serve racing a crashed writer is the
+    * documented single-writer window). Returns partitions folded. */
+  def compactDedupIndexBatches(spark: SparkSession, indexPath: String,
+                               excludeBatchId: Long): Int = {
+    val nBuckets = graft.sources.BatchFold.fold(
+      spark, s"$indexPath/buckets", excludeBatchId) { (rows, staging) =>
+      rows.repartition(col("shard")) // one file per shard in the base
+        .write.mode("overwrite").partitionBy("shard").parquet(staging)
+    }
+    val nShingles = graft.sources.BatchFold.fold(
+      spark, s"$indexPath/shingles", excludeBatchId) { (rows, staging) =>
+      graft.sources.Layout.writeRangeClustered(rows, staging, Seq("doc_id"))
+    }
+    nBuckets + nShingles
+  }
+
+  /** Finish any fold a crash interrupted, on BOTH relations — the
+    * intake loops call this at trigger head (write paths may mutate;
+    * serve paths must not — the legacy-meta migration rule). Cost when
+    * clean: two FS exists() probes. */
+  def recoverDedupIndexFolds(spark: SparkSession, indexPath: String): Unit = {
+    graft.sources.BatchFold.recover(spark, s"$indexPath/buckets")
+    graft.sources.BatchFold.recover(spark, s"$indexPath/shingles")
+    ()
+  }
+
   /** Per-batch duplicate hits for the streaming intake loops
     * ([[graft.streaming.Runner.dedupIntakeQuery]] /
     * `curateIntakeQuery`): hits against the maintained index (when it

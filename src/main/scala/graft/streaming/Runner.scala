@@ -530,18 +530,45 @@ object Runner {
     * mixed in); seed it by feeding the base corpus as the first
     * batch(es). Intra-batch duplicates: the FIRST occurrence (lowest
     * doc_id) is accepted, later ones are dropped as duplicates of it —
-    * the batch's own LSH pass scoped batch-local. */
+    * the batch's own LSH pass scoped batch-local.
+    *
+    * The LSM merge policy is IN the loop (`compactEveryBatches`,
+    * 0 = off — the annIndexMaintainQuery contract): when the buckets
+    * relation's `batch_id=` partition count crosses the threshold, the
+    * trigger folds every COMMITTED batch of BOTH relations into their
+    * `batch_id=-1` bases ([[graft.operators.Dedup
+    * .compactDedupIndexBatches]] — buckets back to one file per shard,
+    * shingles back to one range-clustered run) BEFORE probing, always
+    * excluding the current batch id so a replayed in-flight batch
+    * still rewrites its own partitions. A long-running crawl otherwise
+    * accretes one file per batch per touched shard forever — and file
+    * count is exactly what this index's probe latency is sensitive to
+    * (round 9: 5.74 → 1.24 s on a 16× cut). Fold cost is an
+    * index-sized rewrite every `compactEveryBatches − 2` batches;
+    * ≤ 2 would rewrite per trigger and is refused. */
   def dedupIntakeQuery(spark: SparkSession, indexPath: String,
                        docStream: DataFrame, decisionsDir: String,
                        checkpoint: String,
                        numHashes: Int = 64, bands: Int = 16,
                        shards: Int = 64,
-                       minJ: Double = graft.operators.Dedup.lshMinJ): StreamingQuery =
+                       minJ: Double = graft.operators.Dedup.lshMinJ,
+                       compactEveryBatches: Int = 64): StreamingQuery = {
+    require(compactEveryBatches == 0 || compactEveryBatches >= 3,
+      s"compactEveryBatches ($compactEveryBatches) must be 0 (off) or >= 3: " +
+        "the fold leaves base + current = 2 partitions, so a threshold of " +
+        "2 would rewrite the whole index on every batch")
     docStream
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.recoverDedupIndexFolds(spark, indexPath)
+        if (compactEveryBatches > 0 &&
+            graft.sources.BatchFold
+              .batchDirCount(spark, s"$indexPath/buckets")
+              >= compactEveryBatches)
+          graft.operators.Dedup
+            .compactDedupIndexBatches(spark, indexPath, batchId)
         val b = batch.persist()
         try {
           // hits vs everything accepted in PRIOR batches + intra-batch
@@ -575,6 +602,7 @@ object Runner {
         } finally b.unpersist(blocking = false)
       }
       .start()
+  }
 
   /** The FULL streaming CURATION intake — the crawl-intake deployment
     * of curateLlm's decision stages, per micro-batch of (doc_id, text):
@@ -603,14 +631,21 @@ object Runner {
     * overwrite) — both sinks exactly-once under replay. All model
     * state is broadcast (NB counts, eval grams) or at rest (the LSH
     * index); the batch itself never shuffles wider than its own
-    * (doc, gram) pairs. */
+    * (doc, gram) pairs. The maintained index folds in-loop past
+    * `compactEveryBatches` exactly as [[dedupIntakeQuery]] documents
+    * (same machinery, same exclusion of the in-flight batch). */
   def curateIntakeQuery(spark: SparkSession, dir: String, indexPath: String,
                         docStream: DataFrame, decisionsDir: String,
                         checkpoint: String, evalN: Long = 50,
                         numHashes: Int = 64, bands: Int = 16,
                         shards: Int = 64,
-                        minJ: Double = graft.operators.Dedup.lshMinJ): StreamingQuery = {
+                        minJ: Double = graft.operators.Dedup.lshMinJ,
+                        compactEveryBatches: Int = 64): StreamingQuery = {
     import graft.operators.{Dedup, TextOps}
+    require(compactEveryBatches == 0 || compactEveryBatches >= 3,
+      s"compactEveryBatches ($compactEveryBatches) must be 0 (off) or >= 3: " +
+        "the fold leaves base + current = 2 partitions, so a threshold of " +
+        "2 would rewrite the whole index on every batch")
     // train/build the broadcast-side models ONCE, reuse every batch —
     // their lifetime is the QUERY's: a termination listener below
     // unpersists both when this query ends, so repeated start/stop
@@ -625,6 +660,12 @@ object Runner {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Dedup.recoverDedupIndexFolds(spark, indexPath)
+        if (compactEveryBatches > 0 &&
+            graft.sources.BatchFold
+              .batchDirCount(spark, s"$indexPath/buckets")
+              >= compactEveryBatches)
+          Dedup.compactDedupIndexBatches(spark, indexPath, batchId)
         val b = batch.persist()
         try {
           val rules = TextOps.filterDecisionOn(b)

@@ -248,4 +248,96 @@ class DedupServeSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.read.parquet(s"$idx/buckets").select("doc_id", "band").distinct().count(),
       "replay appended duplicate bucket rows")
   }
+
+  test("in-loop compaction: the intake loop folds committed batches into " +
+      "the batch_id=-1 bases past compactEveryBatches — probe verdicts " +
+      "unchanged across the fold, file counts bounded, and a replayed " +
+      "in-flight batch rewrites its own partitions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = graft.Tables.documents(spark, sf)
+      .orderBy(col("doc_id")).limit(6)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    // b0/b1/b2 all-distinct; b3 carries a clone of a b1 acceptee — its
+    // dup verdict must come from the FOLDED base (the fold runs at b3's
+    // head: buckets depth 3 >= threshold 3)
+    val batches = Seq(
+      Seq((1L, d(0)._2), (2L, d(1)._2)),
+      Seq((3L, d(2)._2), (4L, d(3)._2)),
+      Seq((5L, d(4)._2)),
+      Seq((6L, d(2)._2), (7L, d(5)._2))) // 6 clones doc 3 (accepted in b1)
+    val idx = tmp("graft-dedup-fidx")
+    val out = tmp("graft-dedup-fout")
+    def bucketDirs(): Set[String] =
+      new java.io.File(s"$idx/buckets").listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName).toSet
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val ckpt = tmp("graft-dedup-fckpt")
+    val q = graft.streaming.Runner.dedupIntakeQuery(spark, idx,
+      mem.toDS().toDF("doc_id", "text"), out, ckpt,
+      compactEveryBatches = 3)
+    try batches.foreach { b =>
+      mem.addData(b); q.processAllAvailable()
+      assert(BatchFold.batchDirCount(spark, s"$idx/buckets") <= 3,
+        "the policy must bound the buckets LSM depth at every trigger")
+    } finally q.stop()
+    // b3's head folded {0,1,2} -> base, then appended its own partition
+    assert(bucketDirs() === Set("batch_id=-1", "batch_id=3"))
+    def decisions() = spark.read.parquet(out)
+      .select(col("doc_id"), col("accepted"), col("dup_of"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val dec = decisions()
+    assert(Seq(1L, 2L, 3L, 4L, 5L, 7L).forall(dec(_) === ((true, -1L))))
+    assert(dec(6L) === ((false, 3L)),
+      "the post-fold probe must still flag the clone against the FOLDED base")
+    // the folded buckets base holds one file per touched shard — the
+    // writeDedupIndex layout the fold restores (round 9: probe latency
+    // tracks exactly this file count)
+    val baseShards = new java.io.File(s"$idx/buckets/batch_id=-1")
+      .listFiles().toSeq.filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(baseShards.nonEmpty)
+    assert(baseShards.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "the folded base must hold one file per shard")
+    // index content: exactly the accepted docs, no row lost or doubled
+    def shingleIds() = spark.read.parquet(s"$idx/shingles")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(shingleIds() === Seq(1L, 2L, 3L, 4L, 5L, 7L))
+    val bucketRows = spark.read.parquet(s"$idx/buckets")
+      .select("doc_id", "band", "bucket")
+      .collect().map(_.mkString("|")).toSeq.sorted
+    assert(bucketRows.distinct === bucketRows, "fold duplicated bucket rows")
+    // replay the IN-FLIGHT batch (the only one a checkpoint re-runs):
+    // attempt 2 of b3 re-executes the trigger body — recover (no-op),
+    // depth 2 < 3 so no fold, probe, dynamic-overwrite append of its
+    // OWN partitions. Index must end exactly where attempt 1 left it.
+    graft.operators.Dedup.recoverDedupIndexFolds(spark, idx)
+    val accepted3 = Seq((7L, d(5)._2)).toDF("doc_id", "text")
+    graft.operators.Dedup.appendDedupIndexBatch(spark, idx, accepted3, 3L)
+    assert(bucketDirs() === Set("batch_id=-1", "batch_id=3"))
+    assert(shingleIds() === Seq(1L, 2L, 3L, 4L, 5L, 7L),
+      "a replayed in-flight batch must rewrite, never duplicate")
+    // and the WORST crash shape: attempt 1 appended b3 then died before
+    // commit; attempt 2's head re-runs the fold (excluding b3). The
+    // fold must absorb only committed batches, leave b3's partitions
+    // for the overwrite, and probe verdicts must be unchanged.
+    val probeClone = Seq((999L, d(2)._2)).toDF("doc_id", "text")
+    val hitsBefore = graft.operators.Dedup
+      .dedupServeBatch(spark, idx, probeClone)
+      .collect().map(_.mkString("|")).toSet
+    graft.operators.Dedup.compactDedupIndexBatches(spark, idx,
+      excludeBatchId = 3L)
+    graft.operators.Dedup.appendDedupIndexBatch(spark, idx, accepted3, 3L)
+    assert(shingleIds() === Seq(1L, 2L, 3L, 4L, 5L, 7L))
+    val hitsAfter = graft.operators.Dedup
+      .dedupServeBatch(spark, idx, probeClone)
+      .collect().map(_.mkString("|")).toSet
+    assert(hitsAfter === hitsBefore,
+      "probe verdicts must be identical across a fold")
+    assert(hitsAfter.nonEmpty, "the clone probe must hit doc 3")
+  }
 }
