@@ -710,6 +710,16 @@ object Bench {
       intakeRate("stream_curate_intake_20k", intake20kFixture())((ds, idx, out, ckpt) =>
         streaming.Runner.curateIntakeQuery(spark, sfDir, idx, ds, out, ckpt))
     }
+    // amortized DEDUP intake (r14 verdict Next #4): the 4-file sf feed
+    // above prices the loop's fixed trigger cost only (~318 docs/s);
+    // one 20 k-doc trigger over the same SyntheticDocs corpus carries
+    // the amortized sustained point, the curate_intake_20k precedent
+    // applied to the bare dedup loop (probe + first-wins + two
+    // exactly-once sinks, no NB/decontam stages).
+    val streamDedupIntake20kRate: Double = streamSection("stream_dedup_intake_20k") {
+      intakeRate("stream_dedup_intake_20k", intake20kFixture())((ds, idx, out, ckpt) =>
+        streaming.Runner.dedupIntakeQuery(spark, idx, ds, out, ckpt))
+    }
     // streaming HNSW index maintenance (round 13): the sf embedding
     // table fed as 4 micro-batches through hnswMaintainQuery's
     // LSM-segment default, a fresh index per attempt. Like the intake
@@ -904,6 +914,7 @@ object Bench {
       "stream_dedup_intake" -> streamDedupIntakeRate,
       "stream_curate_intake" -> streamCurateIntakeRate,
       "stream_curate_intake_20k" -> streamCurateIntake20kRate,
+      "stream_dedup_intake_20k" -> streamDedupIntake20kRate,
       "stream_hnsw_maintain" -> streamHnswMaintainRate,
       "stream_hnsw_maintain_20k" -> streamHnswMaintain20kRate,
       "stream_hnsw_serve" -> streamHnswServeRate)
@@ -932,6 +943,7 @@ object Bench {
       s""""stream_dedup_intake_rows_per_sec":${streamDedupIntakeRate.toLong},""" +
       s""""stream_curate_intake_rows_per_sec":${streamCurateIntakeRate.toLong},""" +
       s""""stream_curate_intake_20k_rows_per_sec":${streamCurateIntake20kRate.toLong},""" +
+      s""""stream_dedup_intake_20k_rows_per_sec":${streamDedupIntake20kRate.toLong},""" +
       s""""stream_hnsw_maintain_rows_per_sec":${streamHnswMaintainRate.toLong},""" +
       s""""stream_hnsw_maintain_20k_rows_per_sec":${streamHnswMaintain20kRate.toLong},""" +
       s""""stream_hnsw_serve_rows_per_sec":${streamHnswServeRate.toLong},""" +
