@@ -393,13 +393,16 @@ object Hnsw {
     val qdf = spark.createDataset(qs.toSeq)
       .toDF("query_id", "q_emb")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    // no (query_id, vec_id) dedup exchange here — uniqueness is
+    // STRUCTURAL: every vec_id lives in exactly one shard partition
+    // (id-modulo routing; segments are diff-driven disjoint — the
+    // replay-appends-0 spec pins it), one task walks one shard, and
+    // callers hand this function a unique query set (the driver-side
+    // distinctBy in annHnswServeShardedQueries; corpus queries are
+    // distinct by construction). An extra exchange to defend against
+    // a hand-edited index measurably taxes the resident serve floor
+    // (~0.1 s of a ~0.6 s call — A/B'd round 15).
     shortlist
-      // belt-and-braces: a candidate reached through two walks (the
-      // diff-driven appends keep vec_ids unique per partition, so this
-      // only fires on a malformed index or duplicated queries) must
-      // not occupy two rank slots — the shortlist is dial-bounded, so
-      // the extra exchange is trivial next to the window's own
-      .dropDuplicates("query_id", "vec_id")
       .join(broadcast(qdf), "query_id")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", Similarity.cosine(col("q_emb"), col("embedding")))
@@ -886,9 +889,11 @@ object Hnsw {
     require(stamps.nonEmpty,
       s"$indexPath/graph has no populated shard= partitions — not a " +
         "populated writeHnswIndexSharded index")
+    // duplicate query ids collapse DRIVER-side (free — the batch is
+    // already collected; a dropDuplicates here would add a shuffle to
+    // every serve trigger, ~15% of the resident floor)
     val qs = queries.select(col("query_id"), col("embedding"))
-      .dropDuplicates("query_id")
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .as[(Long, Array[Float])].collect().sortBy(_._1).distinctBy(_._1)
     serveShardedCore(spark, indexPath, qs, k, efSearch, stamps,
       intField(meta, "m"), intField(meta, "efConstruction"))
   }
