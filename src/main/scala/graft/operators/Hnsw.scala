@@ -1490,10 +1490,11 @@ object Hnsw {
   }
 
   /** Crash recovery for [[reshardHnswIndexSharded]]'s swap window: a
-    * crash between the old graph's delete and the staging rename
-    * leaves `.staging-reshard` as the ONLY complete copy (for a
-    * segment-maintained index its vectors need not exist in any
-    * corpus, so losing it loses data). Every entry point that reads
+    * crash between the old graph's move-aside and the staging rename
+    * leaves `.staging-reshard` as the authoritative complete copy (for
+    * a segment-maintained index its vectors need not exist in any
+    * corpus; the moved-aside `.trash-reshard` copy is pre-fold state
+    * and is dropped on recovery). Every entry point that reads
     * `graph/` — serve, all three appends, reshard itself — calls this
     * first: when `graph/` has no visible content but a COMPLETE staged
     * copy exists (`_SUCCESS`, the committer's all-files-landed
@@ -1521,6 +1522,10 @@ object Hnsw {
       s"reshard recovery: rename $staging -> $gp failed; the complete " +
         "resharded graph is at the staging path — rename it to graph/ " +
         "to recover")
+    // the recovered staging supersedes the crashed swap's moved-aside
+    // old copy — drop it so a maintained index can't carry a stale
+    // index-sized dir forever
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/.trash-reshard"), true)
     true
   }
 
@@ -1540,10 +1545,12 @@ object Hnsw {
     * [[graphFromRows]] is order-insensitive).
     *
     * `graph/` swaps first (the rebuilt graph is STAGED complete on the
-    * index's own filesystem, then the old dir is deleted and the
-    * staging RENAMED in — the old count's `shard=` dirs and any
-    * accumulated segments must vanish, which a dynamic overwrite would
-    * leave behind; the staged copy is kept on any failure, because for
+    * index's own filesystem, then the old dir is RENAMED aside and the
+    * staging RENAMED in — two namespace ops, so the unreadable window
+    * is ~ms instead of an O(old index files) recursive delete; the old
+    * count's `shard=` dirs and any accumulated segments must vanish,
+    * which a dynamic overwrite would leave behind; the staged copy is
+    * kept on any failure, because for
     * a segment-maintained index it can be the only complete copy), then
     * `_meta.json` rewrites nShards. A crash between swap and meta
     * leaves new graph + old meta, which misroutes only FUTURE appends'
@@ -1599,25 +1606,39 @@ object Hnsw {
         graphRows(buildGraph(rows.map(_._1), rows.map(_._2), m, efC), shard)
       }
     val staging = new org.apache.hadoop.fs.Path(s"$indexPath/.staging-reshard")
+    val trash = new org.apache.hadoop.fs.Path(s"$indexPath/.trash-reshard")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(staging, true) // a PRIOR crashed reshard's leftovers
+    fs.delete(trash, true)   // a prior swap's deferred old copy
     // the staged relation IS the final layout (one task per shard ⇒
-    // one file per shard= dir), so the swap is delete + RENAME — no
-    // second Spark job, and the old graph is removed only AFTER the
-    // staged copy fully committed. Staging is KEPT if anything below
-    // throws: for a segment-maintained index the staged copy may be
-    // the only complete one (its vectors need not exist in any
+    // one file per shard= dir), so the swap is RENAME + RENAME — two
+    // namespace ops, no second Spark job. The old graph moves ASIDE
+    // (`.trash-reshard` — dot-prefixed, invisible to Spark's listing
+    // and every stamp walk) rather than being deleted in the window:
+    // a recursive delete of the old graph costs O(old index files)
+    // with the index UNREADABLE throughout (at the 1e7 rung that is
+    // seconds of serve-visible outage per in-loop fold), while the
+    // rename pair leaves only a ~ms gap; the deferred delete runs
+    // AFTER the new graph is in place. Staging is KEPT if anything
+    // below throws: for a segment-maintained index the staged copy may
+    // be the only complete one (its vectors need not exist in any
     // corpus), so failure recovery is `mv .staging-reshard graph`,
-    // named in the refusals. A crash between the delete and the
-    // rename leaves exactly that state.
+    // named in the refusals. A crash between the renames leaves
+    // exactly the state [[recoverStagedReshard]] repairs (graph absent,
+    // staging complete); a crash after both renames leaves only the
+    // old copy in trash, removed by the next reshard's pre-clean or
+    // recovery pass — bounded by one fold interval on a maintained
+    // index, and never visible to reads.
     rebuilt.toDF()
       .write.mode("overwrite").partitionBy("shard").parquet(staging.toString)
-    require(fs.delete(gp, true),
-      s"reshard: could not remove the old $gp; the complete resharded " +
-        s"graph is at $staging — rename it to graph/ to recover")
+    require(fs.rename(gp, trash),
+      s"reshard: could not move the old $gp aside; the complete " +
+        s"resharded graph is at $staging — rename it to graph/ to recover")
     require(fs.rename(staging, gp),
       s"reshard: rename $staging -> $gp failed; the complete resharded " +
-        "graph is at the staging path — rename it to graph/ to recover")
+        "graph is at the staging path — rename it to graph/ to recover " +
+        s"(the pre-swap graph is at $trash)")
+    fs.delete(trash, true) // deferred: outside the swap window
     graft.sources.IndexMeta.write(indexPath, Seq(
       "family" -> "hnsw_sharded", "m" -> m,
       "efConstruction" -> efC, "nShards" -> newNShards))

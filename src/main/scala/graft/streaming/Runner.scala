@@ -422,8 +422,10 @@ object Runner {
     * consistent (at worst one-segment-stale) view and every listed
     * shard's content matches its stamp. Two caveats, both LOUD and
     * recoverable, never wrong answers: (1) the maintain loop's
-    * auto-compaction swaps the whole layout (staged write → delete →
-    * rename) — a serve batch that lists or reads inside that
+    * auto-compaction swaps the whole layout (staged write → rename
+    * aside → rename in — two namespace ops; round 15 removed the
+    * O(index files) delete from the window) — a serve batch that
+    * lists or reads inside that
     * millisecond window fails its trigger; the restarted query resumes
     * from its checkpoint and the K5 sink rewrites the failed batch's
     * own partition idempotently. (2) the routed maintain mode REWRITES

@@ -1004,6 +1004,36 @@ class HnswSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("nothing to reshard"), e.getMessage)
   }
 
+  test("the reshard swap is rename+rename: no moved-aside old copy " +
+      "survives a completed reshard, and recovery from a mid-swap crash " +
+      "drops the superseded trash alongside renaming the staging in") {
+    import org.apache.spark.sql.functions.col
+    val corpus = forgeCorpus(col("vec_id") < 80)
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-trash").toString
+    Hnsw.writeHnswIndexSharded(spark, corpus, idx, nShards = 2)
+    Hnsw.reshardHnswIndexSharded(spark, idx, 4)
+    assert(!new java.io.File(s"$idx/.trash-reshard").exists(),
+      "the deferred delete must remove the old copy once the swap lands")
+    assert(rows(Hnsw.annHnswServeSharded(spark, corpus, idx, efSearch = 256))
+      == rows(Similarity.annBruteForce(spark, corpus)))
+    // fabricate the between-renames crash: graph/ moved ASIDE (trash
+    // holds the pre-swap copy), staged copy complete, graph/ absent
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$idx/graph"),
+      java.nio.file.Paths.get(s"$idx/.staging-reshard"))
+    new java.io.File(s"$idx/.trash-reshard/shard=0").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$idx/.trash-reshard/shard=0/part-0"),
+      Array[Byte](1)) // stale bytes — must be dropped, never read
+    Hnsw.ShardGraphCache.invalidate(); Hnsw.invalidateDriftChecks()
+    assert(rows(Hnsw.annHnswServeSharded(spark, corpus, idx, efSearch = 256))
+      == rows(Similarity.annBruteForce(spark, corpus)),
+      "recovery must serve from the authoritative staged copy")
+    assert(!new java.io.File(s"$idx/.trash-reshard").exists(),
+      "recovery must drop the superseded moved-aside copy")
+    assert(!new java.io.File(s"$idx/.staging-reshard").exists())
+  }
+
   test("hnswMaintainQuery refuses compactEverySegments in (0, nShards] " +
       "loudly AT START: the fold lands nShards partitions and every " +
       "batch adds one, so such a threshold would full-rebuild per trigger") {
