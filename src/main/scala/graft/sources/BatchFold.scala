@@ -42,12 +42,20 @@ import org.apache.spark.sql.functions.col
   *      presence (not `_SUCCESS` alone) is the swap's authority
   *      marker: a crash before it leaves the old layout fully intact
   *      and the half-staged copy is discarded on the next fold;
-  *   3. delete the manifested dirs (a torn delete is repaired by
-  *      recovery — every deleted row is already in the staged base);
+  *   3. RENAME each manifested dir aside into `.trash-fold/` — one
+  *      constant-time namespace op per dir, instead of a recursive
+  *      delete whose cost is O(that dir's files): the old `batch_id=-1`
+  *      base is index-sized, and deleting it inside the swap window
+  *      would leave the relation partial for the whole delete (a torn
+  *      rename sequence is repaired by recovery — every moved row is
+  *      already in the staged base);
   *   4. ONE rename of the staging to `batch_id=-1` — which atomically
-  *      retires the authority marker with it.
+  *      retires the authority marker with it;
+  *   5. deferred delete of `.trash-fold/`, AFTER the new base is
+  *      already serving (a crash here leaves only invisible trash,
+  *      removed by the next fold's pre-clean or recovery).
   *
-  * [[recover]] redoes steps 3–4 whenever a manifest exists, and is
+  * [[recover]] redoes steps 3–5 whenever a manifest exists, and is
   * called by the maintain loops at trigger start and by the serve
   * paths at read start (the `recoverStagedReshard` precedent) — cost
   * when there is nothing to recover is one FS exists() probe. Between
@@ -55,7 +63,7 @@ import org.apache.spark.sql.functions.col
   * partial index (the single-writer maintain contract every one of
   * these indexes documents) — never duplicates: a row is visible in
   * the staged base only after its source dir is gone or the manifest
-  * that will delete it is already authoritative.
+  * that will move it is already authoritative.
   *
   * The staged WRITE is the caller's (each index keeps its own inner
   * layout — cid partitions, shard partitions, range-clustered files);
@@ -68,8 +76,35 @@ object BatchFold {
 
   private val manifestName = "_folded"
   private def stagingOf(root: String) = new Path(s"$root/.staging-fold")
+  private def trashOf(root: String) = new Path(s"$root/.trash-fold")
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Steps 3–5 of the swap, shared by [[fold]] and [[recover]]: move
+    * each still-present manifested dir aside (constant-time renames —
+    * never a recursive delete inside the window), rename the staging
+    * in as the new base, then drop the trash. Idempotent: already-gone
+    * dirs are skipped, and the trash pre-clean runs in [[fold]]. */
+  private def finishSwap(fs: org.apache.hadoop.fs.FileSystem, root: String,
+                         folded: Seq[String]): Unit = {
+    val trash = trashOf(root)
+    fs.mkdirs(trash)
+    folded.foreach { name =>
+      val src = new Path(s"$root/$name")
+      if (fs.exists(src)) {
+        require(fs.rename(src, new Path(trash, name)),
+          s"batch fold: could not move $src aside; the complete folded " +
+            s"base is at ${stagingOf(root)} — finish by removing the " +
+            "manifested dirs and renaming it to batch_id=-1")
+      }
+    }
+    require(fs.rename(stagingOf(root), new Path(s"$root/batch_id=$foldedBatchId")),
+      s"batch fold: rename ${stagingOf(root)} -> $root/batch_id=" +
+        s"$foldedBatchId failed; the complete folded base is at the " +
+        "staging path — rename it to batch_id=-1 to recover")
+    fs.delete(trash, true) // deferred: outside the swap window
+    ()
+  }
 
   /** Number of `batch_id=` partitions currently on disk (base included)
     * — the LSM depth the maintain loops' merge policy watches. One
@@ -84,10 +119,11 @@ object BatchFold {
 
   /** Finish a fold a crash interrupted mid-swap: when the staging
     * carries its `_folded` manifest, the staged base is authoritative
-    * for exactly the dirs the manifest names — delete any still
-    * present, rename the staging in. Idempotent; no-op (one exists
-    * probe) when no completed staging exists. Returns true when a
-    * recovery was performed. */
+    * for exactly the dirs the manifest names — move any still present
+    * aside, rename the staging in, drop the trash. Idempotent (the
+    * manifest retires with the final rename, already-moved dirs are
+    * skipped); no-op (one exists probe) when no completed staging
+    * exists. Returns true when a recovery was performed. */
   def recover(spark: SparkSession, root: String): Boolean = {
     val staging = stagingOf(root)
     val fs = fsOf(spark, staging)
@@ -97,12 +133,7 @@ object BatchFold {
     val folded =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    folded.filter(_.nonEmpty)
-      .foreach(name => fs.delete(new Path(s"$root/$name"), true))
-    require(fs.rename(staging, new Path(s"$root/batch_id=$foldedBatchId")),
-      s"batch fold recovery: rename $staging -> $root/batch_id=" +
-        s"$foldedBatchId failed; the complete folded base is at the " +
-        "staging path — rename it to batch_id=-1 to recover")
+    finishSwap(fs, root, folded.filter(_.nonEmpty))
     true
   }
 
@@ -118,7 +149,8 @@ object BatchFold {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     val staging = stagingOf(root)
-    fs.delete(staging, true) // an INCOMPLETE prior fold (no manifest)
+    fs.delete(staging, true)      // an INCOMPLETE prior fold (no manifest)
+    fs.delete(trashOf(root), true) // a prior swap's deferred old dirs
     if (!fs.exists(rootPath)) return 0
     val foldDirs = fs.listStatus(rootPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
@@ -136,11 +168,7 @@ object BatchFold {
     val out = fs.create(new Path(staging, manifestName), true)
     try out.write((foldDirs.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    foldDirs.foreach(name => fs.delete(new Path(s"$root/$name"), true))
-    require(fs.rename(staging, new Path(s"$root/batch_id=$foldedBatchId")),
-      s"batch fold: rename $staging -> $root/batch_id=$foldedBatchId " +
-        "failed; the complete folded base is at the staging path — " +
-        "rename it to batch_id=-1 to recover")
+    finishSwap(fs, root, foldDirs)
     foldDirs.size
   }
 }

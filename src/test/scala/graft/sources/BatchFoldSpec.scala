@@ -76,15 +76,16 @@ class BatchFoldSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dirs(root) == Set("batch_id=5"))
   }
 
-  test("recovery finishes a swap torn mid-delete: the manifested dirs " +
-      "go, the staged base renames in, reruns are idempotent") {
+  test("recovery finishes a swap torn mid-move: manifested dirs still " +
+      "present move aside, already-moved ones are skipped, the staged " +
+      "base renames in, the trash is dropped, reruns are idempotent") {
     val root = java.nio.file.Files.createTempDirectory("bf-torn").toString
     writeBatch(root, 0L, 0 until 10)
     writeBatch(root, 1L, 10 until 20)
     writeBatch(root, 2L, 20 until 25)
-    // fabricate the post-manifest, mid-delete crash state the fold
+    // fabricate the post-manifest, mid-move crash state the fold
     // documents: staged base complete (batches 0+1), manifest present,
-    // batch 0 already deleted, batch 1 still on disk
+    // batch 0 already moved aside into the trash, batch 1 still on disk
     val staging = s"$root/.staging-fold"
     spark.read.parquet(root).filter(col("batch_id") =!= 2L)
       .drop("batch_id").coalesce(1)
@@ -92,14 +93,38 @@ class BatchFoldSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$staging/_folded"),
       "batch_id=0\nbatch_id=1\n".getBytes("UTF-8"))
-    def rmr(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
-    }
-    rmr(new java.io.File(s"$root/batch_id=0"))
+    new java.io.File(s"$root/.trash-fold").mkdirs()
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$root/batch_id=0"),
+      java.nio.file.Paths.get(s"$root/.trash-fold/batch_id=0"))
     assert(BatchFold.recover(spark, root), "a manifested staging must recover")
     assert(dirs(root) == Set("batch_id=-1", "batch_id=2"))
     assert(xs(root) == (0L until 25L), "recovery lost or duplicated rows")
+    assert(!new java.io.File(s"$root/.trash-fold").exists(),
+      "recovery must drop the superseded moved-aside dirs")
     assert(!BatchFold.recover(spark, root), "recovery must be one-shot")
+  }
+
+  test("a completed fold leaves no trash behind (the old base's delete " +
+      "is deferred OUTSIDE the swap, then performed)") {
+    val root = java.nio.file.Files.createTempDirectory("bf-notrash").toString
+    writeBatch(root, 0L, 0 until 10)
+    writeBatch(root, 1L, 10 until 15)
+    assert(BatchFold.fold(spark, root, excludeBatchId = 1L)(stageFlat) == 1)
+    assert(!new java.io.File(s"$root/.trash-fold").exists())
+    assert(!new java.io.File(s"$root/.staging-fold").exists())
+    // and a lingering trash from a crash-after-swap is pre-cleaned by
+    // the NEXT fold, never read as relation content
+    new java.io.File(s"$root/.trash-fold/batch_id=9").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/.trash-fold/batch_id=9/part-0"),
+      Array[Byte](1))
+    assert(xs(root) == (0L until 15L), "trash must be invisible to reads")
+    writeBatch(root, 2L, 15 until 20)
+    assert(BatchFold.fold(spark, root, excludeBatchId = 3L)(stageFlat) == 3)
+    assert(!new java.io.File(s"$root/.trash-fold").exists(),
+      "the next fold's pre-clean must drop crash-leftover trash")
+    assert(xs(root) == (0L until 20L))
   }
 
   test("an INCOMPLETE staging (no manifest) is not authoritative: " +
