@@ -54,6 +54,56 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
   }
 
+  /** v20: two-stage truncated-dimension retrieval (the Matryoshka-
+    * embedding serving pattern): a COARSE cosine over only the first
+    * `truncDims` dimensions shortlists `shortlist` candidates per
+    * query, then the FULL-dimension cosine reranks the shortlist to
+    * top-`k`. With dim=64 and truncDims=16 the dominant pass (corpus ×
+    * queries) runs at ¼ the flops and — when the head dims are stored
+    * as their own column/file (the deployment layout; MRL-trained
+    * embeddings front-load information exactly so this works) — ¼ the
+    * scan bytes; the full vectors are touched only for the bounded
+    * shortlist. The stage composes orthogonally with every routing
+    * family here (IVF cells, LSH buckets, HNSW walks shortlist the
+    * same way); this operator pins the rescore-stage semantics in
+    * isolation, exactly like v1 pins the exact baseline.
+    *
+    * Scale shape: coarse pass = broadcast queries × one corpus scan
+    * (never shuffles the corpus); shortlist = per-query WindowGroupLimit
+    * (rank-limit pushed before the sort); rerank cost is
+    * O(queries × shortlist × dim), independent of corpus size.
+    *
+    * Recall is NOT guaranteed (a truncated head can misrank a true
+    * neighbor out of the shortlist), and on the pinned NEAR-RANDOM
+    * corpus the head carries almost no signal (worst coarse rank of a
+    * true top-5 neighbor: 447 of 499 at truncDims=16 — measured, the
+    * v5/annLsh story again): the gate dials pin the two-stage
+    * SEMANTICS via an oracle that replays both stages exactly, not
+    * recall. MRL-trained embeddings front-load variance precisely so
+    * small heads shortlist well; SimilaritySpec pins the property that
+    * makes the stage trustworthy regardless: shortlist ≥ corpus
+    * degenerates to exactly [[annBruteForce]]. */
+  def annTruncatedRerank(spark: SparkSession, dir: String, nQueries: Int = 10,
+                         k: Int = 5, truncDims: Int = 16,
+                         shortlist: Int = 40): DataFrame = {
+    require(truncDims >= 1 && shortlist >= k && k >= 1)
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val coarse = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("ccos", cosine(slice(col("q_emb"), 1, truncDims),
+        slice(col("embedding"), 1, truncDims)))
+    val w1 = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("vec_id"))
+    val short = coarse.withColumn("crank", row_number().over(w1))
+      .filter(col("crank") <= shortlist)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    short.withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * xxhash64 folded to [-0.5, 0.5), computed ON THE DRIVER with the
     * same XXH64 chain Spark's `xxhash64(lit(plane), dim)` evaluates
@@ -1729,6 +1779,14 @@ object Similarity {
     // with far fewer candidates.
     "v5_near_dup_lsh" -> ((s, d) => nearDupLsh(s, d, nPlanes = 3, tables = 12)),
     "v1_ann_bruteforce" -> ((s, d) => annBruteForce(s, d)),
+    // v20 gate profiles: the oracle replays the EXACT two-stage
+    // semantics (head-slice shortlist, full-dim rerank), so the rows
+    // hash-match at ANY dial — recall on this near-random corpus is
+    // measured and documented in the scaladoc, and the deep-shortlist
+    // degeneration to v1 is spec-pinned.
+    "v20_ann_trunc_rerank" -> ((s, d) => annTruncatedRerank(s, d)),
+    "v20_ann_trunc_rerank_dial2" -> ((s, d) =>
+      annTruncatedRerank(s, d, truncDims = 8, shortlist = 120)),
     "v2_ann_lsh" -> ((s, d) => annLsh(s, d, nPlanes = 2, tables = 20)),
     "v3_near_dup_pairs" -> ((s, d) => nearDupPairs(s, d)),
     // v10's gate clusters by the curated label column so the greedy
@@ -1848,6 +1906,11 @@ object Similarity {
         |    ORDER BY dist DESC, vec_id) AS rank FROM d)
         |SELECT label, rank, vec_id, dist FROM ranked WHERE rank <= 3""".stripMargin,
     "v1_ann_bruteforce" -> exactAnnSql,
+    // v20's oracle replays BOTH stages (coarse head-slice shortlist,
+    // then full-dim rerank) — not the exact top-k — so the comparison
+    // verifies the two-stage semantics itself, dials included.
+    "v20_ann_trunc_rerank" -> truncRerankSql(16, 40),
+    "v20_ann_trunc_rerank_dial2" -> truncRerankSql(8, 120),
     // v2/v5's oracle is the EXACT counterpart's SQL: when the Verify
     // recall probe confirms the LSH output equals the exact sweep on
     // the pinned corpus (bucketing only affects recall; rescoring is
@@ -1957,6 +2020,37 @@ object Similarity {
 
   /** Exact top-k sweep (v1's semantics) — also v2's oracle under the
     * recall-complete precondition. */
+  /** v20's oracle, parameterized by (truncDims, shortlist): DuckDB
+    * slices the same head dims (cast-then-slice == slice-then-cast,
+    * elementwise), folds the same sequential double dot products, and
+    * applies the same two ROW_NUMBER stages with the same tie-breaks. */
+  private def truncRerankSql(td: Int, shortlist: Int): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < 10),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |coarse AS (
+       |  SELECT q.query_id, e.vec_id, q.qv, e.v,
+       |         list_dot_product(q.qv[1:$td], e.v[1:$td])
+       |           / (sqrt(list_dot_product(q.qv[1:$td], q.qv[1:$td]))
+       |            * sqrt(list_dot_product(e.v[1:$td], e.v[1:$td]))) AS ccos
+       |  FROM e, q WHERE e.vec_id <> q.query_id),
+       |short AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY ccos DESC, vec_id) AS crank
+       |  FROM coarse),
+       |scored AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |         list_dot_product(qv, v)
+       |           / (sqrt(list_dot_product(qv, qv))
+       |            * sqrt(list_dot_product(v, v))) AS cos
+       |  FROM short WHERE crank <= $shortlist),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |                               ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""".stripMargin
+
   private lazy val exactAnnSql: String =
     """WITH q AS (
       |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),

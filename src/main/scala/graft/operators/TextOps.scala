@@ -897,6 +897,99 @@ object TextOps {
       .filter(col("n") >= minCount)
   }
 
+  /** Count-min-sketch cell for hash row `r`: md5 over `"r:token"`
+    * (the q22 md5-portable pattern — DuckDB computes the identical
+    * digest), first 15 hex chars as a 60-bit non-negative long, mod
+    * `width`. One cell per (row, token) occurrence. */
+  private def cmsBucket(r: Int, tok: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"$r:"), tok).cast("binary")), 1, 15), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** t34: count-min sketch over the token stream — the BOUNDED-STATE
+    * route to frequency estimation that t18's exact heavy hitters
+    * deliberately isn't. The sketch is `depth` × `width` counters
+    * (rows where a bucket was ever hit; absent cell = 0), built as one
+    * narrow explode (`depth` cells per token occurrence) into a
+    * groupBy whose key space is capped at depth×width REGARDLESS of
+    * vocabulary — map-side partial aggregation collapses each input
+    * split to ≤ depth×width rows before the shuffle, so at 100 TB the
+    * shuffle moves O(splits × depth × width) rows, not O(tokens).
+    * Point estimates (t35) read min over rows; over-estimation only,
+    * ε = e/width with prob 1 − e^−depth (Cormode & Muthukrishnan).
+    * Sketches are element-wise ADDITIVE, so per-day / per-partition
+    * sketches merge by summing `c` on (r, bucket) — the same
+    * mergeability contract as q22's HLL registers, spec-pinned
+    * (split-and-sum == whole-corpus) in TextOpsSketchSpec. */
+  def cmsSketch(spark: SparkSession, dir: String,
+                depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 1, s"degenerate CMS: $depth x $width")
+    cmsSketchOn(Tables.documents(spark, dir), depth, width)
+  }
+
+  /** Sketch over an arbitrary documents-shaped relation — shared by the
+    * batch gate query, the mergeability spec, and the streaming
+    * constant-state twin (Pipelines.cmsSketchStream). */
+  def cmsSketchOn(docs: DataFrame, depth: Int, width: Int): DataFrame =
+    docs.select(explode(tokens("text")).as("tok"))
+      .select(posexplode(array((0 until depth).map(r =>
+        cmsBucket(r, col("tok"), width)): _*)).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+
+  /** t35: point-frequency estimates from the t34 sketch — est(tok) =
+    * min over hash rows of the addressed counter (0 when the cell was
+    * never hit; a token absent from the corpus reads 0 unless every
+    * one of its cells collides, which the dial2 width-16 twin
+    * deliberately forces). The probe side is O(depth × |probes|) rows
+    * joined against the ≤ depth×width sketch — at 100 TB the entire
+    * query cost is the one bounded-key sketch aggregation; the probe
+    * join is noise. Estimates NEVER under-count (spec-pinned against
+    * the exact per-token counts on the corpus). */
+  def cmsEstimate(spark: SparkSession, dir: String,
+                  probes: Seq[String] = Seq("hash", "join", "scan", "data", "zzz_absent"),
+                  depth: Int = 4, width: Int = 512): DataFrame = {
+    import spark.implicits._
+    require(probes.nonEmpty)
+    val sketch = cmsSketch(spark, dir, depth, width)
+    val pb = probes.toDF("tok")
+      .select(col("tok"), posexplode(array((0 until depth).map(r =>
+        cmsBucket(r, col("tok"), width)): _*)).as(Seq("r", "bucket")))
+    pb.join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(col("tok")).agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
+  }
+
+  /** t36: weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES), md5-deterministic: each doc draws u ∈ (0,1) from the first
+    * 13 hex chars of md5(doc_id) (52 bits — exactly representable in a
+    * double, so DuckDB's arithmetic is bit-identical), and the k docs
+    * with the largest ln(u)/w^beta win — exactly the distribution of
+    * sampling proportional to w^beta without replacement. The mixture-
+    * construction primitive t25's quota allocator feeds: "give me k
+    * documents drawn by quality weight", reproducible across runs,
+    * engines, and partitionings (key depends only on doc_id).
+    *
+    * Scale shape: the key is one narrow map; the global top-k is
+    * TakeOrderedAndProject (per-partition heaps of k, no global sort —
+    * plan-asserted in TextOpsSketchSpec). beta is the sampling
+    * temperature: 1 = proportional to weight, 0.5 = flattened (the
+    * dial2 twin), 0 = uniform. */
+  def weightedSample(spark: SparkSession, dir: String,
+                     k: Int = 25, beta: Double = 1.0): DataFrame =
+    weightedSampleOn(Tables.documents(spark, dir), k, beta)
+
+  /** The sample over an arbitrary documents-shaped relation — shared
+    * with TextOpsSketchSpec's controlled-weight cases. */
+  def weightedSampleOn(docs: DataFrame, k: Int, beta: Double): DataFrame = {
+    require(k >= 1)
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("double") + lit(0.5)) / lit(math.pow(2.0, 52))
+    val key = log(u) / pow(col("n_chars").cast("double"), lit(beta))
+    docs.filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars").as("w"), key.as("k0"))
+      .orderBy(col("k0").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"), col("w"), round(col("k0"), 9).as("es_key"))
+  }
+
   /** t23: BM25 relevance scoring — the standard retrieval scorer every
     * corpus-search / RAG-recall pipeline runs: score each document
     * against a query-term set with Okapi BM25
@@ -1365,6 +1458,13 @@ object TextOps {
     "t15_quantile_filter_dial2" -> ((s, d) => quantileFilter(s, d, keepFrac = 0.3)),
     "t18_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "t18_heavy_hitters_dial2" -> ((s, d) => heavyHitters(s, d, k = 2, minCount = 9)),
+    "t34_cms_sketch" -> ((s, d) => cmsSketch(s, d)),
+    // dial2 forces collisions: 45-ish distinct tokens into 16 buckets
+    "t34_cms_sketch_dial2" -> ((s, d) => cmsSketch(s, d, depth = 3, width = 16)),
+    "t35_cms_estimate" -> ((s, d) => cmsEstimate(s, d)),
+    "t35_cms_estimate_dial2" -> ((s, d) => cmsEstimate(s, d, depth = 3, width = 16)),
+    "t36_weighted_sample" -> ((s, d) => weightedSample(s, d)),
+    "t36_weighted_sample_dial2" -> ((s, d) => weightedSample(s, d, k = 10, beta = 0.5)),
     "t19_unigram_logprob" -> unigramLogProb,
     "t22_bigram_logprob" -> bigramLogProb,
     "t29_nb_quality" -> ((s, d) => nbQuality(s, d)),
@@ -1440,6 +1540,58 @@ object TextOps {
        |         UNNEST(list_distinct([array_to_string(t[i+1:i+$k], ' ')
        |                               FOR i IN range(0, GREATEST(LEN(t)-$k, 0) + 1)])) AS gram
        |  FROM toks)""".stripMargin
+
+  /** t34's oracle, parameterized by (depth, width): DuckDB rebuilds the
+    * identical sketch — same md5("r:token") 60-bit bucket derivation,
+    * same groupBy — so every counter hash-matches. */
+  private def cmsSketchCte(depth: Int, width: Int): String = {
+    val rows = (0 until depth).map(r => s"($r)").mkString(", ")
+    s"""toks AS (
+       |  SELECT UNNEST(string_split_regex(TRIM(text), '\\s+')) AS tok FROM documents),
+       |cells AS (
+       |  SELECT d.r,
+       |         CAST('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' || tok), 1, 15) AS BIGINT)
+       |           % $width AS bucket
+       |  FROM toks, (VALUES $rows) AS d(r)),
+       |cms AS (
+       |  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM cells GROUP BY r, bucket)""".stripMargin
+  }
+
+  private def cmsSketchSql(depth: Int, width: Int): String =
+    s"""WITH ${cmsSketchCte(depth, width)}
+       |SELECT r, bucket, c FROM cms""".stripMargin
+
+  /** t35's oracle: same sketch CTE + the min-over-rows point lookup for
+    * the probe list (absent cells read 0 via the left join). */
+  private def cmsEstimateSql(probes: Seq[String], depth: Int, width: Int): String = {
+    val rows = (0 until depth).map(r => s"($r)").mkString(", ")
+    val plist = probes.map(p => s"'$p'").mkString(", ")
+    s"""WITH ${cmsSketchCte(depth, width)},
+       |probes AS (SELECT UNNEST([$plist]) AS tok),
+       |pb AS (
+       |  SELECT p.tok, d.r,
+       |         CAST('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' || p.tok), 1, 15) AS BIGINT)
+       |           % $width AS bucket
+       |  FROM probes p, (VALUES $rows) AS d(r))
+       |SELECT pb.tok, CAST(MIN(COALESCE(cms.c, 0)) AS BIGINT) AS est_n
+       |FROM pb LEFT JOIN cms USING (r, bucket) GROUP BY pb.tok""".stripMargin
+  }
+
+  /** t36's oracle, parameterized by (k, beta): DuckDB draws the same
+    * 52-bit u (exact in a double), computes the same ln(u)/w^beta key,
+    * and takes the same top-k. Ordering uses the UNROUNDED key in both
+    * engines; only the emitted es_key is rounded (9 dp). */
+  private def weightedSampleSql(k: Int, beta: Double): String =
+    s"""WITH wdocs AS (
+       |  SELECT doc_id, lang, n_chars,
+       |         (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 0.5)
+       |           / POWER(2.0, 52) AS u
+       |  FROM documents WHERE n_chars > 0)
+       |SELECT doc_id, lang, n_chars AS w,
+       |       ROUND(LN(u) / POWER(CAST(n_chars AS DOUBLE), $beta), 9) AS es_key
+       |FROM wdocs
+       |ORDER BY LN(u) / POWER(CAST(n_chars AS DOUBLE), $beta) DESC, doc_id
+       |LIMIT $k""".stripMargin
 
   /** t18's oracle, parameterized by (k, minCount) — the exact
     * recount-side semantics (the Misra-Gries sketch only PRUNES
@@ -1782,6 +1934,14 @@ object TextOps {
         |GROUP BY bf.doc_id""".stripMargin,
     "t18_heavy_hitters" -> heavyHittersSql(3, 5),
     "t18_heavy_hitters_dial2" -> heavyHittersSql(2, 9),
+    "t34_cms_sketch" -> cmsSketchSql(4, 512),
+    "t34_cms_sketch_dial2" -> cmsSketchSql(3, 16),
+    "t35_cms_estimate" -> cmsEstimateSql(
+      Seq("hash", "join", "scan", "data", "zzz_absent"), 4, 512),
+    "t35_cms_estimate_dial2" -> cmsEstimateSql(
+      Seq("hash", "join", "scan", "data", "zzz_absent"), 3, 16),
+    "t36_weighted_sample" -> weightedSampleSql(25, 1.0),
+    "t36_weighted_sample_dial2" -> weightedSampleSql(10, 0.5),
     "t15_quantile_filter" -> quantileFilterSql(0.5),
     "t15_quantile_filter_dial2" -> quantileFilterSql(0.3),
     "t16_pack_sequences" -> packSequencesSql(512, 8),

@@ -267,6 +267,21 @@ object Pipelines {
       .select(col("window.start").as("window_start"), col(gramCol), col("n"))
   }
 
+  /** Streaming count-min sketch — t34's CONSTANT-state twin, and the
+    * all-time-counts answer [[heavyHittersWindowed]] deliberately
+    * refuses: the state store holds at most depth × width counter rows
+    * REGARDLESS of vocabulary, traffic, or stream age, so "estimate
+    * any token's lifetime frequency" stays answerable forever (with
+    * CMS's one-sided ε = e/width error) where exact per-gram state
+    * would grow without bound. The aggregation IS
+    * TextOps.cmsSketchOn — the identical plan batch t34 runs, so the
+    * streamed sketch equals the batch sketch over the same documents
+    * on ANY batch split (spec-pinned), and per-stream / per-day
+    * sketches merge downstream by summing `c` on (r, bucket).
+    * Update/complete output (a counter row re-emits when it grows). */
+  def cmsSketchStream(docs: DataFrame, depth: Int = 4, width: Int = 512): DataFrame =
+    graft.operators.TextOps.cmsSketchOn(docs, depth, width)
+
   /** Streaming stratified sample — the incremental form of batch
     * bottom-k-by-hash sampling (operators/TextOps.stratifiedSample):
     * per stratum, keep the `quota` documents with the smallest

@@ -42,6 +42,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val allPairsBaselines =
     Set("v1_ann_bruteforce", "v3_near_dup_pairs", "v8_ann_pq",
       "v11_sem_decontaminate", "v12_bitext_margin",
+      // v20's coarse pass is v1's documented shape (broadcast query
+      // set × one corpus scan) at truncated width; the rerank stage
+      // touches only the bounded shortlist
+      "v20_ann_trunc_rerank", "v20_ann_trunc_rerank_dial2",
       // v14's GATE pair source is v3's documented exact baseline (the
       // oracle closure recomputes the same graph); its prod line uses
       // the LSH bucketed source with no all-pairs join
