@@ -13,7 +13,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Multimodal.queries ++
       operators.AsOf.queries ++
-      operators.Curation.queries
+      operators.Curation.queries ++
+      operators.GraphOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -23,5 +24,6 @@ object SparkEntry {
       operators.Similarity.oracle ++
       operators.Multimodal.oracle ++
       operators.AsOf.oracle ++
-      operators.Curation.oracle
+      operators.Curation.oracle ++
+      operators.GraphOps.oracle
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** PageRank invariants on controlled graphs (the DuckDB oracle pins
+  * the event-transition values; these pin the operator's semantics on
+  * graphs with known answers). */
+class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = GraftSession.tune(
+    SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ranksOf(edges: Seq[(String, String, Long)],
+                      iters: Int = 10, damping: Double = 0.85): Map[String, Double] = {
+    import spark.implicits._
+    GraphOps.pageRank(edges.toDF("src", "dst", "w"), iters, damping)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("symmetric 2-cycle: both nodes hold exactly 1/2") {
+    val r = ranksOf(Seq(("a", "b", 1L), ("b", "a", 1L)))
+    assert(r === Map("a" -> 0.5, "b" -> 0.5))
+  }
+
+  test("no sinks: ranks sum to 1; with a sink: mass leaks (documented variant)") {
+    val cycle = ranksOf(Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L)))
+    // each of the 3 emitted ranks is rounded to 6 dp, so the sum can
+    // sit up to 1.5e-6 off exact unity
+    assert(math.abs(cycle.values.sum - 1.0) < 2e-6)
+    // d only receives: it is a sink, so total mass drops below 1
+    val sink = ranksOf(Seq(("a", "b", 1L), ("b", "a", 1L), ("a", "d", 1L)))
+    assert(sink.values.sum < 1.0 - 1e-4)
+    assert(sink.keySet === Set("a", "b", "d"))
+  }
+
+  test("weight matters: the heavier-in-edge target outranks, hub outranks spokes") {
+    // star: spokes all point at hub, hub spreads back evenly
+    val star = ranksOf(Seq(
+      ("s1", "hub", 1L), ("s2", "hub", 1L), ("s3", "hub", 1L),
+      ("hub", "s1", 1L), ("hub", "s2", 1L), ("hub", "s3", 1L)))
+    assert(star("hub") > star("s1") && star("s1") === star("s2"))
+    // same topology, but b gets 9x a's weight from the source
+    val wt = ranksOf(Seq(("src", "a", 1L), ("src", "b", 9L),
+      ("a", "src", 1L), ("b", "src", 1L)))
+    assert(wt("b") > wt("a"))
+  }
+
+  test("deterministic: recompute returns identical rounded ranks") {
+    val sf = "/root/testdata/sf0.001"
+    val a = GraphOps.eventPageRank(spark, sf).collect().map(_.toSeq).toSet
+    val b = GraphOps.eventPageRank(spark, sf).collect().map(_.toSeq).toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("transition edges: out-weights equal each user's event count minus one") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val totalW = GraphOps.transitionEdges(spark, sf)
+      .agg(sum("w")).collect()(0).getLong(0)
+    val expected = graft.Tables.events(spark, sf)
+      .groupBy("user_id").count()
+      .agg(sum(col("count") - 1)).collect()(0).getLong(0)
+    assert(totalW === expected)
+  }
+}
