@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{ScratchCache, Tables}
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   * and REUSED by every iteration (persisted via ScratchCache), so the
   * per-iteration cost is a bounded |nodes|-sized build join against it
   * plus the dst-keyed agg — never a rescan of the raw event log. Each
-  * iteration's ranks are persisted and the previous generation is
-  * dropped, so the physical plan stays one-iteration deep (lineage
-  * does not accumulate — the classic iterative-Spark trap). At web
-  * scale the identical loop runs with |nodes| ≫ memory because ranks
-  * and edges only ever meet in keyed joins.
+  * iteration's ranks are eagerly localCheckpoint'd, so the logical
+  * plan stays one-iteration deep (lineage does not accumulate — the
+  * classic iterative-Spark trap; see the in-method comment for the
+  * measured cost of caching without truncation). At web scale the
+  * identical loop runs with |nodes| ≫ memory because ranks and edges
+  * only ever meet in keyed joins.
   *
   * Semantics: the standard simplified PageRank (Brin & Page damping,
   * NO dangling-mass redistribution — mass leaking through sink nodes
@@ -68,29 +69,30 @@ object GraphOps {
       .join(outW, "src").persist(sl) // (src, dst, w, out_w), reused every iteration
     val n = nodes.count() // one scalar aggregate, driver-held like the IVF model
     val base = lit((1.0 - damping) / n)
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).persist(sl)
+    // Each generation is an EAGER localCheckpoint: persist+count alone
+    // caches the DATA but the logical plan still deepens by one
+    // join+agg per generation, and Catalyst re-analyzes the whole
+    // chain on every action — measured SUPERLINEAR driver cost (10
+    // iterations 7.6× the price of 5 on the 5-node gate graph). The
+    // checkpoint truncates lineage to the materialized blocks, holding
+    // plan depth (and per-iteration cost) constant. Generation blocks
+    // are freed by the ContextCleaner as references drop — the
+    // documented localCheckpoint trade; a fault-tolerant cluster run
+    // swaps in reliable checkpoint() + setCheckpointDir, same loop.
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contribs = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst").as("node"),
           (col("rank") * col("w") / col("out_w")).as("contrib"))
         .groupBy(col("node")).agg(sum(col("contrib")).as("s"))
-      val prev = ranks
-      // materialize THIS generation, then drop the previous one — the
-      // persist+count is what keeps execution one iteration deep
-      // (lineage still chains logically; a post-sweep recompute is
-      // correct-but-colder, the documented ScratchCache trade)
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (base + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
-        .persist(sl)
-      ranks.count()
-      prev.unpersist(blocking = false)
+        .localCheckpoint(true)
     }
     nodes.unpersist(blocking = false)
     ed.unpersist(blocking = false)
-    // the final generation stays cached for the caller's action; arm it
-    // so that action's completion sweeps it (no leaked cache entries)
-    ScratchCache.arm(ranks)
     ranks.select(col("node"), round(col("rank"), 6).as("pr"))
   }
 

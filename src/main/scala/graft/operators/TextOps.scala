@@ -976,15 +976,23 @@ object TextOps {
                      k: Int = 25, beta: Double = 1.0): DataFrame =
     weightedSampleOn(Tables.documents(spark, dir), k, beta)
 
+  /** The ONE A-ES key derivation — shared by the batch sample, its
+    * oracle contract, and the streaming per-stratum sampler
+    * (Pipelines.weightedSampleStream), so membership cannot drift
+    * between deployments: ln(u)/w^beta with u drawn from the first 13
+    * md5 hex chars of doc_id (52 bits — exact in a double). */
+  def esKey(beta: Double): Column = {
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("double") + lit(0.5)) / lit(math.pow(2.0, 52))
+    log(u) / pow(col("n_chars").cast("double"), lit(beta))
+  }
+
   /** The sample over an arbitrary documents-shaped relation — shared
     * with TextOpsSketchSpec's controlled-weight cases. */
   def weightedSampleOn(docs: DataFrame, k: Int, beta: Double): DataFrame = {
     require(k >= 1)
-    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 13), 16, 10)
-      .cast("double") + lit(0.5)) / lit(math.pow(2.0, 52))
-    val key = log(u) / pow(col("n_chars").cast("double"), lit(beta))
     docs.filter(col("n_chars") > 0)
-      .select(col("doc_id"), col("lang"), col("n_chars").as("w"), key.as("k0"))
+      .select(col("doc_id"), col("lang"), col("n_chars").as("w"), esKey(beta).as("k0"))
       .orderBy(col("k0").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("lang"), col("w"), round(col("k0"), 9).as("es_key"))

@@ -100,6 +100,21 @@ final case class SampleMember(rk_key: String, doc_id: Long)
   * version. */
 final case class SampleState(ver: Int, members: Seq[SampleMember])
 
+/** Streaming weighted-sample output: one CURRENT member of a
+  * stratum's top-k-by-A-ES-key sample (weights via TextOps.esKey).
+  * Same latest-wins `ver` convention as SampleRow. */
+final case class WSampleRow(lang: String, ver: Int, doc_id: Long, rk: Int)
+
+/** One member of a stratum's weighted sample: the A-ES key (held
+  * UNROUNDED — membership must match the batch operator's double
+  * ordering exactly) and its doc. */
+final case class WSampleMember(es_key: Double, doc_id: Long)
+
+/** Keyed state for the streaming weighted sample: the stratum's
+  * current top-k members (bounded: quota entries) + emission
+  * version. */
+final case class WSampleState(ver: Int, members: Seq[WSampleMember])
+
 /** Streaming source-sketch output: one permutation slot of a source's
   * CURRENT minhash union sketch (operators/Dedup.sourceOverlapMinhash's
   * srcSig relation, maintained incrementally). `ver` increments per

@@ -344,6 +344,62 @@ object Pipelines {
       SampleRow(lang, next.ver, id, i + 1) }
   }
 
+  /** Streaming weighted sample — the incremental form of batch t36
+    * ([[graft.operators.TextOps.weightedSampleOn]]): per stratum
+    * (lang), keep the `quota` documents with the LARGEST A-ES keys
+    * ln(u)/w^beta — i.e. a sample drawn ∝ w^beta without replacement,
+    * maintained while data is still arriving. The key column is THE
+    * batch derivation (TextOps.esKey — shared code, zero drift), and
+    * membership is a deterministic function of the SET of documents
+    * seen, so the stream converges to exactly the per-stratum batch
+    * sample on any feed order, batching, or re-delivery (spec-pinned).
+    *
+    * State: quota (double, long) pairs per stratum — O(strata × quota)
+    * regardless of traffic; per-arrival cost O(log quota) via the
+    * capped TreeSet (the stratifiedSampleStream bound). Same
+    * append-mode latest-wins `ver` convention. */
+  def weightedSampleStream(docs: DataFrame, quota: Int = 20, beta: Double = 1.0,
+                           stateTtlMs: Long = 0L): Dataset[WSampleRow] = {
+    import docs.sparkSession.implicits._
+    val typed = docs.filter(col("n_chars") > 0)
+      .select(col("lang"), col("doc_id").cast("long"),
+        graft.operators.TextOps.esKey(beta).as("es_key"))
+      .as[(String, Long, Double)]
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        wSampleGroup(quota, stateTtlMs))
+  }
+
+  private[streaming] def wSampleGroup(quota: Int, stateTtlMs: Long)(
+      lang: String, rows: Iterator[(String, Long, Double)],
+      state: GroupState[WSampleState]): Iterator[WSampleRow] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val cur = state.getOption.getOrElse(WSampleState(0, Nil))
+    // bounded top-k merge: order by (key DESC, doc_id ASC) — the batch
+    // operator's orderBy — stored as (-key, doc_id) so the TreeSet's
+    // natural ascending order keeps exactly the quota best
+    val merged: List[(Double, Long)] = if (quota <= 0) Nil else {
+      val set = scala.collection.mutable.TreeSet.empty[(Double, Long)]
+      cur.members.foreach(m => set += ((-m.es_key, m.doc_id)))
+      rows.foreach { r =>
+        val cand = (-r._3, r._2)
+        if (set.size < quota) set += cand
+        else if (Ordering[(Double, Long)].lt(cand, set.last) && set.add(cand))
+          set -= set.last
+      }
+      set.toList
+    }
+    val next = WSampleState(cur.ver + 1,
+      merged.map { case (nk, id) => WSampleMember(-nk, id) })
+    state.update(next)
+    if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+    merged.iterator.zipWithIndex.map { case ((_, id), i) =>
+      WSampleRow(lang, next.ver, id, i + 1) }
+  }
+
   /** Streaming source-overlap sketches — the incremental form of batch
     * [[graft.operators.Dedup.sourceOverlapMinhash]]'s per-source union
     * sketch: as documents arrive, fold their d6 md5 minhash signatures

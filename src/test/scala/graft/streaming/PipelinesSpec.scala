@@ -235,6 +235,43 @@ class PipelinesSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("weightedSampleStream: final per-stratum sample == batch A-ES sample, unordered feed + re-delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val all = graft.Tables.documents(spark, sf)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)].collect()
+      .sortBy { case (_, id, _) => id * 2654435761L % 1000003 }
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Pipelines.weightedSampleStream(
+        mem.toDF().toDF("lang", "doc_id", "n_chars"), quota = 5, beta = 1.0)
+      .writeStream.format("memory").queryName("wsample_out")
+      .outputMode("append").start()
+    try {
+      val chunks = all.grouped((all.length + 2) / 3).toSeq
+      chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      // re-deliver the first chunk: membership is a function of the SET
+      // of docs seen, so the sample must not move (ver does)
+      mem.addData(chunks.head.toSeq); q.processAllAvailable()
+      val rows = spark.table("wsample_out").as[WSampleRow].collect()
+      val lastVer = rows.groupBy(_.lang).view.mapValues(_.map(_.ver).max).toMap
+      val got = rows.filter(r => r.ver == lastVer(r.lang))
+        .map(r => (r.lang, r.doc_id, r.rk)).toSet
+      // batch expectation per stratum: the SAME operator over just that
+      // stratum's docs (weightedSampleOn is a global top-k)
+      val want = all.map(_._1).distinct.flatMap { l =>
+        graft.operators.TextOps.weightedSampleOn(
+            graft.Tables.documents(spark, sf).filter(col("lang") === l),
+            k = 5, beta = 1.0)
+          .select(col("doc_id")).as[Long].collect()
+          .zipWithIndex.map { case (id, i) => (l, id, i + 1) }
+      }.toSet
+      assert(got === want)
+      assert(rows.map(_.ver).max > 1)
+    } finally q.stop()
+  }
+
   test("sourceSketchStream: final sketch == batch union sketch on an unordered feed with re-delivery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
