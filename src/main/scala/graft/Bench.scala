@@ -608,6 +608,35 @@ object Bench {
         }
       }
     }
+    // streaming CMS over the SAME ×4-replicated document feed the
+    // heavy-hitters line tokenizes: the CONSTANT-state twin — ≤
+    // depth×width counter rows total (HDFS store suffices) where the
+    // line above grows per-(window, gram) state; rate over the same
+    // input token rows, so the two lines price exact-vs-sketch
+    // lifetime counting on identical traffic. Update mode: a counter
+    // re-emits whenever it grows.
+    val streamCmsRate: Double = streamSection("stream_cms_sketch") {
+      import org.apache.spark.sql.functions._
+      val cmsRep = 4
+      val nToks = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(operators.TextOps.tokens(col("text")))).count() * cmsRep
+      guardedRate("stream_cms_sketch") { () =>
+        val docs = streamOf("documents")
+          .selectExpr("text", s"explode(sequence(0, ${cmsRep - 1})) as r")
+          .select(col("text"))
+        val acc = spark.sparkContext.longAccumulator("graft-bench-cms")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-cmsckpt").toString
+        val sec = timedStream(partitions = 8) { () =>
+          streaming.Pipelines.cmsSketchStream(docs)
+            .writeStream.outputMode("update")
+            .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+              acc.add(b.count()))
+            .option("checkpointLocation", ckpt)
+            .start()
+        }
+        if (acc.value == 0L) -1.0 else nToks / sec
+      }
+    }
     // the full LAYERED topology as three concurrent chained streaming
     // queries (router → join+apportion → trademark agg over file
     // edges — streaming/Topology.scala): end-to-end chain throughput
@@ -911,6 +940,7 @@ object Bench {
       "stream_cdc_apply" -> streamCdcRate,
       "stream_topology" -> streamTopologyRate,
       "stream_heavy_hitters_rocksdb" -> streamHhRate,
+      "stream_cms_sketch" -> streamCmsRate,
       "stream_dedup_intake" -> streamDedupIntakeRate,
       "stream_curate_intake" -> streamCurateIntakeRate,
       "stream_curate_intake_20k" -> streamCurateIntake20kRate,
@@ -940,6 +970,7 @@ object Bench {
       s""""stream_cdc_apply_rows_per_sec":${streamCdcRate.toLong},""" +
       s""""stream_topology_rows_per_sec":${streamTopologyRate.toLong},""" +
       s""""stream_heavy_hitters_rocksdb_rows_per_sec":${streamHhRate.toLong},""" +
+      s""""stream_cms_sketch_rows_per_sec":${streamCmsRate.toLong},""" +
       s""""stream_dedup_intake_rows_per_sec":${streamDedupIntakeRate.toLong},""" +
       s""""stream_curate_intake_rows_per_sec":${streamCurateIntakeRate.toLong},""" +
       s""""stream_curate_intake_20k_rows_per_sec":${streamCurateIntake20kRate.toLong},""" +
