@@ -998,6 +998,53 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("w"), round(col("k0"), 9).as("es_key"))
   }
 
+  /** t37: PMI phrase mining — the word2phrase/collocation pass every
+    * tokenizer-prep and phrase-aware pipeline runs before training:
+    * score each adjacent bigram by pointwise mutual information
+    * PMI(a,b) = ln(c(ab)·N / (c(a)·c(b))) over corpus unigram/bigram
+    * counts, keeping bigrams with count ≥ `minCount` (the support
+    * floor that makes PMI stable). High PMI = the pair co-occurs far
+    * above chance — a phrase candidate ("new york"); near-zero =
+    * independent neighbors.
+    *
+    * Scale shape (the t11/t19 family): the corpus is scanned once into
+    * unigram and adjacent-bigram counts — both shuffles bounded by
+    * DISTINCT grams, not corpus size; the unigram model joins back
+    * BROADCAST (vocab-bounded), and N rides the plan as a broadcast
+    * one-row aggregate (the t19 scalar pattern — PlanAudit licenses
+    * exactly that single-row-build loop join). Float parity: both
+    * engines compute ln((n_ab × N) / (c_a × c_b)) with counts cast to
+    * double BEFORE the product (a long product overflows at corpus
+    * scale) and round to 6 dp. */
+  def pmiPhrases(spark: SparkSession, dir: String, minCount: Long = 5): DataFrame =
+    pmiPhrasesOn(Tables.documents(spark, dir), minCount)
+
+  /** The mining pass over an arbitrary documents-shaped relation —
+    * shared with TextOpsSketchSpec's closed-form corpus. */
+  def pmiPhrasesOn(docs: DataFrame, minCount: Long): DataFrame = {
+    require(minCount >= 1)
+    val toks = ScratchCache.arm(docs.select(tokens("text").as("toks")))
+    val uni = ScratchCache.arm(toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c")))
+    val total = uni.agg(sum(col("c")).cast("double").as("total"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(explode(tokenWindows(col("toks"), 2, 1)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val u1 = uni.select(col("tok").as("w1"), col("c").as("c1"))
+    val u2 = uni.select(col("tok").as("w2"), col("c").as("c2"))
+    bi.select(
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"),
+        col("n_ab"))
+      .join(broadcast(u1), "w1")
+      .join(broadcast(u2), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_ab"),
+        round(log((col("n_ab") * col("total")) /
+          (col("c1").cast("double") * col("c2").cast("double"))), 6).as("pmi"))
+  }
+
   /** t23: BM25 relevance scoring — the standard retrieval scorer every
     * corpus-search / RAG-recall pipeline runs: score each document
     * against a query-term set with Okapi BM25
@@ -1473,6 +1520,10 @@ object TextOps {
     "t35_cms_estimate_dial2" -> ((s, d) => cmsEstimate(s, d, depth = 3, width = 16)),
     "t36_weighted_sample" -> ((s, d) => weightedSample(s, d)),
     "t36_weighted_sample_dial2" -> ((s, d) => weightedSample(s, d, k = 10, beta = 0.5)),
+    "t37_pmi_phrases" -> ((s, d) => pmiPhrases(s, d)),
+    // dial2 at 25: the sf0.01 bigram support distribution is bimodal
+    // (<5 or >=12), so 25 is the nearest dial that provably discriminates
+    "t37_pmi_phrases_dial2" -> ((s, d) => pmiPhrases(s, d, minCount = 25)),
     "t19_unigram_logprob" -> unigramLogProb,
     "t22_bigram_logprob" -> bigramLogProb,
     "t29_nb_quality" -> ((s, d) => nbQuality(s, d)),
@@ -1600,6 +1651,34 @@ object TextOps {
        |FROM wdocs
        |ORDER BY LN(u) / POWER(CAST(n_chars AS DOUBLE), $beta) DESC, doc_id
        |LIMIT $k""".stripMargin
+
+  /** t37's oracle, parameterized by minCount: identical window
+    * arithmetic for the adjacent bigrams, identical double association
+    * (counts cast to double BEFORE the product), 6-dp rounding. */
+  private def pmiPhrasesSql(minCount: Long): String =
+    s"""WITH toks AS (
+       |  SELECT string_split_regex(TRIM(text), '\\s+') AS t FROM documents),
+       |uni AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT UNNEST(t) AS tok FROM toks) GROUP BY tok),
+       |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM uni),
+       |bgx AS (
+       |  SELECT UNNEST([array_to_string(t[i+1:i+2], ' ')
+       |                 FOR i IN range(0, GREATEST(LEN(t)-2, 0) + 1)]) AS bg
+       |  FROM toks WHERE LEN(t) >= 2),
+       |bc AS (
+       |  SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_ab
+       |  FROM bgx GROUP BY bg HAVING COUNT(*) >= $minCount),
+       |sp AS (
+       |  SELECT n_ab, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+       |  FROM bc)
+       |SELECT sp.w1, sp.w2, sp.n_ab,
+       |       ROUND(LN((sp.n_ab * tot.total)
+       |                / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))), 6) AS pmi
+       |FROM sp
+       |JOIN uni u1 ON u1.tok = sp.w1
+       |JOIN uni u2 ON u2.tok = sp.w2
+       |CROSS JOIN tot""".stripMargin
 
   /** t18's oracle, parameterized by (k, minCount) — the exact
     * recount-side semantics (the Misra-Gries sketch only PRUNES
@@ -1950,6 +2029,8 @@ object TextOps {
       Seq("hash", "join", "scan", "data", "zzz_absent"), 3, 16),
     "t36_weighted_sample" -> weightedSampleSql(25, 1.0),
     "t36_weighted_sample_dial2" -> weightedSampleSql(10, 0.5),
+    "t37_pmi_phrases" -> pmiPhrasesSql(5),
+    "t37_pmi_phrases_dial2" -> pmiPhrasesSql(25),
     "t15_quantile_filter" -> quantileFilterSql(0.5),
     "t15_quantile_filter_dial2" -> quantileFilterSql(0.3),
     "t16_pack_sequences" -> packSequencesSql(512, 8),

@@ -68,6 +68,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // different substitution, so it carries the same license
     "t29_nb_quality" -> 1, "t30_dsir_sample" -> 1,
     "t30_dsir_sample_dial2" -> 1,
+    // t37's corpus-total N (one-row aggregate, the t19 pattern)
+    "t37_pmi_phrases" -> 1, "t37_pmi_phrases_dial2" -> 1,
     // q34 composes t29 AND t30, inheriting exactly their two one-row
     // scalar broadcasts (classifier totals + DSIR totals)
     "q34_curate_llm" -> 2,

@@ -107,6 +107,24 @@ class TextOpsSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("t37: closed-form PMI — a pair that only co-occurs scores ln 2; independents near 0") {
+    import spark.implicits._
+    // 40 copies of "a b": c(a)=c(b)=c(ab)=40, N=80 => PMI = ln(40*80/1600) = ln 2
+    val fused = (1 to 40).map(i => (i.toLong, "a b")).toDF("doc_id", "text")
+    val got = TextOps.pmiPhrasesOn(fused, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(("a", "b", 40L, math.round(math.log(2.0) * 1e6) / 1e6)))
+    // a balanced alternation "x y x y": bigrams xy (x2) and yx (x1) per doc;
+    // every bigram's PMI must respect the support floor and be finite
+    val alt = (1 to 30).map(i => (i.toLong, "x y x y")).toDF("doc_id", "text")
+    val rows = TextOps.pmiPhrasesOn(alt, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.forall(_._3 >= 5L) && rows.forall(r => !r._4.isNaN && !r._4.isInfinite))
+    // xy occurs 60 of 90 bigrams; c(x)=c(y)=60, N=120: PMI(x,y)=ln(60*120/3600)=ln 2
+    val xy = rows.find(r => r._1 == "x" && r._2 == "y").get
+    assert(xy._4 === math.round(math.log(2.0) * 1e6) / 1e6)
+  }
+
   test("v20: shortlist >= corpus degenerates to exactly the brute-force baseline") {
     def canon(df: DataFrame): Set[String] =
       df.collect().map(_.mkString("|")).toSet
