@@ -62,10 +62,16 @@ object GraphOps {
     // in-loop materializations are actions, and the arm sweep would
     // unpersist the edge relation right after iteration 1 read it.
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst"))).distinct().persist(sl)
-    val outW = edges.groupBy(col("src")).agg(sum(col("w").cast("double")).as("out_w"))
-    val ed = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+    // Non-positive-weight edges are DROPPED in-plan (documented
+    // semantics, zero cost): a w <= 0 edge would put 0 (or a negative)
+    // into out_w and turn every downstream division into a silent
+    // NaN/Inf that ranks as if it were data. A no-op for count-derived
+    // edge lists like transitionEdges (counts are >= 1).
+    val e = edges.filter(col("w") > 0)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().persist(sl)
+    val outW = e.groupBy(col("src")).agg(sum(col("w").cast("double")).as("out_w"))
+    val ed = e.select(col("src"), col("dst"), col("w").cast("double").as("w"))
       .join(outW, "src").persist(sl) // (src, dst, w, out_w), reused every iteration
     val n = nodes.count() // one scalar aggregate, driver-held like the IVF model
     val base = lit((1.0 - damping) / n)

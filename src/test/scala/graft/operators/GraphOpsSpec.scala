@@ -52,6 +52,15 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wt("b") > wt("a"))
   }
 
+  test("non-positive-weight edges are dropped, not propagated as NaN/Inf") {
+    // a w=0 edge out of 'a' would zero nothing but poison out_w sums;
+    // the result must equal the graph without that edge entirely
+    val withZero = ranksOf(Seq(("a", "b", 1L), ("b", "a", 1L), ("a", "c", 0L)))
+    val without = ranksOf(Seq(("a", "b", 1L), ("b", "a", 1L)))
+    assert(withZero === without)
+    assert(withZero.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("deterministic: recompute returns identical rounded ranks") {
     val sf = "/root/testdata/sf0.001"
     val a = GraphOps.eventPageRank(spark, sf).collect().map(_.toSeq).toSet
