@@ -140,6 +140,25 @@ object GraphOps {
        |SELECT node, ROUND(rank, 6) AS pr FROM r$iters""".stripMargin
   }
 
+  /** Fold a maintained edge store's committed `batch_id=` partitions
+    * into the `batch_id=-1` base (the round-15 BatchFold contract —
+    * [[graft.sources.BatchFold]]): counts are additive, so the base is
+    * simply the per-(src, dst) SUM of everything folded, one file. */
+  def foldMaintainedEdges(spark: SparkSession, edgesDir: String,
+                          excludeBatchId: Long): Int =
+    graft.sources.BatchFold.fold(spark, edgesDir, excludeBatchId) {
+      (rows, staging) =>
+        rows.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+    }
+
+  /** Current edge relation of a maintained store: per-(src, dst) sums
+    * across the base and every live batch partition. */
+  def maintainedEdges(spark: SparkSession, edgesDir: String): DataFrame =
+    spark.read.parquet(edgesDir)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_pagerank" -> ((s, d) => eventPageRank(s, d)),
     "q36_pagerank_dial2" -> ((s, d) => eventPageRank(s, d, iters = 5, damping = 0.5)),

@@ -115,6 +115,15 @@ final case class WSampleMember(es_key: Double, doc_id: Long)
   * version. */
 final case class WSampleState(ver: Int, members: Seq[WSampleMember])
 
+/** Streaming transition-extraction output: one observed adjacent
+  * (src → dst) event-type transition within a user's stream. */
+final case class TransitionRow(src: String, dst: String)
+
+/** Keyed state for transition extraction: the user's LAST event
+  * (event-time, id tie-break, type) — one tiny row per user. */
+final case class TransitionState(ts: java.sql.Timestamp, event_id: Long,
+                                 event_type: String)
+
 /** Streaming source-sketch output: one permutation slot of a source's
   * CURRENT minhash union sketch (operators/Dedup.sourceOverlapMinhash's
   * srcSig relation, maintained incrementally). `ver` increments per

@@ -400,6 +400,57 @@ object Pipelines {
       WSampleRow(lang, next.ver, id, i + 1) }
   }
 
+  /** Streaming transition extraction — the incremental form of
+    * [[graft.operators.GraphOps.transitionEdges]]'s LEAD window (which
+    * streaming cannot run): keyed state holds each user's LAST event
+    * (ts, event_id, type); each batch sorts the user's arrivals by the
+    * SAME (ts, event_id) tie-break, chains them from the state, and
+    * emits one [[TransitionRow]] per adjacent pair — so over an
+    * in-order feed the emitted multiset equals the batch window's
+    * pairs exactly, across any batch boundaries (spec-pinned). An
+    * arrival at or before the state's last (late data, re-delivery) is
+    * DROPPED without corrupting the chain — the lastTouchAttribution
+    * convention: append mode cannot retract a transition the true
+    * order never produced, so late events cost a missed edge
+    * observation, never a wrong one.
+    *
+    * State: one (ts, id, type) row per user — O(users), the
+    * lastTouchAttribution envelope; per-batch memory is one user's
+    * arrivals (sorted). */
+  def transitionStream(events: DataFrame, stateTtlMs: Long = 0L): Dataset[TransitionRow] = {
+    import events.sparkSession.implicits._
+    val typed = events.select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        transitionGroup(stateTtlMs))
+  }
+
+  private[streaming] def transitionGroup(stateTtlMs: Long)(
+      user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+      state: GroupState[TransitionState]): Iterator[TransitionRow] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+    var last = state.getOption
+    val out = Seq.newBuilder[TransitionRow]
+    sorted.foreach { case (_, ts, id, tpe) =>
+      val lateOrDup = last.exists(s =>
+        ts.getTime < s.ts.getTime ||
+          (ts.getTime == s.ts.getTime && id <= s.event_id))
+      if (!lateOrDup) {
+        last.foreach(s => out += TransitionRow(s.event_type, tpe))
+        last = Some(TransitionState(ts, id, tpe))
+      }
+    }
+    last.foreach(state.update)
+    if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+    out.result().iterator
+  }
+
   /** Streaming source-overlap sketches — the incremental form of batch
     * [[graft.operators.Dedup.sourceOverlapMinhash]]'s per-source union
     * sketch: as documents arrive, fold their d6 md5 minhash signatures

@@ -313,6 +313,62 @@ object Runner {
       .start()
   }
 
+  /** Streaming maintenance of a GRAPH-ANALYTICS store — the
+    * [[annIndexMaintainQuery]] lifecycle pattern applied to
+    * [[graft.operators.GraphOps.pageRank]]: a stream of (src, dst)
+    * transitions (from [[Pipelines.transitionStream]] or any edge
+    * feed) lands per-batch edge COUNTS under `edges/batch_id=` —
+    * dynamic partition overwrite, so a replayed batch rewrites its own
+    * partition (K5 exactly-once, bought by layout) and counts stay
+    * additive — then recomputes PageRank over the maintained totals
+    * and overwrites `ranks/` (small: one row per node; stamped with
+    * the producing batch id for observability). The in-loop fold is
+    * the SAME round-15 `BatchFold` contract as the IVF and dedup
+    * loops ([[graft.operators.GraphOps.foldMaintainedEdges]] — counts
+    * are additive, so the base is one per-(src, dst) summed file),
+    * run at trigger head, always excluding the current batch.
+    *
+    * Per-trigger cost: the rank recompute is `iters` joins over the
+    * CURRENT edge totals — right for bounded node sets (event types,
+    * domains, hosts); for web-scale graphs run the recompute on a
+    * cadence (every Nth trigger) instead, the maintain/fold plumbing
+    * is unchanged. Single-writer per store, like every maintain
+    * loop. */
+  def pageRankMaintainQuery(spark: SparkSession, graphDir: String,
+                            transitions: DataFrame, checkpoint: String,
+                            iters: Int = 10, damping: Double = 0.85,
+                            compactEveryBatches: Int = 64): StreamingQuery = {
+    require(compactEveryBatches == 0 || compactEveryBatches >= 3,
+      s"compactEveryBatches ($compactEveryBatches) must be 0 (off) or >= 3: " +
+        "the fold leaves base + current = 2 partitions, so a threshold of " +
+        "2 would rewrite the whole store on every batch")
+    val edgesDir = s"$graphDir/edges"
+    val ranksDir = s"$graphDir/ranks"
+    transitions
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.BatchFold.recover(spark, edgesDir)
+        if (compactEveryBatches > 0 &&
+            graft.sources.BatchFold.batchDirCount(spark, edgesDir)
+              >= compactEveryBatches)
+          graft.operators.GraphOps.foldMaintainedEdges(spark, edgesDir, batchId)
+        batch.groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).cast("long").as("w"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(edgesDir)
+        graft.operators.GraphOps
+          .pageRank(graft.operators.GraphOps.maintainedEdges(spark, edgesDir),
+            iters, damping)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(ranksDir)
+      }
+      .start()
+  }
+
   /** Streaming maintenance of a SHARDED HNSW index — the graph
     * family's [[annIndexMaintainQuery]]: each micro-batch of (vec_id,
     * embedding) rows inserts into the at-rest sharded graph via

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.GraftSession
+import graft.operators.GraphOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The graph family's maintain loop (Runner.pageRankMaintainQuery +
+  * Pipelines.transitionStream): over an in-order feed the maintained
+  * store's ranks must equal batch q36 on the same events — across
+  * batch boundaries, through the in-loop BatchFold, and under
+  * re-delivery. */
+class PageRankStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = GraftSession.tune(
+    SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4"))
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def canon(df: DataFrame): Set[(String, Double)] =
+    df.select(col("node"), col("pr")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+
+  test("maintained ranks == batch q36 across batches, folds, and re-delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // in-order feed: global (ts, event_id) order is per-user order too
+    val all = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+      .sortBy(r => (r._2.getTime, r._3))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, java.sql.Timestamp, Long, String)]
+    val graphDir = java.nio.file.Files.createTempDirectory("graft-prm").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-prm-ckpt").toString
+    val transitions = Pipelines.transitionStream(
+      mem.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+    // threshold 3 with 6 chunks forces the fold to run mid-stream
+    val q = Runner.pageRankMaintainQuery(spark, graphDir, transitions.toDF(),
+      ckpt, compactEveryBatches = 3)
+    try {
+      val chunks = all.grouped((all.length + 5) / 6).toSeq
+      chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+      // re-deliver an EARLIER chunk: every row is at/before each user's
+      // state, so zero transitions emit and the store must not move
+      val before = canon(spark.read.parquet(s"$graphDir/ranks"))
+      mem.addData(chunks(2).toSeq); q.processAllAvailable()
+      val after = spark.read.parquet(s"$graphDir/ranks")
+      assert(canon(after) === before)
+      // the maintained totals equal the batch window's transition counts
+      val streamedEdges = GraphOps.maintainedEdges(spark, s"$graphDir/edges")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batchEdges = GraphOps.transitionEdges(spark, sf)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamedEdges === batchEdges)
+      // and the ranks equal batch q36 exactly
+      assert(canon(after) === canon(GraphOps.eventPageRank(spark, sf)))
+      // the fold bounded the partition depth: base + recent batches only
+      assert(graft.sources.BatchFold.batchDirCount(spark, s"$graphDir/edges") <= 4)
+    } finally q.stop()
+  }
+
+  test("a late event emits no transition and leaves the chain uncorrupted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, java.sql.Timestamp, Long, String)]
+    val q = Pipelines.transitionStream(
+        mem.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((7L, ts(10), 1L, "A"), (7L, ts(20), 2L, "B")))
+      q.processAllAvailable()
+      // late C (ts 15 < state's 20) must NOT emit B->C or rewind state;
+      // in-order D chains from B, the true last
+      mem.addData(Seq((7L, ts(15), 3L, "C"), (7L, ts(30), 4L, "D")))
+      q.processAllAvailable()
+      val got = spark.table("trans_out").as[TransitionRow].collect()
+        .map(t => (t.src, t.dst)).toSeq.sorted
+      assert(got === Seq(("A", "B"), ("B", "D")))
+    } finally q.stop()
+  }
+}
