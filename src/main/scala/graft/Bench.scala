@@ -749,6 +749,33 @@ object Bench {
       intakeRate("stream_dedup_intake_20k", intake20kFixture())((ds, idx, out, ckpt) =>
         streaming.Runner.dedupIntakeQuery(spark, idx, ds, out, ckpt))
     }
+    // streaming graph maintenance (round 15): the sf events table fed
+    // in ONE trigger through transitionStream (keyed last-event state)
+    // + pageRankMaintainQuery (edge-count partitions + per-trigger
+    // 10-iteration rank recompute). Like hnsw_serve, the line prices
+    // the LOOP (state pass + edge write + recompute floor) — the
+    // recompute itself is the q36 batch operator, already timed on the
+    // gate; rate over input event rows. Guard: ranks must exist with
+    // every observed node ranked.
+    val streamPageRankRate: Double = streamSection("stream_pagerank_maintain") {
+      import org.apache.spark.sql.functions.col
+      val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+      guardedRate("stream_pagerank_maintain") { () =>
+        val graphDir = java.nio.file.Files
+          .createTempDirectory("graft-bench-prgraph").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-bench-prckpt").toString
+        val feed = streamOf("events").select(col("user_id"),
+          col("ts").cast("timestamp").as("ts"), col("event_id"),
+          col("event_type"))
+        val sec = timedStream(partitions = 8) { () =>
+          streaming.Runner.pageRankMaintainQuery(spark, graphDir,
+            streaming.Pipelines.transitionStream(feed).toDF(), ckpt)
+        }
+        val ranked = spark.read.parquet(s"$graphDir/ranks").count()
+        if (ranked == 0L) -1.0 else nEvents / sec
+      }
+    }
     // streaming HNSW index maintenance (round 13): the sf embedding
     // table fed as 4 micro-batches through hnswMaintainQuery's
     // LSM-segment default, a fresh index per attempt. Like the intake
@@ -941,6 +968,7 @@ object Bench {
       "stream_topology" -> streamTopologyRate,
       "stream_heavy_hitters_rocksdb" -> streamHhRate,
       "stream_cms_sketch" -> streamCmsRate,
+      "stream_pagerank_maintain" -> streamPageRankRate,
       "stream_dedup_intake" -> streamDedupIntakeRate,
       "stream_curate_intake" -> streamCurateIntakeRate,
       "stream_curate_intake_20k" -> streamCurateIntake20kRate,
@@ -971,6 +999,7 @@ object Bench {
       s""""stream_topology_rows_per_sec":${streamTopologyRate.toLong},""" +
       s""""stream_heavy_hitters_rocksdb_rows_per_sec":${streamHhRate.toLong},""" +
       s""""stream_cms_sketch_rows_per_sec":${streamCmsRate.toLong},""" +
+      s""""stream_pagerank_maintain_rows_per_sec":${streamPageRankRate.toLong},""" +
       s""""stream_dedup_intake_rows_per_sec":${streamDedupIntakeRate.toLong},""" +
       s""""stream_curate_intake_rows_per_sec":${streamCurateIntakeRate.toLong},""" +
       s""""stream_curate_intake_20k_rows_per_sec":${streamCurateIntake20kRate.toLong},""" +
