@@ -2020,14 +2020,18 @@ object Similarity {
 
   /** Exact top-k sweep (v1's semantics) — also v2's oracle under the
     * recall-complete precondition. */
-  /** v20's oracle, parameterized by (truncDims, shortlist): DuckDB
-    * slices the same head dims (cast-then-slice == slice-then-cast,
-    * elementwise), folds the same sequential double dot products, and
-    * applies the same two ROW_NUMBER stages with the same tie-breaks. */
-  private def truncRerankSql(td: Int, shortlist: Int): String =
+  /** v20's oracle, parameterized by the FULL operator dial set
+    * (nQueries, k, truncDims, shortlist) — matching annTruncatedRerank
+    * exactly, so a future gate dial cannot drift operator and oracle
+    * apart (the pageRankSql discipline): DuckDB slices the same head
+    * dims (cast-then-slice == slice-then-cast, elementwise), folds the
+    * same sequential double dot products, and applies the same two
+    * ROW_NUMBER stages with the same tie-breaks. */
+  private def truncRerankSql(td: Int, shortlist: Int,
+                             nQueries: Int = 10, k: Int = 5): String =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-       |  FROM embeddings WHERE vec_id < 10),
+       |  FROM embeddings WHERE vec_id < $nQueries),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |coarse AS (
        |  SELECT q.query_id, e.vec_id, q.qv, e.v,
@@ -2049,7 +2053,7 @@ object Similarity {
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |                               ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= 5""".stripMargin
+       |SELECT query_id, rank, neighbor_id, cos FROM ranked WHERE rank <= $k""".stripMargin
 
   private lazy val exactAnnSql: String =
     """WITH q AS (

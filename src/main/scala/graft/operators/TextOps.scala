@@ -1624,7 +1624,11 @@ object TextOps {
     * the probe list (absent cells read 0 via the left join). */
   private def cmsEstimateSql(probes: Seq[String], depth: Int, width: Int): String = {
     val rows = (0 until depth).map(r => s"($r)").mkString(", ")
-    val plist = probes.map(p => s"'$p'").mkString(", ")
+    // SQL-escape embedded quotes: probes become single-quoted DuckDB
+    // literals, so a probe containing ' would otherwise break (or
+    // inject into) the generated oracle. Latent with the default probe
+    // list, but the builder is parameterized.
+    val plist = probes.map(p => s"'${p.replace("'", "''")}'").mkString(", ")
     s"""WITH ${cmsSketchCte(depth, width)},
        |probes AS (SELECT UNNEST([$plist]) AS tok),
        |pb AS (

@@ -434,13 +434,23 @@ object Pipelines {
       user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
       state: GroupState[TransitionState]): Iterator[TransitionRow] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+    // Timestamp ordering via compareTo keeps sub-millisecond precision
+    // (getTime alone truncates to ms — Tables.normalizeEventTs emits
+    // micros, and the batch LEAD window orders by the full value), the
+    // same comparator discipline attributionGroup uses. Two events in
+    // the same millisecond would otherwise mis-order or wrongly drop
+    // as late, silently diverging the maintained edges from batch q36.
+    val sorted = rows.toSeq.sortWith { (a, b) =>
+      val c = a._2.compareTo(b._2)
+      if (c != 0) c < 0 else a._3 < b._3
+    }
     var last = state.getOption
     val out = Seq.newBuilder[TransitionRow]
     sorted.foreach { case (_, ts, id, tpe) =>
-      val lateOrDup = last.exists(s =>
-        ts.getTime < s.ts.getTime ||
-          (ts.getTime == s.ts.getTime && id <= s.event_id))
+      val lateOrDup = last.exists { s =>
+        val c = ts.compareTo(s.ts)
+        c < 0 || (c == 0 && id <= s.event_id)
+      }
       if (!lateOrDup) {
         last.foreach(s => out += TransitionRow(s.event_type, tpe))
         last = Some(TransitionState(ts, id, tpe))

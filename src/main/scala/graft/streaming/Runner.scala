@@ -349,6 +349,15 @@ object Runner {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // A zero-transition micro-batch (e.g. a quiet first trigger
+        // where every user has only one event so far) must not touch
+        // the store: the dynamic-overwrite write would leave edgesDir
+        // with no parquet files on the bootstrap trigger, and the
+        // maintainedEdges read below would then die on schema
+        // inference inside foreachBatch, killing the stream. Edges
+        // (and therefore ranks) are unchanged by an empty batch, so
+        // skipping the whole body is also the cheap path on replay.
+        if (!batch.isEmpty) {
         graft.sources.BatchFold.recover(spark, edgesDir)
         if (compactEveryBatches > 0 &&
             graft.sources.BatchFold.batchDirCount(spark, edgesDir)
@@ -365,6 +374,7 @@ object Runner {
             iters, damping)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(ranksDir)
+        }
       }
       .start()
   }
