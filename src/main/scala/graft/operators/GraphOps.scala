@@ -28,10 +28,15 @@ import org.apache.spark.sql.functions._
   * NO dangling-mass redistribution — mass leaking through sink nodes
   * is the common formulation and what the oracle replays; ranks then
   * sum to < 1 exactly when sinks exist, == 1 otherwise, spec-pinned).
-  * Fixed `iters` iterations keep the gate deterministic; a production
-  * run would stop on max |Δrank| < ε — the loop already has the delta
-  * relation available (join ranks vs prev), documented rather than
-  * dialed to keep the oracle a pure replay.
+  * Fixed `iters` iterations keep the gate deterministic (a pure oracle
+  * replay); the production stop rule is [[pageRankConverged]] — run
+  * until max |Δrank| < tol with an iteration cap as backstop, the same
+  * loop body plus one node-sized delta aggregate per iteration.
+  *
+  * [[minLabelComponents]] is the loop discipline's second instance:
+  * min-label propagation to connected components (the distributed
+  * semantics of Dedup.componentsOf's fall-through, re-expressed on
+  * this loop), gated over the adjacent-bigram token graph (q37).
   */
 object GraphOps {
 
@@ -56,7 +61,27 @@ object GraphOps {
     * All arithmetic is plain double in the same association order as
     * the DuckDB oracle ((rank × w) / out_w; (1.0 − damping)/N), so
     * the engines agree to the final 6-dp rounding. */
-  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame =
+    pageRankLoop(edges, iters, damping, tol = 0.0)._1
+
+  /** The production stop rule: iterate until max |Δrank| < `tol`
+    * (checked on the UNROUNDED ranks), with `maxIters` as the backstop
+    * for graphs that converge slowly or not at all at this tolerance.
+    * Returns (ranks, iterations actually run). The converged result
+    * equals [[pageRank]] at exactly that depth — same loop, same
+    * arithmetic; the delta check is one extra |nodes|-sized join+max
+    * per iteration against the previous generation's checkpointed
+    * blocks (never a rescan of edges), so the check costs a small
+    * fraction of the iteration that produced the ranks. */
+  def pageRankConverged(edges: DataFrame, tol: Double = 1e-6,
+                        maxIters: Int = 50,
+                        damping: Double = 0.85): (DataFrame, Int) = {
+    require(tol > 0.0, s"tol ($tol) must be > 0; use pageRank for fixed iterations")
+    pageRankLoop(edges, maxIters, damping, tol)
+  }
+
+  private def pageRankLoop(edges: DataFrame, iters: Int, damping: Double,
+                           tol: Double): (DataFrame, Int) = {
     require(iters >= 1 && damping > 0.0 && damping < 1.0)
     // Loop scratch is persisted MANUALLY, not via ScratchCache.arm: the
     // in-loop materializations are actions, and the arm sweep would
@@ -87,7 +112,10 @@ object GraphOps {
     // swaps in reliable checkpoint() + setCheckpointDir, same loop.
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    var itersRun = 0
+    var converged = false
+    while (itersRun < iters && !converged) {
+      val prev = ranks
       val contribs = ed.join(ranks, ed("src") === ranks("node"))
         .select(col("dst").as("node"),
           (col("rank") * col("w") / col("out_w")).as("contrib"))
@@ -96,10 +124,19 @@ object GraphOps {
         .select(col("node"),
           (base + lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
         .localCheckpoint(true)
+      itersRun += 1
+      if (tol > 0.0) {
+        // both sides are checkpointed node-sized relations — the delta
+        // probe never touches the edge relation
+        val maxDelta = ranks.join(prev.select(col("node"),
+            col("rank").as("prev_rank")), "node")
+          .agg(max(abs(col("rank") - col("prev_rank")))).collect()(0).getDouble(0)
+        converged = maxDelta < tol
+      }
     }
     nodes.unpersist(blocking = false)
     ed.unpersist(blocking = false)
-    ranks.select(col("node"), round(col("rank"), 6).as("pr"))
+    (ranks.select(col("node"), round(col("rank"), 6).as("pr")), itersRun)
   }
 
   /** q36: PageRank of the event-type transition graph. */
@@ -140,6 +177,127 @@ object GraphOps {
        |SELECT node, ROUND(rank, 6) AS pr FROM r$iters""".stripMargin
   }
 
+  /** Connected components by min-label propagation — the fixed-point
+    * loop's SECOND instance, proving the discipline (eager
+    * localCheckpoint per generation, one persisted+reused edge
+    * relation, one keyed shuffle per iteration) is generic and not a
+    * PageRank special case. Semantically the distributed fall-through
+    * of Dedup.componentsOf (d7's min-label machinery), re-expressed on
+    * this loop: labels start at the node's own id; each iteration
+    * every node takes the minimum of its label and its neighbors'
+    * labels; after convergence the label IS the component's minimum
+    * node id. `pairs` is an undirected pair list in either
+    * orientation — symmetrized (and deduplicated) here.
+    *
+    * Fixed `maxIters` keeps the gate oracle a mechanical CTE replay
+    * (like q36); the loop additionally stops EARLY when an iteration
+    * changes no label, which cannot diverge from the oracle: min-label
+    * propagation is monotone and idempotent at the fixpoint, so
+    * iterations after convergence are no-ops in both engines. The
+    * early-stop probe is one |changed-nodes| existence check per
+    * iteration between two checkpointed node-sized generations.
+    *
+    * Scale shape: identical to pageRank's — per iteration ONE shuffle
+    * keyed on `dst` (the neighbor-min aggregation) against the reused
+    * edge relation; labels never leave keyed joins, so |nodes| ≫
+    * memory runs fine. Iterations needed = component diameter (the
+    * classic min-label bound); at web scale the large-star/small-star
+    * optimization would cut that — out of scope, documented. */
+  def minLabelComponents(pairs: DataFrame, maxIters: Int = 8): DataFrame = {
+    require(maxIters >= 1)
+    val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ed = pairs.select(col("src"), col("dst"))
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(sl)
+    var labels = ed.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var itersRun = 0
+    var converged = false
+    while (itersRun < maxIters && !converged) {
+      val neighborMin = ed.join(labels, ed("src") === labels("node"))
+        .groupBy(ed("dst").as("node")).agg(min(col("label")).as("minl"))
+      val next = labels.select(col("node"), col("label").as("old_label"))
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("old_label"),
+          least(col("old_label"), coalesce(col("minl"), col("old_label")))
+            .as("label"))
+        .localCheckpoint(true)
+      converged = next.filter(col("label") =!= col("old_label")).isEmpty
+      labels = next.select(col("node"), col("label"))
+      itersRun += 1
+    }
+    ed.unpersist(blocking = false)
+    labels
+  }
+
+  /** q37's graph: the PER-LANGUAGE adjacent-bigram token graph — an
+    * edge (lang:w1, lang:w2) whenever the bigram "w1 w2" occurs ≥
+    * `minCount` times within one language's documents (t37's support
+    * floor, same derivation, stratified like t36's sampler). Components
+    * are per-language collocation families — the phrase-vocabulary
+    * clusters a tokenizer-prep pass groups before merging; keying
+    * nodes by language keeps the gate graph genuinely multi-component
+    * (components cannot cross languages by construction). Vocab-
+    * bounded like every t11/t19-family shape: the one corpus scan
+    * feeds a distinct-(lang, bigram)-bounded aggregation, never a
+    * corpus-sized shuffle. */
+  def bigramEdges(spark: SparkSession, dir: String, minCount: Long = 5): DataFrame = {
+    require(minCount >= 1)
+    Tables.documents(spark, dir)
+      .select(col("lang"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("lang"), explode(TextOps.tokenWindows(col("toks"), 2, 1)).as("bg"))
+      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .select(
+        concat(col("lang"), lit(":"), substring_index(col("bg"), " ", 1)).as("src"),
+        concat(col("lang"), lit(":"), substring_index(col("bg"), " ", -1)).as("dst"))
+  }
+
+  /** q37: connected components of the bigram token graph. Output one
+    * (tok, component) row per token that participates in a kept
+    * bigram; component = lexicographic minimum token reachable within
+    * `maxIters` hops (both engines replay the same depth). */
+  def tokenComponents(spark: SparkSession, dir: String,
+                      minCount: Long = 5, maxIters: Int = 8): DataFrame =
+    minLabelComponents(bigramEdges(spark, dir, minCount), maxIters)
+      .select(col("node").as("tok"), col("label").as("component"))
+
+  /** q37's oracle, parameterized by (minCount, iters): the t37 bigram
+    * derivation, symmetrized by UNION (which deduplicates, matching
+    * the operator's union+distinct), then `iters` mechanically-chained
+    * min-label CTEs — c_i takes each node's neighbor minimum, l_i
+    * folds it in with LEAST. */
+  private def tokenComponentsSql(minCount: Long, iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT ed.dst AS node, MIN(l.label) AS minl
+         |  FROM ed JOIN l${i - 1} l ON l.node = ed.src GROUP BY ed.dst),
+         |l$i AS (
+         |  SELECT l.node, LEAST(l.label, COALESCE(c.minl, l.label)) AS label
+         |  FROM l${i - 1} l LEFT JOIN c$i c ON c.node = l.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT lang, string_split_regex(TRIM(text), '\\s+') AS t FROM documents),
+       |bgx AS (
+       |  SELECT lang, UNNEST([array_to_string(t[i+1:i+2], ' ')
+       |                       FOR i IN range(0, GREATEST(LEN(t)-2, 0) + 1)]) AS bg
+       |  FROM toks WHERE LEN(t) >= 2),
+       |bc AS (
+       |  SELECT lang, bg FROM bgx GROUP BY lang, bg HAVING COUNT(*) >= $minCount),
+       |e0 AS (
+       |  SELECT lang || ':' || split_part(bg, ' ', 1) AS src,
+       |         lang || ':' || split_part(bg, ' ', 2) AS dst
+       |  FROM bc),
+       |ed AS (
+       |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |l0 AS (
+       |  SELECT node, node AS label FROM (SELECT DISTINCT src AS node FROM ed)),
+       |$iterCtes
+       |SELECT node AS tok, label AS component FROM l$iters""".stripMargin
+  }
+
   /** Fold a maintained edge store's committed `batch_id=` partitions
     * into the `batch_id=-1` base (the round-15 BatchFold contract —
     * [[graft.sources.BatchFold]]): counts are additive, so the base is
@@ -162,10 +320,15 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_pagerank" -> ((s, d) => eventPageRank(s, d)),
     "q36_pagerank_dial2" -> ((s, d) => eventPageRank(s, d, iters = 5, damping = 0.5)),
+    "q37_token_components" -> ((s, d) => tokenComponents(s, d)),
+    "q37_token_components_dial2" -> ((s, d) =>
+      tokenComponents(s, d, minCount = 10, maxIters = 4)),
   )
 
   val oracle: Map[String, String] = Map(
     "q36_pagerank" -> pageRankSql(10, 0.85),
     "q36_pagerank_dial2" -> pageRankSql(5, 0.5),
+    "q37_token_components" -> tokenComponentsSql(5, 8),
+    "q37_token_components_dial2" -> tokenComponentsSql(10, 4),
   )
 }

@@ -68,6 +68,62 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a === b && a.nonEmpty)
   }
 
+  test("pageRankConverged: early stop fires on a fast-converging graph") {
+    import spark.implicits._
+    // symmetric 2-cycle: ranks are exactly 1/2 from iteration 1 on, so
+    // the delta probe sees 0 at iteration 2 and stops far below the cap
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
+    val (ranks, itersRun) = GraphOps.pageRankConverged(edges, tol = 1e-12, maxIters = 50)
+    assert(itersRun < 5, s"expected early stop, ran $itersRun iterations")
+    val r = ranks.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r === Map("a" -> 0.5, "b" -> 0.5))
+  }
+
+  test("pageRankConverged == fixed-iters pageRank at the depth it stopped") {
+    val sf = "/root/testdata/sf0.001"
+    val edges = GraphOps.transitionEdges(spark, sf)
+    val (converged, itersRun) = GraphOps.pageRankConverged(edges, tol = 1e-9, maxIters = 60)
+    assert(itersRun < 60, s"gate graph should converge at 1e-9 within the cap")
+    val fixed = GraphOps.pageRank(edges, iters = itersRun)
+    assert(converged.collect().map(_.toSeq).toSet ===
+      fixed.collect().map(_.toSeq).toSet)
+  }
+
+  test("minLabelComponents: disjoint chains get their minimum as label") {
+    import spark.implicits._
+    // two components in arbitrary edge orientation; labels propagate
+    // both ways because the loop symmetrizes
+    val pairs = Seq(("c", "b"), ("b", "a"), ("y", "x")).toDF("src", "dst")
+    val got = GraphOps.minLabelComponents(pairs, maxIters = 8)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("minLabelComponents: fixed depth is exactly iters hops (oracle replay semantics)") {
+    import spark.implicits._
+    // path a-b-c-d: after ONE iteration each node has min(self, neighbors)
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val one = GraphOps.minLabelComponents(pairs, maxIters = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(one === Map("a" -> "a", "b" -> "a", "c" -> "b", "d" -> "c"))
+    // converged (early-stopped) equals any deeper fixed depth
+    val conv = GraphOps.minLabelComponents(pairs, maxIters = 50)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val deep = GraphOps.minLabelComponents(pairs, maxIters = 7)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(conv === deep && conv === Map(
+      "a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"))
+  }
+
+  test("q37 gate graph: components never cross languages") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val comps = GraphOps.tokenComponents(spark, sf, minCount = 2, maxIters = 8)
+    val bad = comps.filter(
+      split(col("tok"), ":").getItem(0) =!= split(col("component"), ":").getItem(0))
+    assert(bad.isEmpty && comps.count() > 0)
+  }
+
   test("transition edges: out-weights equal each user's event count minus one") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

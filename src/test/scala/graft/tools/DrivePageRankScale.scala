@@ -59,6 +59,16 @@ object DrivePageRankScale {
       println(f"[pagerank-scale] n=$n%d degree=$degree%d iters=$iters%d " +
         f"nodes_out=$nOut%d total=$total%.1f s shallow2=$shallow%.1f s " +
         f"per_iter_marginal=$perIterDeep%.2f s")
+      // production stop rule at the same rung: how many iterations does
+      // tol actually buy/cost vs the fixed-iters gate depth, and does
+      // the per-iteration delta probe change the per-iteration price
+      val t2 = System.nanoTime()
+      val (cr, itersRun) = GraphOps.pageRankConverged(e, tol = 1e-7, maxIters = 40)
+      val nConv = cr.count()
+      val convTotal = (System.nanoTime() - t2) / 1e9
+      println(f"[pagerank-scale] n=$n%d tol=1e-7 iters_to_tol=$itersRun%d " +
+        f"nodes_out=$nConv%d total=$convTotal%.1f s " +
+        f"per_iter=${convTotal / itersRun}%.2f s")
     }
     spark.stop()
   }
