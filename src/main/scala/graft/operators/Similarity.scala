@@ -699,12 +699,26 @@ object Similarity {
     * the base exactly as it did under every batch). Returns the number
     * of partitions folded. */
   def compactMaintainedAnnBatches(spark: SparkSession, indexPath: String,
-                                  excludeBatchId: Long): Int =
+                                  excludeBatchId: Long): Int = {
+    // Folded-base granularity (round-15 fold A/B, SCALE.md): a
+    // single-file cell is UNSPLITTABLE, so when probed cells < cores
+    // the fold made serve ~2.4× SLOWER at nClusters=16 — exactly the
+    // config a small-corpus user picks. Salt the fold shuffle so each
+    // cell lands in ~filesPerCell files whenever the cell count alone
+    // cannot feed the cores; at deployment shape (nClusters ≥ ~2×
+    // cores) this degenerates to the original one-file-per-cell base.
+    val cores = spark.sparkContext.defaultParallelism
+    val nClusters = readAnnMeta(indexPath)._2
+    val filesPerCell = math.max(1, math.ceil(2.0 * cores / nClusters).toInt)
     graft.sources.BatchFold.fold(spark, indexPath, excludeBatchId) {
       (rows, staging) =>
-        rows.repartition(col("cid")) // one file per cell in the base
-          .write.mode("overwrite").partitionBy("cid").parquet(staging)
+        val parted =
+          if (filesPerCell == 1) rows.repartition(col("cid"))
+          else rows.repartition(nClusters * filesPerCell, col("cid"),
+            pmod(xxhash64(col("vec_id")), lit(filesPerCell.toLong)))
+        parted.write.mode("overwrite").partitionBy("cid").parquet(staging)
     }
+  }
 
   /** Serve IVF×PQ queries from a [[writeAnnIndex]] index on disk. The
     * probed cell set (≤ queries × nprobe ids — driver-bounded, the

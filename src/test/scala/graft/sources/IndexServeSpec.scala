@@ -256,8 +256,11 @@ class IndexServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dirs() === Set("batch_id=-1", "batch_id=3", "batch_id=4"))
     assert(spark.read.parquet(idx).count() === 500L, "fold lost/duplicated rows")
     assert(spark.read.parquet(idx).select("vec_id").distinct().count() === 500L)
-    // the folded base holds ONE file per cell (the file-count win the
-    // fold exists for — round 9 measured probe latency tracking it)
+    // the folded base holds ONE file per cell — the degenerate (and
+    // default-deployment) granularity: nClusters=16 >= 2x the 4 local
+    // cores, so filesPerCell = 1 (the file-count win the fold exists
+    // for — round 9 measured probe latency tracking it); the
+    // small-nClusters multi-file regime is pinned separately below
     val baseCells = new java.io.File(s"$idx/batch_id=-1").listFiles().toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("cid="))
     assert(baseCells.nonEmpty)
@@ -287,6 +290,40 @@ class IndexServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(idx).select("vec_id").distinct().count() === 500L)
     assert(canon(Similarity.annIvfPqServe(spark, sf, idx)) ===
       canon(Similarity.annIvfPq(spark, sf)))
+  }
+
+  test("folded base goes multi-file when nClusters < 2x cores (granularity guard)") {
+    import spark.implicits._
+    // The round-15 fold A/B measured serve 2.4x SLOWER after a fold at
+    // nClusters=16 on a 32-core host: one file per cell makes each
+    // probed cell unsplittable, so parallelism collapses to the probed
+    // cell count. The fold now salts the base so each cell holds
+    // ~ceil(2*cores/nClusters) files. Here: local[4], nClusters=2 ->
+    // filesPerCell = 4; with 2 cells x 4 salts over 8 shuffle
+    // partitions the base must hold >= 2 files per cell (hash
+    // collisions may merge some salt buckets, never all of them).
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-gran").toString
+    Similarity.ensureAnnMeta(idx, "pq", nClusters = 2, iters = 2, m = 4, nCodes = 16)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    for (b <- 0 until 3)
+      Similarity.encodeForIndex(spark, sf,
+          vecs.filter(pmod(col("vec_id"), lit(3)) === b), nClusters = 2)
+        .withColumn("batch_id", lit(b.toLong))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "cid").parquet(idx)
+    def rowsSet() = spark.read.parquet(idx)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toSet
+    val before = rowsSet()
+    Similarity.compactMaintainedAnnBatches(spark, idx, excludeBatchId = 999L)
+    assert(rowsSet() === before, "fold must preserve (vec_id, cid) exactly")
+    val baseCells = new java.io.File(s"$idx/batch_id=-1").listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(baseCells.nonEmpty)
+    val fileCounts = baseCells.map(
+      _.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(fileCounts.forall(c => c >= 2 && c <= 4),
+      s"each folded cell must stay splittable (2..4 files), got $fileCounts")
   }
 
   test("all four encode families: serve from the at-rest index == in-session operator") {
