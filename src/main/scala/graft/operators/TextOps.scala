@@ -946,15 +946,64 @@ object TextOps {
     * the exact per-token counts on the corpus). */
   def cmsEstimate(spark: SparkSession, dir: String,
                   probes: Seq[String] = Seq("hash", "join", "scan", "data", "zzz_absent"),
-                  depth: Int = 4, width: Int = 512): DataFrame = {
+                  depth: Int = 4, width: Int = 512): DataFrame =
+    cmsEstimateFrom(spark, cmsSketch(spark, dir, depth, width), probes, depth, width)
+
+  /** The ONE probe-side estimator — shared by the batch gate query
+    * (in-session sketch) and the maintained-store serve path
+    * ([[maintainedCms]]), so point lookups cannot drift between
+    * deployments: min over hash rows of the addressed counter, absent
+    * cells reading 0 through the left join. */
+  def cmsEstimateFrom(spark: SparkSession, sketch: DataFrame,
+                      probes: Seq[String], depth: Int, width: Int): DataFrame = {
     import spark.implicits._
     require(probes.nonEmpty)
-    val sketch = cmsSketch(spark, dir, depth, width)
     val pb = probes.toDF("tok")
       .select(col("tok"), posexplode(array((0 until depth).map(r =>
         cmsBucket(r, col("tok"), width)): _*)).as(Seq("r", "bucket")))
     pb.join(broadcast(sketch), Seq("r", "bucket"), "left")
       .groupBy(col("tok")).agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
+  }
+
+  /** Current sketch of a maintained CMS store (the at-rest
+    * "bounded-state frequency service"): per-(r, bucket) sums across
+    * the `batch_id=-1` base and every live batch partition — counters
+    * are element-wise additive, so the read-side merge IS the sketch.
+    * The relation is ≤ depth × width rows however long the stream has
+    * run. */
+  def maintainedCms(spark: SparkSession, cmsDir: String): DataFrame =
+    spark.read.parquet(cmsDir)
+      .groupBy(col("r"), col("bucket")).agg(sum(col("c")).as("c"))
+
+  /** Fold a maintained CMS store's committed `batch_id=` partitions
+    * into the `batch_id=-1` base (the round-15 BatchFold contract,
+    * GraphOps.foldMaintainedEdges applied to (r, bucket, c)): counters
+    * are additive, so the base is the per-cell SUM of everything
+    * folded — one file, ≤ depth × width rows. */
+  def foldMaintainedCms(spark: SparkSession, cmsDir: String,
+                        excludeBatchId: Long): Int =
+    graft.sources.BatchFold.fold(spark, cmsDir, excludeBatchId) {
+      (rows, staging) =>
+        rows.groupBy(col("r"), col("bucket")).agg(sum(col("c")).as("c"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(staging)
+    }
+
+  /** Create-or-match the maintained CMS store's `_meta.json` (the
+    * ensureAnnMeta pattern): every counter in the store is mod-`width`
+    * under `depth` hash rows, so a restarted stream passing different
+    * dials would SILENTLY sum incompatible sketches — refuse loudly
+    * instead. */
+  private[graft] def ensureCmsMeta(cmsDir: String, depth: Int, width: Int): Unit = {
+    import graft.sources.IndexMeta
+    if (IndexMeta.exists(cmsDir)) {
+      val s = IndexMeta.readRaw(cmsDir, "cmsMaintainQuery")
+      val got = (IndexMeta.intField(s, "depth"), IndexMeta.intField(s, "width"))
+      require(got == ((depth, width)),
+        s"maintained-CMS dial mismatch: store has (depth, width) = $got, " +
+          s"stream passed (${(depth, width)})")
+    } else IndexMeta.write(cmsDir,
+      Seq("kind" -> "cms", "depth" -> depth, "width" -> width))
   }
 
   /** t36: weighted sampling WITHOUT replacement (Efraimidis–Spirakis

@@ -379,6 +379,54 @@ object Runner {
       .start()
   }
 
+  /** Streaming maintenance of an at-rest COUNT-MIN SKETCH store — the
+    * deployment twin of [[Pipelines.cmsSketchStream]]'s in-session
+    * state, completing the bounded-state frequency service: each
+    * micro-batch of documents lands its OWN sketch (the identical
+    * `TextOps.cmsSketchOn` plan batch t34 runs) under a `batch_id=`
+    * partition — dynamic overwrite, so a replayed batch rewrites its
+    * own partition (K5 exactly-once, bought by layout) — and counters
+    * stay additive across partitions: the serve-side read
+    * ([[graft.operators.TextOps.maintainedCms]]) is the per-(r,
+    * bucket) sum, ≤ depth × width rows however long the stream runs.
+    * The in-loop fold is the round-15 BatchFold contract applied to
+    * (r, bucket, c) ([[graft.operators.TextOps.foldMaintainedCms]] —
+    * the [[pageRankMaintainQuery]] edge-fold shape), so the store's
+    * file count stays bounded too; `_meta.json` pins (depth, width)
+    * create-or-match, because summing sketches built under different
+    * dials is silent corruption. Empty micro-batches skip the body
+    * (nothing to add; keeps a quiet bootstrap trigger from writing a
+    * file-less store). */
+  def cmsMaintainQuery(spark: SparkSession, cmsDir: String,
+                       docs: DataFrame, checkpoint: String,
+                       depth: Int = 4, width: Int = 512,
+                       compactEveryBatches: Int = 64): StreamingQuery = {
+    require(compactEveryBatches == 0 || compactEveryBatches >= 3,
+      s"compactEveryBatches ($compactEveryBatches) must be 0 (off) or >= 3: " +
+        "the fold leaves base + current = 2 partitions, so a threshold of " +
+        "2 would rewrite the whole store on every batch")
+    docs
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.TextOps.ensureCmsMeta(cmsDir, depth, width)
+          graft.sources.BatchFold.recover(spark, cmsDir)
+          if (compactEveryBatches > 0 &&
+              graft.sources.BatchFold.batchDirCount(spark, cmsDir)
+                >= compactEveryBatches)
+            graft.operators.TextOps.foldMaintainedCms(spark, cmsDir, batchId)
+          graft.operators.TextOps.cmsSketchOn(batch, depth, width)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(cmsDir)
+        }
+      }
+      .start()
+  }
+
   /** Streaming maintenance of a SHARDED HNSW index — the graph
     * family's [[annIndexMaintainQuery]]: each micro-batch of (vec_id,
     * embedding) rows inserts into the at-rest sharded graph via
