@@ -637,6 +637,30 @@ object Bench {
         if (acc.value == 0L) -1.0 else nToks / sec
       }
     }
+    // the maintained-CMS deployment twin (round 16): the same sf
+    // documents through cmsMaintainQuery — per-batch sketch under
+    // batch_id partitions + the in-loop sum-fold — so the AT-REST
+    // frequency store's intake cost is round-over-round comparable
+    // alongside the in-session state twin above. Guard: maintained
+    // sums must be non-empty (a file-less store = a dead loop).
+    val streamCmsMaintainRate: Double = streamSection("stream_cms_maintain") {
+      import org.apache.spark.sql.functions._
+      val nToks = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(operators.TextOps.tokens(col("text")))).count()
+      guardedRate("stream_cms_maintain") { () =>
+        val cmsDir = java.nio.file.Files
+          .createTempDirectory("graft-bench-cmsstore").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-bench-cmsmckpt").toString
+        val docs = streamOf("documents").select(col("doc_id"), col("text"))
+        val sec = timedStream(partitions = 8) { () =>
+          streaming.Runner.cmsMaintainQuery(spark, cmsDir, docs, ckpt,
+            compactEveryBatches = 3)
+        }
+        val cells = operators.TextOps.maintainedCms(spark, cmsDir).count()
+        if (cells == 0L) -1.0 else nToks / sec
+      }
+    }
     // the full LAYERED topology as three concurrent chained streaming
     // queries (router → join+apportion → trademark agg over file
     // edges — streaming/Topology.scala): end-to-end chain throughput
@@ -905,12 +929,37 @@ object Bench {
     // point may use the main `spark`. Fields are -1 when the run threw
     // or the chain failed its cent-for-cent gate (a latency from a
     // chain that got the answer wrong is not a parity number).
+    // SECTION CALIB FOR THE PARITY ENVELOPE (round 16): the round-15
+    // driver artifact read mean trigger 9.2 s / 7-of-17 over the 5 s
+    // budget while all nine clean-tree study runs read 0.9–1.1 s with
+    // 0 over — the harness ran co-tenant with the driver's own oracle
+    // pass, and this section (unlike every query/stream section) had
+    // no anchor to prove it. The local[4] anchor below does IDENTICAL
+    // per-core work to the 32-core anchor (25M rows / 4 cores ==
+    // 200M / 32 == 6.25M rows/core), so on a quiet host it reads
+    // ≈ calib_sec; sustained co-tenant load inflates it, and the
+    // section lands in `suspect_streams` instead of letting the
+    // breach masquerade as a latency regression.
+    var local4CalibPre = -1.0
+    var local4CalibPost = -1.0
     val local4Parity: streaming.Topology.PacedParity = {
       try {
         spark.stop()
         val s4 = GraftSession.localStreamingCpus("graft-bench-local4", 4)
+        def calibrate4(): Double = try {
+          import org.apache.spark.sql.functions.{col, pmod, lit, sum, xxhash64}
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            s4.range(0L, 25000000L, 1L, 4)
+              .select(pmod(xxhash64(col("id")), lit(1000000L)).as("h"))
+              .agg(sum(col("h"))).head
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        } catch { case _: Throwable => -1.0 }
         try {
+          local4CalibPre = calibrate4()
           val p = streaming.Topology.pacedParity(s4, sfDir, triggerSec = 5)
+          local4CalibPost = calibrate4()
           if (p.gatePass) p
           else {
             recordStreamFailure("stream_topology_local4",
@@ -924,6 +973,16 @@ object Bench {
           streaming.Topology.PacedParity(-1, -1, -1, 0, gatePass = false)
       }
     }
+    // suspect iff the bracketing anchors disagree >2x (load came or
+    // went mid-section) or the quieter anchor still runs >2x the main
+    // run's 32-core anchor (sustained co-tenancy through the section)
+    if (local4CalibPre > 0 && local4CalibPost > 0) {
+      val lo = math.min(local4CalibPre, local4CalibPost)
+      val hi = math.max(local4CalibPre, local4CalibPost)
+      val mainAnchor = (calibSec + calibEndSec) / 2
+      if (hi / lo > 2.0 || (mainAnchor > 0 && lo > 2.0 * mainAnchor))
+        suspectStreams += "stream_topology_local4"
+    } else suspectStreams += "stream_topology_local4" // anchor itself failed
     def jsonArr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     def jsonStr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val failedStreamsJson = failedStreams
@@ -968,6 +1027,7 @@ object Bench {
       "stream_topology" -> streamTopologyRate,
       "stream_heavy_hitters_rocksdb" -> streamHhRate,
       "stream_cms_sketch" -> streamCmsRate,
+      "stream_cms_maintain" -> streamCmsMaintainRate,
       "stream_pagerank_maintain" -> streamPageRankRate,
       "stream_dedup_intake" -> streamDedupIntakeRate,
       "stream_curate_intake" -> streamCurateIntakeRate,
@@ -999,6 +1059,7 @@ object Bench {
       s""""stream_topology_rows_per_sec":${streamTopologyRate.toLong},""" +
       s""""stream_heavy_hitters_rocksdb_rows_per_sec":${streamHhRate.toLong},""" +
       s""""stream_cms_sketch_rows_per_sec":${streamCmsRate.toLong},""" +
+      s""""stream_cms_maintain_rows_per_sec":${streamCmsMaintainRate.toLong},""" +
       s""""stream_pagerank_maintain_rows_per_sec":${streamPageRankRate.toLong},""" +
       s""""stream_dedup_intake_rows_per_sec":${streamDedupIntakeRate.toLong},""" +
       s""""stream_curate_intake_rows_per_sec":${streamCurateIntakeRate.toLong},""" +
@@ -1012,6 +1073,8 @@ object Bench {
       s""""stream_topology_local4_mean_trigger_ms":${local4Parity.meanMs},""" +
       s""""stream_topology_local4_over_budget":${local4Parity.overBudget},""" +
       s""""stream_topology_local4_busy_triggers":${local4Parity.busyTriggers},""" +
+      s""""stream_topology_local4_calib_pre":${math.round(local4CalibPre * 10000) / 10000.0},""" +
+      s""""stream_topology_local4_calib_post":${math.round(local4CalibPost * 10000) / 10000.0},""" +
       s""""stream_calibs":$streamCalibsJson,""" +
       s""""calib_sec":$calibSec,"calib_end_sec":$calibEndSec,""" +
       s""""git_sha":"$gitSha","git_dirty":$gitDirty,"wall_ts":"$wallTs","sf":"$sfDir"}"""
