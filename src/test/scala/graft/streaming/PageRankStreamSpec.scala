@@ -66,6 +66,36 @@ class PageRankStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("same-millisecond events order by their microseconds (ADVICE r15 medium)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two events 250 us apart inside ONE millisecond: a getTime-keyed
+    // fold sees a tie and falls back to event_id order — ids are
+    // deliberately REVERSED so that fallback emits (B, A); the
+    // compareTo fold must emit (A, B) like the batch LEAD window
+    def ts(us: Long) = {
+      val t = new java.sql.Timestamp(1700000000000L)
+      t.setNanos((us * 1000).toInt); t
+    }
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, java.sql.Timestamp, Long, String)]
+    val q = Pipelines.transitionStream(
+        mem.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+      .writeStream.format("memory").queryName("trans_us")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((7L, ts(500), 9L, "A"), (7L, ts(750), 1L, "B")))
+      q.processAllAvailable()
+      // and a later same-ms arrival BELOW the state's micros is late:
+      // dropped, no (B, C) emission, chain continues from B
+      mem.addData(Seq((7L, ts(600), 2L, "C"), (7L, ts(900), 3L, "D")))
+      q.processAllAvailable()
+      val got = spark.table("trans_us").as[TransitionRow].collect()
+        .map(t => (t.src, t.dst)).toSeq
+      assert(got === Seq(("A", "B"), ("B", "D")))
+    } finally q.stop()
+  }
+
   test("a late event emits no transition and leaves the chain uncorrupted") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
