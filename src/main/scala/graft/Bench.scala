@@ -70,6 +70,35 @@ object Bench {
       p
     })
 
+  /** Shared maintained-CMS stores per corpus dir — (live, folded): the
+    * live store holds 8 `batch_id=` sketch partitions (a mid-stream
+    * shape), the folded one a single summed base — so the serve lines
+    * time the POINT-LOOKUP path (per-cell sum + broadcast probe join)
+    * against both fold states, the d3_lsh_serve treatment applied to
+    * the bounded-state frequency service (r16 verdict Next #4). */
+  private val cmsStoreMemo = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def cmsStoreFor(s: SparkSession, d: String): (String, String) =
+    cmsStoreMemo.computeIfAbsent(d, _ => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      def build(): String = {
+        val p = java.nio.file.Files.createTempDirectory("graft-bench-cmsstore").toString
+        val docs = graft.Tables.documents(s, d)
+        (0 until 8).foreach { i =>
+          operators.TextOps.cmsSketchOn(
+            docs.filter(pmod(col("doc_id"), lit(8)) === i), 4, 512)
+            .withColumn("batch_id", lit(i.toLong))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(p)
+        }
+        p
+      }
+      val live = build()
+      val folded = build()
+      operators.TextOps.foldMaintainedCms(s, folded, excludeBatchId = -999L)
+      (live, folded)
+    })
+  private val cmsProbes = Seq("hash", "join", "scan", "data", "zzz_absent")
+
   /** Shared at-rest HNSW graph index per corpus dir (same pattern). */
   private val hnswIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def hnswIndexFor(s: SparkSession, d: String): String =
@@ -146,6 +175,18 @@ object Bench {
         graft.Tables.documents(s, d)
           .filter(col("doc_id") < 100).select(col("doc_id"), col("text")))
     }),
+    // the maintained-CMS serve path: point lookups against the at-rest
+    // store mid-stream (8 live batch partitions) and post-fold (one
+    // summed base file) — cmsEstimateFrom over maintainedCms, the same
+    // estimator the gate's t35 runs in-session
+    "t35_cms_serve" -> ((s, d) =>
+      operators.TextOps.cmsEstimateFrom(s,
+        operators.TextOps.maintainedCms(s, cmsStoreFor(s, d)._1),
+        cmsProbes, depth = 4, width = 512)),
+    "t35_cms_serve_folded" -> ((s, d) =>
+      operators.TextOps.cmsEstimateFrom(s,
+        operators.TextOps.maintainedCms(s, cmsStoreFor(s, d)._2),
+        cmsProbes, depth = 4, width = 512)),
   )
 
   def main(args: Array[String]): Unit = {
@@ -164,6 +205,7 @@ object Bench {
     try dedupIndexFor(spark, sfDir) catch { case _: Throwable => () }
     try hnswIndexFor(spark, sfDir) catch { case _: Throwable => () }
     try hnswShardedIndexFor(spark, sfDir) catch { case _: Throwable => () }
+    try cmsStoreFor(spark, sfDir) catch { case _: Throwable => () }
     spark.catalog.clearCache() // drop warm-up persists
     // CALIBRATION ANCHOR: a fixed CPU-bound reference job, timed like
     // the queries (min of 2). The within-run spread guard catches
@@ -800,6 +842,41 @@ object Bench {
         if (ranked == 0L) -1.0 else nEvents / sec
       }
     }
+    // streaming COMPONENTS maintenance (round 17, the r16 verdict's
+    // Next #3): the sf corpus's bigram edge feed in 4 micro-batches
+    // through componentsMaintainQuery — the pageRank loop's store and
+    // fold with the recompute swapped for min-label components. Like
+    // stream_pagerank_maintain this prices the LOOP (edge write + fold
+    // + per-trigger recompute floor); the recompute is the q37 batch
+    // operator, already timed on the gate. Rate over input edge rows.
+    // Guard: every node of the fed graph must come out labeled.
+    val streamComponentsRate: Double = streamSection("stream_components_maintain") {
+      import org.apache.spark.sql.functions.col
+      val fix = {
+        val d = java.nio.file.Files.createTempDirectory("graft-bench-ccfix").toString
+        operators.GraphOps.bigramEdges(spark, sfDir)
+          .repartition(4).write.mode("overwrite").parquet(d)
+        d
+      }
+      val nEdges = spark.read.parquet(fix).count()
+      val nNodes = spark.read.parquet(fix).select(col("src").as("n"))
+        .union(spark.read.parquet(fix).select(col("dst"))).distinct().count()
+      val schema = spark.read.parquet(fix).schema
+      guardedRate("stream_components_maintain") { () =>
+        val graphDir = java.nio.file.Files
+          .createTempDirectory("graft-bench-ccgraph").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-bench-ccckpt").toString
+        val pairStream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(fix)
+        val sec = timedStream(partitions = 8) { () =>
+          streaming.Runner.componentsMaintainQuery(spark, graphDir,
+            pairStream, ckpt)
+        }
+        val labeled = spark.read.parquet(s"$graphDir/labels").count()
+        if (labeled != nNodes) -1.0 else nEdges / sec
+      }
+    }
     // streaming HNSW index maintenance (round 13): the sf embedding
     // table fed as 4 micro-batches through hnswMaintainQuery's
     // LSM-segment default, a fresh index per attempt. Like the intake
@@ -964,7 +1041,8 @@ object Bench {
           else {
             recordStreamFailure("stream_topology_local4",
               new IllegalStateException("paced chain totals diverged from batch q1"))
-            streaming.Topology.PacedParity(-1, -1, -1, p.busyTriggers, gatePass = false)
+            streaming.Topology.PacedParity(-1, -1, -1, p.busyTriggers,
+              gatePass = false, p.triggers)
           }
         } finally s4.stop()
       } catch {
@@ -979,7 +1057,13 @@ object Bench {
     if (local4CalibPre > 0 && local4CalibPost > 0) {
       val lo = math.min(local4CalibPre, local4CalibPost)
       val hi = math.max(local4CalibPre, local4CalibPost)
-      val mainAnchor = (calibSec + calibEndSec) / 2
+      // the main run's anchor, guarded like streamSection's: the mean
+      // only when BOTH calibrations succeeded — with one -1 sentinel the
+      // mean would be halved (or negative), silently tightening/loosening
+      // the 2x co-tenancy threshold (ADVICE r16)
+      val mainAnchor =
+        if (calibSec > 0 && calibEndSec > 0) (calibSec + calibEndSec) / 2
+        else math.max(calibSec, calibEndSec)
       if (hi / lo > 2.0 || (mainAnchor > 0 && lo > 2.0 * mainAnchor))
         suspectStreams += "stream_topology_local4"
     } else suspectStreams += "stream_topology_local4" // anchor itself failed
@@ -1029,6 +1113,7 @@ object Bench {
       "stream_cms_sketch" -> streamCmsRate,
       "stream_cms_maintain" -> streamCmsMaintainRate,
       "stream_pagerank_maintain" -> streamPageRankRate,
+      "stream_components_maintain" -> streamComponentsRate,
       "stream_dedup_intake" -> streamDedupIntakeRate,
       "stream_curate_intake" -> streamCurateIntakeRate,
       "stream_curate_intake_20k" -> streamCurateIntake20kRate,
@@ -1041,6 +1126,15 @@ object Bench {
     val streamCalibsJson = streamCalibs
       .map { case (k, v) => s""""$k":${math.round(v * 10000) / 10000.0}""" }
       .mkString("{", ",", "}")
+    // per-trigger attribution ledger for the parity envelope (r16
+    // verdict Next #2): every busy trigger as "stage:batchId:ms", so a
+    // breach is pinned to a NAMED trigger — wide:0 is the join/state
+    // bootstrap, agg:0 the first dim refresh — instead of recurring as
+    // an unattributed 1-of-36 tail across rounds
+    val local4TriggersJson = jsonArr(
+      local4Parity.triggers.map { case (st, b, ms) => s"$st:$b:$ms" })
+    val local4OverDetail = jsonArr(local4Parity.triggers
+      .collect { case (st, b, ms) if ms > 5000L => s"$st:$b:$ms" })
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"failed":$failed,""" +
       s""""prod_queries":$prodQs,"prod_total":$prodTotal,""" +
@@ -1061,6 +1155,7 @@ object Bench {
       s""""stream_cms_sketch_rows_per_sec":${streamCmsRate.toLong},""" +
       s""""stream_cms_maintain_rows_per_sec":${streamCmsMaintainRate.toLong},""" +
       s""""stream_pagerank_maintain_rows_per_sec":${streamPageRankRate.toLong},""" +
+      s""""stream_components_maintain_rows_per_sec":${streamComponentsRate.toLong},""" +
       s""""stream_dedup_intake_rows_per_sec":${streamDedupIntakeRate.toLong},""" +
       s""""stream_curate_intake_rows_per_sec":${streamCurateIntakeRate.toLong},""" +
       s""""stream_curate_intake_20k_rows_per_sec":${streamCurateIntake20kRate.toLong},""" +
@@ -1073,6 +1168,7 @@ object Bench {
       s""""stream_topology_local4_mean_trigger_ms":${local4Parity.meanMs},""" +
       s""""stream_topology_local4_over_budget":${local4Parity.overBudget},""" +
       s""""stream_topology_local4_busy_triggers":${local4Parity.busyTriggers},""" +
+      s""""stream_topology_local4_triggers":$local4TriggersJson,""" +
       s""""stream_topology_local4_calib_pre":${math.round(local4CalibPre * 10000) / 10000.0},""" +
       s""""stream_topology_local4_calib_post":${math.round(local4CalibPost * 10000) / 10000.0},""" +
       s""""stream_calibs":$streamCalibsJson,""" +
@@ -1084,6 +1180,36 @@ object Bench {
     // a clean copy on disk next to the build too
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case _: Throwable => () }
+    // COMPACT SUMMARY — the FINAL stdout line (r16 verdict Next #1):
+    // the full line above is ~10 KB and the driver captures only the
+    // last ~2 KB of stdout, so BENCH_r15/r16 both shipped parsed:null —
+    // the authoritative artifact had no machine-readable totals. This
+    // line carries the totals, failure/suspect state, and the local[4]
+    // parity fields in well under the tail window (per-query detail
+    // stays on the full line / bench_last.json).
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","summary":true,""" +
+      s""""total_norm":$totalNorm,"prod_total":$prodTotal,""" +
+      s""""prod_total_norm":$prodTotalNorm,"n_queries":${results.size},""" +
+      s""""failed":$failed,""" +
+      s""""load_suspect":${suspectQueries.nonEmpty || suspectStreams.nonEmpty},""" +
+      s""""suspect_queries":${jsonArr(suspectQueries)},""" +
+      s""""suspect_streams":${jsonArr(suspectStreams.toSeq)},""" +
+      s""""n_failed_streams":${failedStreams.size},""" +
+      s""""local4_mean_ms":${local4Parity.meanMs},""" +
+      s""""local4_max_ms":${local4Parity.maxMs},""" +
+      s""""local4_over":${local4Parity.overBudget},""" +
+      s""""local4_busy":${local4Parity.busyTriggers},""" +
+      s""""local4_over_detail":$local4OverDetail,""" +
+      s""""local4_calib_pre":${math.round(local4CalibPre * 10000) / 10000.0},""" +
+      s""""local4_calib_post":${math.round(local4CalibPost * 10000) / 10000.0},""" +
+      s""""calib_sec":$calibSec,"calib_end_sec":$calibEndSec,""" +
+      s""""git_sha":"$gitSha","git_dirty":$gitDirty,""" +
+      s""""full":"bench_last.json","sf":"$sfDir"}"""
+    println(summary)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_summary.json"), summary + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

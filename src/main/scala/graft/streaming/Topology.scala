@@ -163,9 +163,14 @@ object Topology {
     * > 0 — idle ticks are bookkeeping) of all three stages, how many
     * exceeded the trigger budget, and whether the chain's final totals
     * passed the cent-for-cent gate (a latency number from a chain that
-    * got the answer wrong is not a parity result). */
+    * got the answer wrong is not a parity result). `triggers` is the
+    * per-trigger attribution ledger — (stage, batchId, ms) for every
+    * busy trigger — so a single over-budget trigger can be PINNED to a
+    * named stage/batch (bootstrap? fold? dim refresh?) instead of
+    * recurring unattributed across rounds (the r16 verdict's ask). */
   final case class PacedParity(maxMs: Long, meanMs: Long, overBudget: Int,
-                               busyTriggers: Int, gatePass: Boolean)
+                               busyTriggers: Int, gatePass: Boolean,
+                               triggers: Seq[(String, Long, Long)] = Nil)
 
   /** The reference-envelope parity measurement (BASELINE.md's derived
     * latency target), shared by Bench's `stream_topology_local4_*`
@@ -218,9 +223,13 @@ object Topology {
     chain.drain()
     // settle one more cycle so the tail batches' progress is recorded
     Thread.sleep(triggerSec * 1000L); chain.drain()
-    val busy = Seq(chain.router, chain.wide, chain.agg).flatMap(q =>
+    val obs = Seq("router" -> chain.router, "wide" -> chain.wide,
+        "agg" -> chain.agg).flatMap { case (stage, q) =>
       q.recentProgress.toSeq.filter(_.numInputRows > 0)
-        .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong)))
+        .flatMap(p => Option(p.durationMs.get("triggerExecution"))
+          .map(ms => (stage, p.batchId, ms.toLong)))
+    }
+    val busy = obs.map(_._3)
     chain.stopAll()
     val got = trademarkTotals(spark, s"$root/agg")
     val want = graft.operators.GmallQueries.trademarkStat(spark, sfDir)
@@ -229,6 +238,6 @@ object Topology {
       want.exceptAll(got).count() == 0 && got.exceptAll(want).count() == 0
     if (busy.isEmpty) PacedParity(-1, -1, -1, 0, gatePass)
     else PacedParity(busy.max, busy.sum / busy.size,
-      busy.count(_ > triggerSec * 1000L), busy.size, gatePass)
+      busy.count(_ > triggerSec * 1000L), busy.size, gatePass, obs)
   }
 }
