@@ -379,6 +379,67 @@ object Runner {
       .start()
   }
 
+  /** Streaming maintenance of CONNECTED COMPONENTS — the graph
+    * family's second maintain loop, [[pageRankMaintainQuery]] with the
+    * recompute swapped: a stream of (src, dst) pairs (an edge feed —
+    * collocation bigrams, near-dup candidate pairs, any undirected
+    * relation) lands per-batch edge COUNTS under `edges/batch_id=`
+    * (dynamic overwrite — K5 exactly-once bought by layout; the
+    * identical store layout, fold, and read-side merge as the PageRank
+    * loop, so one maintained edge store can serve BOTH recomputes),
+    * then recomputes min-label components over the maintained totals
+    * ([[graft.operators.GraphOps.minLabelComponents]] — weights don't
+    * affect membership, so duplicate deliveries of a pair move `w` but
+    * never a label) and overwrites `labels/`, stamped with the
+    * producing batch id. Empty micro-batches skip the body (the
+    * pageRank loop's bootstrap guard — a quiet first trigger must not
+    * leave a file-less store that kills the read inside foreachBatch).
+    *
+    * Per-trigger cost: `maxIters` dst-keyed shuffles over the CURRENT
+    * edge totals (component diameter bounds the needed depth; the loop
+    * early-stops when no label moves). Right for vocabulary-bounded
+    * graphs (token collocations, hosts, event types); web-scale graphs
+    * run the recompute on a cadence, plumbing unchanged. Single-writer
+    * per store, like every maintain loop. */
+  def componentsMaintainQuery(spark: SparkSession, graphDir: String,
+                              pairs: DataFrame, checkpoint: String,
+                              maxIters: Int = 8,
+                              compactEveryBatches: Int = 64): StreamingQuery = {
+    require(maxIters >= 1)
+    require(compactEveryBatches == 0 || compactEveryBatches >= 3,
+      s"compactEveryBatches ($compactEveryBatches) must be 0 (off) or >= 3: " +
+        "the fold leaves base + current = 2 partitions, so a threshold of " +
+        "2 would rewrite the whole store on every batch")
+    val edgesDir = s"$graphDir/edges"
+    val labelsDir = s"$graphDir/labels"
+    pairs
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.BatchFold.recover(spark, edgesDir)
+          if (compactEveryBatches > 0 &&
+              graft.sources.BatchFold.batchDirCount(spark, edgesDir)
+                >= compactEveryBatches)
+            graft.operators.GraphOps.foldMaintainedEdges(spark, edgesDir, batchId)
+          batch.groupBy(col("src"), col("dst"))
+            .agg(count(lit(1)).cast("long").as("w"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(edgesDir)
+          graft.operators.GraphOps
+            .minLabelComponents(
+              graft.operators.GraphOps.maintainedEdges(spark, edgesDir),
+              maxIters)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(labelsDir)
+        }
+      }
+      .start()
+  }
+
   /** Streaming maintenance of an at-rest COUNT-MIN SKETCH store — the
     * deployment twin of [[Pipelines.cmsSketchStream]]'s in-session
     * state, completing the bounded-state frequency service: each
@@ -401,6 +462,11 @@ object Runner {
                        docs: DataFrame, checkpoint: String,
                        depth: Int = 4, width: Int = 512,
                        compactEveryBatches: Int = 64): StreamingQuery = {
+    // refuse a degenerate dial BEFORE the meta is written and the
+    // stream starts — width 0 would otherwise be pinned into _meta.json
+    // and die only at runtime inside foreachBatch (pmod by 0), leaving
+    // an unusable store behind (ADVICE r16)
+    require(depth >= 1 && width >= 1, s"degenerate CMS: $depth x $width")
     require(compactEveryBatches == 0 || compactEveryBatches >= 3,
       s"compactEveryBatches ($compactEveryBatches) must be 0 (off) or >= 3: " +
         "the fold leaves base + current = 2 partitions, so a threshold of " +
