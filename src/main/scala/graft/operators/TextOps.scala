@@ -929,11 +929,13 @@ object TextOps {
   /** Sketch over an arbitrary documents-shaped relation — shared by the
     * batch gate query, the mergeability spec, and the streaming
     * constant-state twin (Pipelines.cmsSketchStream). */
-  def cmsSketchOn(docs: DataFrame, depth: Int, width: Int): DataFrame =
+  def cmsSketchOn(docs: DataFrame, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1, s"degenerate CMS: $depth x $width")
     docs.select(explode(tokens("text")).as("tok"))
       .select(posexplode(array((0 until depth).map(r =>
         cmsBucket(r, col("tok"), width)): _*)).as(Seq("r", "bucket")))
       .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+  }
 
   /** t35: point-frequency estimates from the t34 sketch — est(tok) =
     * min over hash rows of the addressed counter (0 when the cell was

@@ -70,9 +70,19 @@ class CmsMaintainSpec extends AnyFunSuite with BeforeAndAfterAll {
       .partitionBy("batch_id").parquet(cmsDir)
     assert(cells(TextOps.maintainedCms(spark, cmsDir)) === before,
       "a replayed batch must rewrite its partition, never double counters")
-    // a manual fold of everything preserves every counter
+    // a manual fold of everything preserves every counter — and the
+    // SERVED estimates (the cms_serve bench path: cmsEstimateFrom over
+    // maintainedCms) must read identically across fold states, since
+    // the fold only re-bases additive counters
+    def est2(df: DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val estLive = est2(TextOps.cmsEstimateFrom(spark,
+      TextOps.maintainedCms(spark, cmsDir), probes, 4, 512))
     TextOps.foldMaintainedCms(spark, cmsDir, excludeBatchId = 999L)
     assert(cells(TextOps.maintainedCms(spark, cmsDir)) === before)
+    assert(est2(TextOps.cmsEstimateFrom(spark,
+        TextOps.maintainedCms(spark, cmsDir), probes, 4, 512)) === estLive,
+      "estimates served from the store must not move across a fold")
   }
 
   test("dial drift is refused loudly; empty first trigger writes nothing") {
