@@ -618,10 +618,27 @@ object Hnsw {
   private[graft] object ShardGraphCache {
     private val defaultBudget: Long = sys.props.get("graft.hnsw.residentVectors")
       .map(_.toLong).getOrElse(4000000L)
-    /** Spec hook: exercise eviction at a small budget without forking a
-      * JVM for the -D property. Production never sets it. */
-    @volatile private[graft] var budgetOverride: Option[Long] = None
+    @volatile private var budgetOverride: Option[Long] = None
     private def budget: Long = budgetOverride.getOrElse(defaultBudget)
+    private val budgetScopeActive = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    /** Spec hook: run `body` with the LRU budget set to `n` — exercise
+      * eviction at a small budget without forking a JVM for the -D
+      * property. The ONLY way to move the budget at runtime (the field
+      * itself is private — production code cannot reach it); try/finally
+      * restores the default and clears residency (graphs admitted under
+      * a different budget) on every exit path, and a nested or
+      * concurrent scope is REFUSED loudly instead of silently racing
+      * the process-global singleton. */
+    private[graft] def withBudget[A](n: Long)(body: => A): A = {
+      require(budgetScopeActive.compareAndSet(false, true),
+        "nested/concurrent ShardGraphCache.withBudget scopes would race " +
+          "the process-global budget")
+      try { budgetOverride = Some(n); invalidate(); body }
+      finally {
+        budgetOverride = None; invalidate(); budgetScopeActive.set(false)
+      }
+    }
     // access-ordered: iteration starts at the least-recently-used entry
     private val lru = new java.util.LinkedHashMap[(String, Int, String), Graph](64, 0.75f, true)
     private var heldVectors: Long = 0L
