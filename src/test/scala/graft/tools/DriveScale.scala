@@ -4,29 +4,35 @@ import graft.GraftSession
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** State-store scale ladder (RocksDB): pushes the two O(keys)-state
-  * streaming operators — DAU dedup (`dauFirstVisits`) and CDC apply
-  * (`cdcApplyStream`) — to 10^5 → 10^7 DISTINCT KEYS and records
-  * throughput + state-store size at each rung, so the "constant
-  * per-key state" claims carry measured points instead of comments
-  * (SCALE.md is authored from this output).
+/** State-store scale ladder (RocksDB): pushes the O(keys)-state
+  * streaming operators — DAU dedup (`dauFirstVisits`), CDC apply
+  * (`cdcApplyStream`), and the transition extractor
+  * (`transitionStream`, O(users) keyed last-event state — the r16
+  * verdict's last unmeasured stateful axis) — to 10^5 → 10^7 DISTINCT
+  * KEYS and records throughput + state-store size at each rung, so the
+  * "constant per-key state" claims carry measured points instead of
+  * comments (SCALE.md is authored from this output).
   *
   * Key-space scaling, not row replication: state size is driven by
   * distinct keys, so the ladder generates one event per key (the
   * worst case for state growth per input row — every row inserts).
-  * The feed is file-edged parquet like the bench streams.
+  * The transitions rung feeds TWO events per key (one event emits no
+  * transition — both the state fill and the emission path must be in
+  * the measured window). The feed is file-edged parquet like the
+  * bench streams.
   *
-  * `Test/runMain graft.tools.DriveScale [keys ...] [dau|cdc_apply ...]`
-  * (default ladder 100000 1000000 10000000, both pipelines; naming
-  * one or both pipeline selectors restricts the run — a 3e8 cdc-only
-  * rung must not pay for a dau rung it already has)
+  * `Test/runMain graft.tools.DriveScale [keys ...]
+  *   [dau|cdc_apply|transitions ...]`
+  * (default ladder 100000 1000000 10000000, all pipelines; naming
+  * pipeline selectors restricts the run — a 3e8 cdc-only rung must
+  * not pay for a dau rung it already has)
   */
 object DriveScale {
   def main(args: Array[String]): Unit = {
     val pipeSel = args.filter(a => !a.forall(_.isDigit)).toSet
     val numeric = args.filter(_.forall(_.isDigit)).toSeq
-    require(pipeSel.subsetOf(Set("dau", "cdc_apply")),
-      s"unknown pipeline selector(s): ${pipeSel -- Set("dau", "cdc_apply")}")
+    require(pipeSel.subsetOf(Set("dau", "cdc_apply", "transitions")),
+      s"unknown pipeline selector(s): ${pipeSel -- Set("dau", "cdc_apply", "transitions")}")
     def want(name: String): Boolean = pipeSel.isEmpty || pipeSel(name)
     val ladder = if (numeric.nonEmpty) numeric.map(_.toLong)
                  else Seq(100000L, 1000000L, 10000000L)
@@ -48,9 +54,25 @@ object DriveScale {
         (col("id") % 100).cast("double").as("value"),
         concat(lit("{\"k\":"), (col("id") % 5).cast("string"), lit("}")).as("props"))
 
-    def run(name: String, keys: Long)(pipe: DataFrame => DataFrame): Unit = {
+    // two time-ordered events per user (occurrence blocks are disjoint
+    // in ts, so per-user order is (occurrence 0, occurrence 1) under
+    // the extractor's (ts, event_id) sort) — each user fills one state
+    // row AND emits one transition
+    def transEvents(keys: Long): DataFrame =
+      spark.range(2 * keys).select(
+        col("id").as("event_id"),
+        (col("id") % keys).as("user_id"),
+        timestamp_seconds(lit(1700000000L) + (col("id") / keys) * 3600
+          + col("id") % 3600).as("ts"),
+        element_at(array(lit("click"), lit("view"), lit("purchase")),
+          (col("id") % 3 + 1).cast("int")).as("event_type"),
+        (col("id") % 100).cast("double").as("value"),
+        concat(lit("{\"k\":"), (col("id") % 5).cast("string"), lit("}")).as("props"))
+
+    def run(name: String, keys: Long, input: DataFrame, nRows: Long)(
+        pipe: DataFrame => DataFrame): Unit = {
       val dir = java.nio.file.Files.createTempDirectory(s"graft-scale-$name").toString
-      events(keys).repartition(32).write.mode("overwrite").parquet(s"$dir/in")
+      input.repartition(32).write.mode("overwrite").parquet(s"$dir/in")
       val src = spark.readStream
         .schema(spark.read.parquet(s"$dir/in").schema).parquet(s"$dir/in")
       val t0 = System.nanoTime()
@@ -67,8 +89,8 @@ object DriveScale {
       val sst = sos.flatMap(so => Option(so.customMetrics)
         .map(m => Option(m.get("rocksdbSstFileSize")).map(_.longValue).getOrElse(0L)))
         .foldLeft(0L)(math.max)
-      println(f"SCALE $name%-10s keys=$keys%9d rows=$keys%9d sec=$sec%8.1f " +
-        f"rows_per_sec=${(keys / sec).toLong}%8d state_rows=$rows%9d " +
+      println(f"SCALE $name%-11s keys=$keys%9d rows=$nRows%9d sec=$sec%8.1f " +
+        f"rows_per_sec=${(nRows / sec).toLong}%8d state_rows=$rows%9d " +
         f"state_mem_bytes=$bytes%12d sst_bytes=$sst%12d")
       // tmp hygiene at 1e7-key scale: drop the ~200 MB input + checkpoint
       try {
@@ -79,10 +101,14 @@ object DriveScale {
 
     ladder.foreach { k =>
       if (want("dau"))
-        run("dau", k)(ev => graft.streaming.Pipelines.dauFirstVisits(
+        run("dau", k, events(k), k)(ev => graft.streaming.Pipelines.dauFirstVisits(
           ev.selectExpr("cast(user_id as string) as mid", "ts")))
       if (want("cdc_apply"))
-        run("cdc_apply", k)(ev => graft.streaming.Pipelines.cdcApplyStream(ev).toDF())
+        run("cdc_apply", k, events(k), k)(ev =>
+          graft.streaming.Pipelines.cdcApplyStream(ev).toDF())
+      if (want("transitions"))
+        run("transitions", k, transEvents(k), 2 * k)(ev =>
+          graft.streaming.Pipelines.transitionStream(ev).toDF())
     }
     spark.stop()
   }
