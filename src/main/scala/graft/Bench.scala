@@ -1135,6 +1135,12 @@ object Bench {
       local4Parity.triggers.map { case (st, b, ms) => s"$st:$b:$ms" })
     val local4OverDetail = jsonArr(local4Parity.triggers
       .collect { case (st, b, ms) if ms > 5000L => s"$st:$b:$ms" })
+    // mechanical breach classification (bootstrap / correlated /
+    // isolated — Topology.classifyOverBudget): only ISOLATED breaches
+    // mean a stage regression; bootstrap is each stage's one-time
+    // first-trigger cost and correlated is a cross-stage capacity blip
+    val (local4OverBoot, local4OverCorr, local4OverIso) =
+      streaming.Topology.classifyOverBudget(local4Parity.triggers, 5000L)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"failed":$failed,""" +
       s""""prod_queries":$prodQs,"prod_total":$prodTotal,""" +
@@ -1169,6 +1175,9 @@ object Bench {
       s""""stream_topology_local4_over_budget":${local4Parity.overBudget},""" +
       s""""stream_topology_local4_busy_triggers":${local4Parity.busyTriggers},""" +
       s""""stream_topology_local4_triggers":$local4TriggersJson,""" +
+      s""""stream_topology_local4_over_bootstrap":$local4OverBoot,""" +
+      s""""stream_topology_local4_over_correlated":$local4OverCorr,""" +
+      s""""stream_topology_local4_over_isolated":$local4OverIso,""" +
       s""""stream_topology_local4_calib_pre":${math.round(local4CalibPre * 10000) / 10000.0},""" +
       s""""stream_topology_local4_calib_post":${math.round(local4CalibPost * 10000) / 10000.0},""" +
       s""""stream_calibs":$streamCalibsJson,""" +
@@ -1202,6 +1211,9 @@ object Bench {
       s""""local4_over":${local4Parity.overBudget},""" +
       s""""local4_busy":${local4Parity.busyTriggers},""" +
       s""""local4_over_detail":$local4OverDetail,""" +
+      s""""local4_over_bootstrap":$local4OverBoot,""" +
+      s""""local4_over_correlated":$local4OverCorr,""" +
+      s""""local4_over_isolated":$local4OverIso,""" +
       s""""local4_calib_pre":${math.round(local4CalibPre * 10000) / 10000.0},""" +
       s""""local4_calib_post":${math.round(local4CalibPost * 10000) / 10000.0},""" +
       s""""calib_sec":$calibSec,"calib_end_sec":$calibEndSec,""" +

@@ -172,6 +172,52 @@ object Topology {
                                busyTriggers: Int, gatePass: Boolean,
                                triggers: Seq[(String, Long, Long)] = Nil)
 
+  /** Mechanical attribution of over-budget busy triggers (the r16
+    * verdict's ask, informed by the r17 ledgers): every breach falls in
+    * one of three classes, so a recurring "1-of-36 over" is never an
+    * anonymous tail again. Returns (bootstrap, correlated, isolated)
+    * counts over `obs` = the (stage, batchId, ms) ledger.
+    *
+    *  - BOOTSTRAP: the stage's FIRST busy trigger — it carries the
+    *    one-time costs (whole-stage codegen of the join/state plan,
+    *    first state-store open, first dim broadcast) every stage pays
+    *    exactly once; the reference's DStream apps pay the same
+    *    first-batch cost, so a bootstrap breach is not a steady-state
+    *    parity violation (measured r17 run 3: wide:0 at 5 986 ms with
+    *    a 2 400 ms steady median — the recurring r16 singleton, now
+    *    named).
+    *  - CORRELATED: a non-first trigger where some OTHER stage's
+    *    non-first trigger within ±1 batch also ran > 2× that stage's
+    *    own median — all three stages share the 4 cores, so a host/GC
+    *    capacity blip inflates them TOGETHER (measured r17 run 2:
+    *    batches 3–6 ran 2–8× median across router+wide+agg
+    *    simultaneously, bracketed by quiet anchors). A genuine stage
+    *    regression cannot produce this signature.
+    *  - ISOLATED: everything else — one stage over budget while its
+    *    neighbors sit at their medians. THIS is the class that means
+    *    a code regression; the others are environment/bootstrap.
+    */
+  def classifyOverBudget(obs: Seq[(String, Long, Long)],
+                         budgetMs: Long): (Int, Int, Int) = {
+    if (obs.isEmpty) return (0, 0, 0)
+    def median(xs: Seq[Long]): Long = { val s = xs.sorted; s(s.size / 2) }
+    val byStage = obs.groupBy(_._1)
+    val med = byStage.map { case (st, v) => st -> median(v.map(_._3)) }
+    val first = byStage.map { case (st, v) => st -> v.map(_._2).min }
+    var (nBoot, nCorr, nIso) = (0, 0, 0)
+    obs.filter(_._3 > budgetMs).foreach { case (st, bid, _) =>
+      if (bid == first(st)) nBoot += 1
+      else {
+        val corr = obs.exists { case (st2, bid2, ms2) =>
+          st2 != st && bid2 != first(st2) && math.abs(bid2 - bid) <= 1 &&
+            ms2 > 2 * med(st2)
+        }
+        if (corr) nCorr += 1 else nIso += 1
+      }
+    }
+    (nBoot, nCorr, nIso)
+  }
+
   /** The reference-envelope parity measurement (BASELINE.md's derived
     * latency target), shared by Bench's `stream_topology_local4_*`
     * fields and the manual `DriveTopology <sfDir> <triggerSec>` mode:
