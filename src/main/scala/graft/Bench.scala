@@ -1132,9 +1132,9 @@ object Bench {
     // bootstrap, agg:0 the first dim refresh — instead of recurring as
     // an unattributed 1-of-36 tail across rounds
     val local4TriggersJson = jsonArr(
-      local4Parity.triggers.map { case (st, b, ms) => s"$st:$b:$ms" })
+      local4Parity.triggers.map { case (st, b, _, ms) => s"$st:$b:$ms" })
     val local4OverDetail = jsonArr(local4Parity.triggers
-      .collect { case (st, b, ms) if ms > 5000L => s"$st:$b:$ms" })
+      .collect { case (st, b, _, ms) if ms > 5000L => s"$st:$b:$ms" })
     // mechanical breach classification (bootstrap / correlated /
     // isolated — Topology.classifyOverBudget): only ISOLATED breaches
     // mean a stage regression; bootstrap is each stage's one-time

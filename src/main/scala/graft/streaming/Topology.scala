@@ -164,13 +164,18 @@ object Topology {
     * exceeded the trigger budget, and whether the chain's final totals
     * passed the cent-for-cent gate (a latency number from a chain that
     * got the answer wrong is not a parity result). `triggers` is the
-    * per-trigger attribution ledger — (stage, batchId, ms) for every
-    * busy trigger — so a single over-budget trigger can be PINNED to a
-    * named stage/batch (bootstrap? fold? dim refresh?) instead of
-    * recurring unattributed across rounds (the r16 verdict's ask). */
+    * per-trigger attribution ledger — (stage, batchId, startEpochMs,
+    * durationMs) for every busy trigger — so a single over-budget
+    * trigger can be PINNED to a named stage/batch (bootstrap? fold?
+    * dim refresh?) instead of recurring unattributed across rounds
+    * (the r16 verdict's ask). Start times ride along because the three
+    * stages' batch COUNTERS drift (a drained stage ticks fewer busy
+    * batches), so cross-stage correlation must align by wall-clock
+    * overlap, not batch id — measured r17 run 6: wide's batch 12
+    * ran concurrently with agg's batch 9. */
   final case class PacedParity(maxMs: Long, meanMs: Long, overBudget: Int,
                                busyTriggers: Int, gatePass: Boolean,
-                               triggers: Seq[(String, Long, Long)] = Nil)
+                               triggers: Seq[(String, Long, Long, Long)] = Nil)
 
   /** Mechanical attribution of over-budget busy triggers (the r16
     * verdict's ask, informed by the r17 ledgers): every breach falls in
@@ -187,29 +192,35 @@ object Topology {
     *    a 2 400 ms steady median — the recurring r16 singleton, now
     *    named).
     *  - CORRELATED: a non-first trigger where some OTHER stage's
-    *    non-first trigger within ±1 batch also ran > 2× that stage's
-    *    own median — all three stages share the 4 cores, so a host/GC
-    *    capacity blip inflates them TOGETHER (measured r17 run 2:
-    *    batches 3–6 ran 2–8× median across router+wide+agg
-    *    simultaneously, bracketed by quiet anchors). A genuine stage
-    *    regression cannot produce this signature.
+    *    non-first trigger whose wall-clock interval OVERLAPS it also
+    *    ran > 2× that stage's own median — all three stages share the
+    *    4 cores, so a host/GC capacity blip inflates them TOGETHER
+    *    (measured r17 run 2: a ~20 s window ran 2–8× median across
+    *    router+wide+agg simultaneously, bracketed by quiet anchors).
+    *    Overlap is by time, not batch id: the stages' batch counters
+    *    drift (r17 run 6's drain tail ran wide batch 12 concurrently
+    *    with agg batch 9). A genuine stage regression cannot produce
+    *    this signature.
     *  - ISOLATED: everything else — one stage over budget while its
-    *    neighbors sit at their medians. THIS is the class that means
-    *    a code regression; the others are environment/bootstrap.
-    */
-  def classifyOverBudget(obs: Seq[(String, Long, Long)],
+    *    concurrent neighbors sit at their medians. THIS is the class
+    *    that means a code regression; the others are
+    *    environment/bootstrap.
+    *
+    * `obs` rows are (stage, batchId, startEpochMs, durationMs). */
+  def classifyOverBudget(obs: Seq[(String, Long, Long, Long)],
                          budgetMs: Long): (Int, Int, Int) = {
     if (obs.isEmpty) return (0, 0, 0)
     def median(xs: Seq[Long]): Long = { val s = xs.sorted; s(s.size / 2) }
     val byStage = obs.groupBy(_._1)
-    val med = byStage.map { case (st, v) => st -> median(v.map(_._3)) }
+    val med = byStage.map { case (st, v) => st -> median(v.map(_._4)) }
     val first = byStage.map { case (st, v) => st -> v.map(_._2).min }
     var (nBoot, nCorr, nIso) = (0, 0, 0)
-    obs.filter(_._3 > budgetMs).foreach { case (st, bid, _) =>
+    obs.filter(_._4 > budgetMs).foreach { case (st, bid, t0, dur) =>
       if (bid == first(st)) nBoot += 1
       else {
-        val corr = obs.exists { case (st2, bid2, ms2) =>
-          st2 != st && bid2 != first(st2) && math.abs(bid2 - bid) <= 1 &&
+        val corr = obs.exists { case (st2, bid2, t2, ms2) =>
+          st2 != st && bid2 != first(st2) &&
+            t2 < t0 + dur && t2 + ms2 > t0 && // wall-clock overlap
             ms2 > 2 * med(st2)
         }
         if (corr) nCorr += 1 else nIso += 1
@@ -272,10 +283,14 @@ object Topology {
     val obs = Seq("router" -> chain.router, "wide" -> chain.wide,
         "agg" -> chain.agg).flatMap { case (stage, q) =>
       q.recentProgress.toSeq.filter(_.numInputRows > 0)
-        .flatMap(p => Option(p.durationMs.get("triggerExecution"))
-          .map(ms => (stage, p.batchId, ms.toLong)))
+        .flatMap { p =>
+          val start = try java.time.Instant.parse(p.timestamp).toEpochMilli
+                      catch { case _: Throwable => 0L }
+          Option(p.durationMs.get("triggerExecution"))
+            .map(ms => (stage, p.batchId, start, ms.toLong))
+        }
     }
-    val busy = obs.map(_._3)
+    val busy = obs.map(_._4)
     chain.stopAll()
     val got = trademarkTotals(spark, s"$root/agg")
     val want = graft.operators.GmallQueries.trademarkStat(spark, sfDir)

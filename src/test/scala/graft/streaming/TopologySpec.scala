@@ -41,61 +41,83 @@ class TopologySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // ---- breach attribution (Topology.classifyOverBudget) — the r17
-  // ledgers' two measured breach shapes plus the regression shape,
-  // replayed synthetically so the classifier's semantics are pinned
+  // ledgers' measured breach shapes plus the regression shape,
+  // replayed synthetically so the classifier's semantics are pinned.
+  // Triggers fire on a shared 5 s clock: trigger b starts at b*5000
+  // and runs for its duration, so wall-clock overlap mirrors the
+  // paced chain's concurrency.
+
+  private def row(stage: String, b: Long, ms: Long): (String, Long, Long, Long) =
+    (stage, b, b * 5000L, ms)
 
   // a steady stage: first busy trigger at batch 0, median ~500 ms
-  private def steady(stage: String, n: Int = 12, ms: Long = 500): Seq[(String, Long, Long)] =
-    (0 until n).map(i => (stage, i.toLong, ms))
+  private def steady(stage: String, n: Int = 12, ms: Long = 500): Seq[(String, Long, Long, Long)] =
+    (0 until n).map(i => row(stage, i.toLong, ms))
 
   test("classifyOverBudget: a stage's FIRST busy trigger over budget is " +
       "bootstrap, even when the other stages' own bootstraps are hot too") {
     // the run-3 shape: wide:0 at 6 s, router:0/agg:0 elevated (2-3x
     // their medians) but under budget — their elevation is their OWN
     // one-time cost, not a capacity blip
-    val obs = Seq(("wide", 0L, 6000L)) ++ steady("wide").tail.map { case (s, b, _) => (s, b, 2400L) } ++
-      (("router", 0L, 1100L) +: steady("router").tail) ++
-      (("agg", 0L, 1700L) +: steady("agg").tail)
+    val obs = Seq(row("wide", 0L, 6000L)) ++
+      steady("wide").tail.map { case (s, b, t, _) => (s, b, t, 2400L) } ++
+      (row("router", 0L, 1100L) +: steady("router").tail) ++
+      (row("agg", 0L, 1700L) +: steady("agg").tail)
     assert(Topology.classifyOverBudget(obs, 5000L) === ((1, 0, 0)))
   }
 
-  test("classifyOverBudget: mid-stream breaches with neighbors >2x their " +
-      "medians in the same window are correlated (the run-2 capacity blip)") {
+  test("classifyOverBudget: mid-stream breaches overlapping neighbors at " +
+      ">2x their medians are correlated (the run-2 capacity blip)") {
     // the run-2 shape: wide 3-5 over budget; router 4-6 and agg 2-3
     // simultaneously 2-8x their medians, everything else steady
     val wide = steady("wide", ms = 2300).map {
-      case (s, b, _) if b >= 3 && b <= 5 => (s, b, 6200L)
+      case (s, b, t, _) if b >= 3 && b <= 5 => (s, b, t, 6200L)
       case t => t
     }
     val router = steady("router").map {
-      case (s, b, _) if b >= 4 && b <= 6 => (s, b, 2000L)
+      case (s, b, t, _) if b >= 4 && b <= 6 => (s, b, t, 2000L)
       case t => t
     }
     val agg = steady("agg").map {
-      case (s, b, _) if b >= 2 && b <= 3 => (s, b, 3300L)
+      case (s, b, t, _) if b >= 2 && b <= 3 => (s, b, t, 3300L)
       case t => t
     }
     assert(Topology.classifyOverBudget(wide ++ router ++ agg, 5000L) === ((0, 3, 0)))
   }
 
+  test("classifyOverBudget: correlation aligns by WALL-CLOCK overlap, not " +
+      "batch id — the run-6 drain tail (wide batch 12 concurrent with agg " +
+      "batch 9) classifies correlated") {
+    // agg ticked fewer busy batches: its batch 9 starts where wide's
+    // batch 12 does (both at the drain). batch-id distance is 3, but
+    // the intervals overlap and agg:9 runs >2x agg's median
+    val wide = steady("wide", n = 13, ms = 2400).map {
+      case (s, b, t, _) if b == 12 => (s, b, t, 7900L)
+      case t => t
+    }
+    val agg = steady("agg", n = 9, ms = 800) :+ (("agg", 9L, 12L * 5000L, 3900L))
+    assert(Topology.classifyOverBudget(wide ++ agg ++ steady("router"),
+      5000L) === ((0, 1, 0)))
+  }
+
   test("classifyOverBudget: a lone non-first breach with quiet neighbors " +
       "is ISOLATED — the class that means a stage regression") {
     val wide = steady("wide", ms = 2300).map {
-      case (s, b, _) if b == 7 => (s, b, 7000L)
+      case (s, b, t, _) if b == 7 => (s, b, t, 7000L)
       case t => t
     }
     val obs = wide ++ steady("router") ++ steady("agg")
     assert(Topology.classifyOverBudget(obs, 5000L) === ((0, 0, 1)))
     // and a neighbor elevated ONLY at its bootstrap does not launder
     // the breach into correlated: first triggers are excluded from the
-    // correlation evidence
-    val bootRouter = (("router", 0L, 1500L) +: steady("router").tail)
+    // correlation evidence (even when they run long enough to overlap)
+    val bootRouter = (("router", 0L, 0L, 9000L) +: steady("router").tail)
     val wide0 = steady("wide", ms = 2300).map {
-      case (s, b, _) if b == 1 => (s, b, 7000L)
+      case (s, b, t, _) if b == 1 => (s, b, t, 7000L)
       case t => t
     }
     assert(Topology.classifyOverBudget(wide0 ++ bootRouter ++ steady("agg"),
-      5000L) === ((0, 0, 1)))
+      5000L) === ((1, 0, 1)))
   }
 
   test("classifyOverBudget: empty ledger and under-budget ledgers " +
