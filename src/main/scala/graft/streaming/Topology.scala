@@ -191,20 +191,27 @@ object Topology {
     *    parity violation (measured r17 run 3: wide:0 at 5 986 ms with
     *    a 2 400 ms steady median — the recurring r16 singleton, now
     *    named).
-    *  - CORRELATED: a non-first trigger where some OTHER stage's
-    *    non-first trigger whose wall-clock interval OVERLAPS it also
-    *    ran > 2× that stage's own median — all three stages share the
-    *    4 cores, so a host/GC capacity blip inflates them TOGETHER
-    *    (measured r17 run 2: a ~20 s window ran 2–8× median across
-    *    router+wide+agg simultaneously, bracketed by quiet anchors).
+    *  - CORRELATED, two signatures: (a) non-first breaches present in
+    *    ≥ 2 DISTINCT stages — section-wide sustained load (measured
+    *    r17 run 9: router+wide+agg all breached while the load
+    *    inflated every stage's own median, so pairwise evidence
+    *    self-defeats; a single-stage code regression cannot breach the
+    *    OTHER stages' budgets); or (b) a single breaching stage where
+    *    some OTHER stage's non-first trigger whose wall-clock interval
+    *    OVERLAPS the breach ran > 2× that stage's own median — the
+    *    shorter capacity blip (measured r17 run 2: a ~20 s window ran
+    *    2–8× median across all stages, bracketed by quiet anchors).
     *    Overlap is by time, not batch id: the stages' batch counters
     *    drift (r17 run 6's drain tail ran wide batch 12 concurrently
-    *    with agg batch 9). A genuine stage regression cannot produce
-    *    this signature.
-    *  - ISOLATED: everything else — one stage over budget while its
+    *    with agg batch 9).
+    *  - ISOLATED: everything else — ONE stage over budget while its
     *    concurrent neighbors sit at their medians. THIS is the class
     *    that means a code regression; the others are
-    *    environment/bootstrap.
+    *    environment/bootstrap. (Limitation, documented: an
+    *    infrastructure regression slowing ≥ 2 stages past the budget
+    *    each would read correlated — but such a change also moves the
+    *    mean/max parity fields and the round-over-round comparison,
+    *    which is where a cross-cutting regression is caught.)
     *
     * `obs` rows are (stage, batchId, startEpochMs, durationMs). */
   def classifyOverBudget(obs: Seq[(String, Long, Long, Long)],
@@ -214,9 +221,15 @@ object Topology {
     val byStage = obs.groupBy(_._1)
     val med = byStage.map { case (st, v) => st -> median(v.map(_._4)) }
     val first = byStage.map { case (st, v) => st -> v.map(_._2).min }
+    // stages with a NON-FIRST breach (bootstraps never count toward
+    // the section-wide-load breadth signal)
+    val breachedStages = obs.collect {
+      case (st, bid, _, dur) if dur > budgetMs && bid != first(st) => st
+    }.distinct.size
     var (nBoot, nCorr, nIso) = (0, 0, 0)
     obs.filter(_._4 > budgetMs).foreach { case (st, bid, t0, dur) =>
       if (bid == first(st)) nBoot += 1
+      else if (breachedStages >= 2) nCorr += 1 // section-wide sustained load
       else {
         val corr = obs.exists { case (st2, bid2, t2, ms2) =>
           st2 != st && bid2 != first(st2) &&

@@ -120,6 +120,29 @@ class TopologySpec extends AnyFunSuite with BeforeAndAfterAll {
       5000L) === ((1, 0, 1)))
   }
 
+  test("classifyOverBudget: sustained section-wide load (non-first " +
+      "breaches in >=2 stages) is correlated even though the inflated " +
+      "medians destroy pairwise evidence — the run-9 shape") {
+    // run 9: EVERY wide trigger 6.9-12.5 s (median itself ~8.5 s, so
+    // nothing reads >2x it), router and agg each breaching too — a
+    // single-stage regression cannot breach the other stages' budgets
+    val wide = steady("wide", n = 8, ms = 8500).map {
+      case (s, b, t, _) if b == 0 => (s, b, t, 2800L)
+      case t => t
+    }
+    val router = steady("router", n = 11, ms = 1300).map {
+      case (s, b, t, _) if b == 9 => (s, b, t, 8267L)
+      case t => t
+    }
+    val agg = steady("agg", n = 8, ms = 1700).map {
+      case (s, b, t, _) if b == 1 || b == 3 => (s, b, t, 7000L)
+      case t => t
+    }
+    val (boot, corr, iso) = Topology.classifyOverBudget(wide ++ router ++ agg, 5000L)
+    assert(iso === 0, "sustained load must not read as a stage regression")
+    assert(boot === 0 && corr === 10)
+  }
+
   test("classifyOverBudget: empty ledger and under-budget ledgers " +
       "classify to zero everywhere") {
     assert(Topology.classifyOverBudget(Nil, 5000L) === ((0, 0, 0)))
