@@ -877,6 +877,39 @@ object Bench {
         if (labeled != nNodes) -1.0 else nEdges / sec
       }
     }
+    // the same loop at recompute cadence 3 (r17 verdict Next #1's
+    // done-criterion): 4 micro-batches recompute at batch ids 0 and 3
+    // instead of all four — the line quantifies the floor lift the
+    // web-scale dial buys (the final batch id falls ON the cadence, so
+    // the every-node-labeled guard still holds). Same fixture shape as
+    // the cadence-1 line above for direct comparison.
+    val streamComponentsC3Rate: Double = streamSection("stream_components_maintain_c3") {
+      import org.apache.spark.sql.functions.col
+      val fix = {
+        val d = java.nio.file.Files.createTempDirectory("graft-bench-ccfix3").toString
+        operators.GraphOps.bigramEdges(spark, sfDir)
+          .repartition(4).write.mode("overwrite").parquet(d)
+        d
+      }
+      val nEdges = spark.read.parquet(fix).count()
+      val nNodes = spark.read.parquet(fix).select(col("src").as("n"))
+        .union(spark.read.parquet(fix).select(col("dst"))).distinct().count()
+      val schema = spark.read.parquet(fix).schema
+      guardedRate("stream_components_maintain_c3") { () =>
+        val graphDir = java.nio.file.Files
+          .createTempDirectory("graft-bench-ccgraph3").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-bench-ccckpt3").toString
+        val pairStream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(fix)
+        val sec = timedStream(partitions = 8) { () =>
+          streaming.Runner.componentsMaintainQuery(spark, graphDir,
+            pairStream, ckpt, recomputeEveryBatches = 3)
+        }
+        val labeled = spark.read.parquet(s"$graphDir/labels").count()
+        if (labeled != nNodes) -1.0 else nEdges / sec
+      }
+    }
     // streaming HNSW index maintenance (round 13): the sf embedding
     // table fed as 4 micro-batches through hnswMaintainQuery's
     // LSM-segment default, a fresh index per attempt. Like the intake
@@ -1017,6 +1050,13 @@ object Bench {
     // ≈ calib_sec; sustained co-tenant load inflates it, and the
     // section lands in `suspect_streams` instead of letting the
     // breach masquerade as a latency regression.
+    // ONE source of truth for the parity envelope's trigger pace
+    // (ADVICE r17): the pacedParity call, the over_detail filter, and
+    // classifyOverBudget's budget previously hardcoded 5 s at three
+    // sites — changing the pace would have silently desynchronized
+    // over_budget from over_detail/bootstrap/correlated/isolated
+    val local4TriggerSec = 5
+    val local4BudgetMs = local4TriggerSec * 1000L
     var local4CalibPre = -1.0
     var local4CalibPost = -1.0
     val local4Parity: streaming.Topology.PacedParity = {
@@ -1035,7 +1075,8 @@ object Bench {
         } catch { case _: Throwable => -1.0 }
         try {
           local4CalibPre = calibrate4()
-          val p = streaming.Topology.pacedParity(s4, sfDir, triggerSec = 5)
+          val p = streaming.Topology.pacedParity(s4, sfDir,
+            triggerSec = local4TriggerSec)
           local4CalibPost = calibrate4()
           if (p.gatePass) p
           else {
@@ -1114,6 +1155,7 @@ object Bench {
       "stream_cms_maintain" -> streamCmsMaintainRate,
       "stream_pagerank_maintain" -> streamPageRankRate,
       "stream_components_maintain" -> streamComponentsRate,
+      "stream_components_maintain_c3" -> streamComponentsC3Rate,
       "stream_dedup_intake" -> streamDedupIntakeRate,
       "stream_curate_intake" -> streamCurateIntakeRate,
       "stream_curate_intake_20k" -> streamCurateIntake20kRate,
@@ -1134,13 +1176,13 @@ object Bench {
     val local4TriggersJson = jsonArr(
       local4Parity.triggers.map { case (st, b, _, ms) => s"$st:$b:$ms" })
     val local4OverDetail = jsonArr(local4Parity.triggers
-      .collect { case (st, b, _, ms) if ms > 5000L => s"$st:$b:$ms" })
+      .collect { case (st, b, _, ms) if ms > local4BudgetMs => s"$st:$b:$ms" })
     // mechanical breach classification (bootstrap / correlated /
     // isolated — Topology.classifyOverBudget): only ISOLATED breaches
     // mean a stage regression; bootstrap is each stage's one-time
     // first-trigger cost and correlated is a cross-stage capacity blip
     val (local4OverBoot, local4OverCorr, local4OverIso) =
-      streaming.Topology.classifyOverBudget(local4Parity.triggers, 5000L)
+      streaming.Topology.classifyOverBudget(local4Parity.triggers, local4BudgetMs)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_queries":${results.size},"failed":$failed,""" +
       s""""prod_queries":$prodQs,"prod_total":$prodTotal,""" +
@@ -1162,6 +1204,7 @@ object Bench {
       s""""stream_cms_maintain_rows_per_sec":${streamCmsMaintainRate.toLong},""" +
       s""""stream_pagerank_maintain_rows_per_sec":${streamPageRankRate.toLong},""" +
       s""""stream_components_maintain_rows_per_sec":${streamComponentsRate.toLong},""" +
+      s""""stream_components_maintain_c3_rows_per_sec":${streamComponentsC3Rate.toLong},""" +
       s""""stream_dedup_intake_rows_per_sec":${streamDedupIntakeRate.toLong},""" +
       s""""stream_curate_intake_rows_per_sec":${streamCurateIntakeRate.toLong},""" +
       s""""stream_curate_intake_20k_rows_per_sec":${streamCurateIntake20kRate.toLong},""" +
@@ -1223,6 +1266,18 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_summary.json"), summary + "\n")
     catch { case _: Throwable => () }
-    spark.stop()
+    // Same teardown hazard as DriveScale (r17 verdict Next #6), observed
+    // here as a post-summary HANG and, with spark.stop() in the exit
+    // path, a native `std::bad_alloc` ABORT (exit 134) from RocksDB
+    // state-store unload — measured on this tree: the abort fires
+    // INSIDE spark.stop(), so a halt placed after it never runs. Every
+    // output of this main — the contract line, the summary line,
+    // bench_last.json, bench_summary.json — is printed/written above
+    // and every streaming query was stopped by its own section; native
+    // teardown buys nothing a dying process needs, so halt(0) directly
+    // and let the OS reclaim. `run / fork := true`, so this never
+    // touches the sbt JVM.
+    System.out.flush()
+    Runtime.getRuntime.halt(0)
   }
 }

@@ -629,7 +629,14 @@ object Hnsw {
       * restores the default and clears residency (graphs admitted under
       * a different budget) on every exit path, and a nested or
       * concurrent scope is REFUSED loudly instead of silently racing
-      * the process-global singleton. */
+      * the process-global singleton. The refusal guards withBudget
+      * scopes against EACH OTHER only: a serve path running outside any
+      * scope (any ShardGraphCache.get in a concurrently executing
+      * suite) would still observe the scoped budget and the scope-exit
+      * invalidation — which is why suites touching this cache must not
+      * run concurrently (they don't: `Test/fork := true` with sbt's
+      * default `testForkedParallel := false` runs suites serialized in
+      * one forked JVM; don't flip that default). */
     private[graft] def withBudget[A](n: Long)(body: => A): A = {
       require(budgetScopeActive.compareAndSet(false, true),
         "nested/concurrent ShardGraphCache.withBudget scopes would race " +

@@ -313,6 +313,81 @@ object Runner {
       .start()
   }
 
+  /** Shared body of every at-rest MAINTAIN loop — pageRank edges,
+    * component edges, CMS counters ran three near-identical
+    * foreachBatch copies before this (drift risk once the third copy
+    * landed): per NON-EMPTY micro-batch, (1) `prepare` (e.g. pin store
+    * meta create-or-match), (2) [[graft.sources.BatchFold.recover]]
+    * the store, (3) run `fold` when the live `batch_id=` partition
+    * count reaches `compactEveryBatches` (always excluding the current
+    * batch), (4) land `batchSlice(batch, batchId)` under
+    * `batch_id=<id>` with dynamic partition overwrite — the K5
+    * exactly-once layout: a replayed batch rewrites its own partition
+    * — then (5) `afterWrite` (the derived-store recompute hook).
+    *
+    * Empty micro-batches skip the whole body: the store is unchanged
+    * by an empty batch, the dynamic-overwrite write of a quiet
+    * bootstrap trigger would leave a file-less store that kills the
+    * next read inside foreachBatch, and skipping is also the cheap
+    * path on replay. Single-writer per store, like every maintain
+    * loop. */
+  private def maintainLoop(spark: SparkSession, rows: DataFrame,
+                           checkpoint: String, storeDir: String,
+                           compactEveryBatches: Int,
+                           fold: (SparkSession, String, Long) => Unit,
+                           batchSlice: (DataFrame, Long) => DataFrame,
+                           prepare: SparkSession => Unit = _ => (),
+                           afterWrite: (SparkSession, Long) => Unit = (_, _) => ())
+      : StreamingQuery = {
+    require(compactEveryBatches == 0 || compactEveryBatches >= 3,
+      s"compactEveryBatches ($compactEveryBatches) must be 0 (off) or >= 3: " +
+        "the fold leaves base + current = 2 partitions, so a threshold of " +
+        "2 would rewrite the whole store on every batch")
+    rows
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          prepare(spark)
+          graft.sources.BatchFold.recover(spark, storeDir)
+          if (compactEveryBatches > 0 &&
+              graft.sources.BatchFold.batchDirCount(spark, storeDir)
+                >= compactEveryBatches)
+            fold(spark, storeDir, batchId)
+          batchSlice(batch, batchId)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(storeDir)
+          afterWrite(spark, batchId)
+        }
+      }
+      .start()
+  }
+
+  /** Recompute-cadence gate for the graph maintain loops: edges land
+    * EVERY batch; the derived store (`ranks/`, `labels/`) refreshes
+    * only when `batchId % every == 0` — keyed on the batch id, so a
+    * replayed batch makes exactly the decision it made the first time
+    * (replay-idempotent by construction, like the batch_id partition
+    * layout) — or when the derived store has no parquet yet (a stream
+    * whose first non-empty batch falls off the cadence must still
+    * bootstrap a readable store). Between recompute triggers the
+    * derived store keeps its previous content, stamped with the
+    * PRODUCING batch id, so the staleness is observable, not silent. */
+  private def onCadence(outDir: String, every: Int)(
+      recompute: (SparkSession, Long) => Unit): (SparkSession, Long) => Unit =
+    (spark, batchId) =>
+      if (batchId % every == 0 || !hasParquet(spark, outDir))
+        recompute(spark, batchId)
+
+  private def hasParquet(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Streaming maintenance of a GRAPH-ANALYTICS store — the
     * [[annIndexMaintainQuery]] lifecycle pattern applied to
     * [[graft.operators.GraphOps.pageRank]]: a stream of (src, dst)
@@ -330,53 +405,35 @@ object Runner {
     *
     * Per-trigger cost: the rank recompute is `iters` joins over the
     * CURRENT edge totals — right for bounded node sets (event types,
-    * domains, hosts); for web-scale graphs run the recompute on a
-    * cadence (every Nth trigger) instead, the maintain/fold plumbing
-    * is unchanged. Single-writer per store, like every maintain
-    * loop. */
+    * domains, hosts) at the default `recomputeEveryBatches = 1`; for
+    * web-scale graphs set the cadence > 1: edges still land (and fold)
+    * on every batch, ranks refresh on every `recomputeEveryBatches`-th
+    * batch id (plus a bootstrap recompute if the first landing batch
+    * falls off the cadence), and the `batch_id` stamp on `ranks/`
+    * names the producing batch, so staleness between recompute
+    * triggers is observable. Single-writer per store, like every
+    * maintain loop. */
   def pageRankMaintainQuery(spark: SparkSession, graphDir: String,
                             transitions: DataFrame, checkpoint: String,
                             iters: Int = 10, damping: Double = 0.85,
-                            compactEveryBatches: Int = 64): StreamingQuery = {
-    require(compactEveryBatches == 0 || compactEveryBatches >= 3,
-      s"compactEveryBatches ($compactEveryBatches) must be 0 (off) or >= 3: " +
-        "the fold leaves base + current = 2 partitions, so a threshold of " +
-        "2 would rewrite the whole store on every batch")
+                            compactEveryBatches: Int = 64,
+                            recomputeEveryBatches: Int = 1): StreamingQuery = {
+    require(recomputeEveryBatches >= 1,
+      s"recomputeEveryBatches ($recomputeEveryBatches) must be >= 1")
     val edgesDir = s"$graphDir/edges"
     val ranksDir = s"$graphDir/ranks"
-    transitions
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // A zero-transition micro-batch (e.g. a quiet first trigger
-        // where every user has only one event so far) must not touch
-        // the store: the dynamic-overwrite write would leave edgesDir
-        // with no parquet files on the bootstrap trigger, and the
-        // maintainedEdges read below would then die on schema
-        // inference inside foreachBatch, killing the stream. Edges
-        // (and therefore ranks) are unchanged by an empty batch, so
-        // skipping the whole body is also the cheap path on replay.
-        if (!batch.isEmpty) {
-        graft.sources.BatchFold.recover(spark, edgesDir)
-        if (compactEveryBatches > 0 &&
-            graft.sources.BatchFold.batchDirCount(spark, edgesDir)
-              >= compactEveryBatches)
-          graft.operators.GraphOps.foldMaintainedEdges(spark, edgesDir, batchId)
-        batch.groupBy(col("src"), col("dst"))
-          .agg(count(lit(1)).cast("long").as("w"))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(edgesDir)
+    maintainLoop(spark, transitions, checkpoint, edgesDir, compactEveryBatches,
+      fold = (s, d, b) =>
+        { graft.operators.GraphOps.foldMaintainedEdges(s, d, b); () },
+      batchSlice = (batch, _) => batch.groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).cast("long").as("w")),
+      afterWrite = onCadence(ranksDir, recomputeEveryBatches) { (s, batchId) =>
         graft.operators.GraphOps
-          .pageRank(graft.operators.GraphOps.maintainedEdges(spark, edgesDir),
+          .pageRank(graft.operators.GraphOps.maintainedEdges(s, edgesDir),
             iters, damping)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(ranksDir)
-        }
-      }
-      .start()
+      })
   }
 
   /** Streaming maintenance of CONNECTED COMPONENTS — the graph
@@ -398,46 +455,36 @@ object Runner {
     * Per-trigger cost: `maxIters` dst-keyed shuffles over the CURRENT
     * edge totals (component diameter bounds the needed depth; the loop
     * early-stops when no label moves). Right for vocabulary-bounded
-    * graphs (token collocations, hosts, event types); web-scale graphs
-    * run the recompute on a cadence, plumbing unchanged. Single-writer
-    * per store, like every maintain loop. */
+    * graphs (token collocations, hosts, event types) at the default
+    * `recomputeEveryBatches = 1`; web-scale graphs set the cadence
+    * > 1 — edges land (and fold) every batch, labels refresh on every
+    * `recomputeEveryBatches`-th batch id (plus a bootstrap recompute
+    * if the first landing batch falls off the cadence), and the
+    * `batch_id` stamp on `labels/` names the producing batch.
+    * Single-writer per store, like every maintain loop. */
   def componentsMaintainQuery(spark: SparkSession, graphDir: String,
                               pairs: DataFrame, checkpoint: String,
                               maxIters: Int = 8,
-                              compactEveryBatches: Int = 64): StreamingQuery = {
+                              compactEveryBatches: Int = 64,
+                              recomputeEveryBatches: Int = 1): StreamingQuery = {
     require(maxIters >= 1)
-    require(compactEveryBatches == 0 || compactEveryBatches >= 3,
-      s"compactEveryBatches ($compactEveryBatches) must be 0 (off) or >= 3: " +
-        "the fold leaves base + current = 2 partitions, so a threshold of " +
-        "2 would rewrite the whole store on every batch")
+    require(recomputeEveryBatches >= 1,
+      s"recomputeEveryBatches ($recomputeEveryBatches) must be >= 1")
     val edgesDir = s"$graphDir/edges"
     val labelsDir = s"$graphDir/labels"
-    pairs
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.sources.BatchFold.recover(spark, edgesDir)
-          if (compactEveryBatches > 0 &&
-              graft.sources.BatchFold.batchDirCount(spark, edgesDir)
-                >= compactEveryBatches)
-            graft.operators.GraphOps.foldMaintainedEdges(spark, edgesDir, batchId)
-          batch.groupBy(col("src"), col("dst"))
-            .agg(count(lit(1)).cast("long").as("w"))
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(edgesDir)
-          graft.operators.GraphOps
-            .minLabelComponents(
-              graft.operators.GraphOps.maintainedEdges(spark, edgesDir),
-              maxIters)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite").parquet(labelsDir)
-        }
-      }
-      .start()
+    maintainLoop(spark, pairs, checkpoint, edgesDir, compactEveryBatches,
+      fold = (s, d, b) =>
+        { graft.operators.GraphOps.foldMaintainedEdges(s, d, b); () },
+      batchSlice = (batch, _) => batch.groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).cast("long").as("w")),
+      afterWrite = onCadence(labelsDir, recomputeEveryBatches) { (s, batchId) =>
+        graft.operators.GraphOps
+          .minLabelComponents(
+            graft.operators.GraphOps.maintainedEdges(s, edgesDir),
+            maxIters)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(labelsDir)
+      })
   }
 
   /** Streaming maintenance of an at-rest COUNT-MIN SKETCH store — the
@@ -467,30 +514,12 @@ object Runner {
     // and die only at runtime inside foreachBatch (pmod by 0), leaving
     // an unusable store behind (ADVICE r16)
     require(depth >= 1 && width >= 1, s"degenerate CMS: $depth x $width")
-    require(compactEveryBatches == 0 || compactEveryBatches >= 3,
-      s"compactEveryBatches ($compactEveryBatches) must be 0 (off) or >= 3: " +
-        "the fold leaves base + current = 2 partitions, so a threshold of " +
-        "2 would rewrite the whole store on every batch")
-    docs
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.operators.TextOps.ensureCmsMeta(cmsDir, depth, width)
-          graft.sources.BatchFold.recover(spark, cmsDir)
-          if (compactEveryBatches > 0 &&
-              graft.sources.BatchFold.batchDirCount(spark, cmsDir)
-                >= compactEveryBatches)
-            graft.operators.TextOps.foldMaintainedCms(spark, cmsDir, batchId)
-          graft.operators.TextOps.cmsSketchOn(batch, depth, width)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id").parquet(cmsDir)
-        }
-      }
-      .start()
+    maintainLoop(spark, docs, checkpoint, cmsDir, compactEveryBatches,
+      fold = (s, d, b) =>
+        { graft.operators.TextOps.foldMaintainedCms(s, d, b); () },
+      batchSlice = (batch, _) =>
+        graft.operators.TextOps.cmsSketchOn(batch, depth, width),
+      prepare = _ => graft.operators.TextOps.ensureCmsMeta(cmsDir, depth, width))
   }
 
   /** Streaming maintenance of a SHARDED HNSW index — the graph

@@ -191,29 +191,45 @@ object Topology {
     *    parity violation (measured r17 run 3: wide:0 at 5 986 ms with
     *    a 2 400 ms steady median — the recurring r16 singleton, now
     *    named).
-    *  - CORRELATED, two signatures: (a) non-first breaches present in
-    *    ≥ 2 DISTINCT stages — section-wide sustained load (measured
-    *    r17 run 9: router+wide+agg all breached while the load
-    *    inflated every stage's own median, so pairwise evidence
-    *    self-defeats; a single-stage code regression cannot breach the
-    *    OTHER stages' budgets); or (b) a single breaching stage where
-    *    some OTHER stage's non-first trigger whose wall-clock interval
-    *    OVERLAPS the breach ran > 2× that stage's own median — the
-    *    shorter capacity blip (measured r17 run 2: a ~20 s window ran
-    *    2–8× median across all stages, bracketed by quiet anchors).
-    *    Overlap is by time, not batch id: the stages' batch counters
-    *    drift (r17 run 6's drain tail ran wide batch 12 concurrently
-    *    with agg batch 9).
+    *  - CORRELATED, two signatures: (a) the breach belongs to a
+    *    TIME-CLUSTER of non-first breaches spanning ≥ 2 DISTINCT
+    *    stages — section-wide sustained load (measured r17 run 9:
+    *    router+wide+agg all breached while the load inflated every
+    *    stage's own median, so pairwise evidence self-defeats; a
+    *    single-stage code regression cannot breach the OTHER stages'
+    *    budgets). Clusters are the connected components of the
+    *    non-first breaches under wall-clock NEARNESS — intervals
+    *    overlapping or within one trigger budget of each other,
+    *    transitively, so a sustained-load window whose per-stage
+    *    breaches are sparse still chains into one cluster — and the
+    *    ≥ 2-stage requirement is therefore temporally gated (ADVICE
+    *    r17): two independent single-stage regressions minutes apart
+    *    sit in separate single-stage clusters and can no longer
+    *    launder each other out of `isolated`. Or (b) a single-stage
+    *    cluster where some OTHER stage's non-first trigger whose
+    *    wall-clock interval OVERLAPS the breach ran > 2× that stage's
+    *    own median — the shorter capacity blip (measured r17 run 2: a
+    *    ~20 s window ran 2–8× median across all stages, bracketed by
+    *    quiet anchors). Overlap is by time, not batch id: the stages'
+    *    batch counters drift (r17 run 6's drain tail ran wide batch 12
+    *    concurrently with agg batch 9).
     *  - ISOLATED: everything else — ONE stage over budget while its
     *    concurrent neighbors sit at their medians. THIS is the class
     *    that means a code regression; the others are
     *    environment/bootstrap. (Limitation, documented: an
     *    infrastructure regression slowing ≥ 2 stages past the budget
-    *    each would read correlated — but such a change also moves the
-    *    mean/max parity fields and the round-over-round comparison,
-    *    which is where a cross-cutting regression is caught.)
+    *    INSIDE one time window still reads correlated — but such a
+    *    change also moves the mean/max parity fields and the
+    *    round-over-round comparison, which is where a cross-cutting
+    *    regression is caught.)
     *
-    * `obs` rows are (stage, batchId, startEpochMs, durationMs). */
+    * `obs` rows are (stage, batchId, startEpochMs, durationMs); a
+    * startEpochMs < 0 means the progress timestamp did not parse
+    * (ADVICE r17) — such rows keep their durations in the medians but
+    * carry no wall-clock position, so they never serve as nearness or
+    * overlap EVIDENCE, and an unparseable breach itself falls back to
+    * the non-temporal ≥ 2-breached-stages rule rather than reading
+    * falsely isolated. */
   def classifyOverBudget(obs: Seq[(String, Long, Long, Long)],
                          budgetMs: Long): (Int, Int, Int) = {
     if (obs.isEmpty) return (0, 0, 0)
@@ -221,22 +237,45 @@ object Topology {
     val byStage = obs.groupBy(_._1)
     val med = byStage.map { case (st, v) => st -> median(v.map(_._4)) }
     val first = byStage.map { case (st, v) => st -> v.map(_._2).min }
-    // stages with a NON-FIRST breach (bootstraps never count toward
-    // the section-wide-load breadth signal)
+    // the section-wide-load evidence pool: NON-FIRST breaches
+    // (bootstraps never count) with a usable wall-clock position
+    val pool = obs.filter { case (st, bid, t0, dur) =>
+      dur > budgetMs && bid != first(st) && t0 >= 0 }.toIndexedSeq
+    def near(a: (String, Long, Long, Long), b: (String, Long, Long, Long)): Boolean =
+      a._3 < b._3 + b._4 + budgetMs && b._3 < a._3 + a._4 + budgetMs
+    // connected components of the pool under nearness (ledgers are
+    // tiny — label propagation to a fixed point is fine)
+    val cluster = Array.tabulate(pool.size)(identity)
+    var moved = true
+    while (moved) {
+      moved = false
+      for (i <- pool.indices; j <- pool.indices
+           if cluster(i) != cluster(j) && near(pool(i), pool(j))) {
+        val m = math.min(cluster(i), cluster(j))
+        cluster(i) = m; cluster(j) = m; moved = true
+      }
+    }
+    val clusterStages = pool.indices.groupBy(cluster)
+      .map { case (c, is) => c -> is.map(pool(_)._1).distinct.size }
+    val poolIdx = pool.zipWithIndex.toMap
+    // the pre-temporal-gate breadth count, kept ONLY as the fallback
+    // for breaches with no wall-clock position
     val breachedStages = obs.collect {
       case (st, bid, _, dur) if dur > budgetMs && bid != first(st) => st
     }.distinct.size
     var (nBoot, nCorr, nIso) = (0, 0, 0)
-    obs.filter(_._4 > budgetMs).foreach { case (st, bid, t0, dur) =>
+    obs.filter(_._4 > budgetMs).foreach { case o @ (st, bid, t0, dur) =>
       if (bid == first(st)) nBoot += 1
-      else if (breachedStages >= 2) nCorr += 1 // section-wide sustained load
       else {
-        val corr = obs.exists { case (st2, bid2, t2, ms2) =>
-          st2 != st && bid2 != first(st2) &&
+        val breadth =
+          if (t0 >= 0) poolIdx.get(o).exists(i => clusterStages(cluster(i)) >= 2)
+          else breachedStages >= 2 // no wall-clock position: non-temporal rule
+        val blip = t0 >= 0 && obs.exists { case (st2, bid2, t2, ms2) =>
+          st2 != st && bid2 != first(st2) && t2 >= 0 &&
             t2 < t0 + dur && t2 + ms2 > t0 && // wall-clock overlap
             ms2 > 2 * med(st2)
         }
-        if (corr) nCorr += 1 else nIso += 1
+        if (breadth || blip) nCorr += 1 else nIso += 1
       }
     }
     (nBoot, nCorr, nIso)
@@ -297,8 +336,12 @@ object Topology {
         "agg" -> chain.agg).flatMap { case (stage, q) =>
       q.recentProgress.toSeq.filter(_.numInputRows > 0)
         .flatMap { p =>
+          // -1 = unparseable (ADVICE r17): a 0 here would be a LEGAL
+          // epoch and silently corrupt classifyOverBudget's wall-clock
+          // tests; the sentinel keeps the duration in the ms stats
+          // while excluding the row from overlap/nearness evidence
           val start = try java.time.Instant.parse(p.timestamp).toEpochMilli
-                      catch { case _: Throwable => 0L }
+                      catch { case _: Throwable => -1L }
           Option(p.durationMs.get("triggerExecution"))
             .map(ms => (stage, p.batchId, start, ms.toLong))
         }

@@ -10,10 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * never its own victim. Exercised directly against the cache (no
   * Spark) inside `withBudget(10)` scopes — the try/finally helper that
   * is the ONLY runtime access to the budget: it restores the default
-  * and clears residency on exit, and REFUSES a concurrent scope loudly,
-  * so a parallel-suite run can race neither the budget nor the
-  * loadCount-pinned serve assertions (the r16 verdict's ask — no more
-  * public mutable state on the production singleton). */
+  * and clears residency on exit, and REFUSES a concurrent scope loudly
+  * (the r16 verdict's ask — no more public mutable state on the
+  * production singleton). The refusal guards scopes against each other
+  * only: an out-of-scope serve in a concurrently running suite would
+  * still see the scoped budget, so these assertions also lean on the
+  * build running suites serialized (`Test/fork := true` with sbt's
+  * default `testForkedParallel := false` — ADVICE r17). */
 class ShardGraphCacheSpec extends AnyFunSuite {
 
   private def graph(n: Int): Hnsw.Graph = {

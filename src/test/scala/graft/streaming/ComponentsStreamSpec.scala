@@ -60,6 +60,58 @@ class ComponentsStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("recompute cadence (r17 verdict Next #1): labels refresh only on " +
+      "cadence batch ids, equal to the batch operator AT recompute " +
+      "triggers, unchanged between them, and replay keeps the decision") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val edges = GraphOps.bigramEdges(spark, sf)
+      .as[(String, String)].collect().sorted
+    val chunks = (0 until 4).map(i =>
+      edges.slice(i * edges.length / 4, (i + 1) * edges.length / 4).toSeq)
+    assert(chunks.forall(_.nonEmpty))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val graphDir = java.nio.file.Files.createTempDirectory("graft-ccm3").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ccm3-ck").toString
+    val q = Runner.componentsMaintainQuery(spark, graphDir,
+      mem.toDS().toDF("src", "dst"), ckpt, recomputeEveryBatches = 2)
+    def labels() = spark.read.parquet(s"$graphDir/labels")
+    // every recompute overwrites labels/ whole, stamped with ONE
+    // producing batch id — the staleness-observability contract
+    def stamp(): Long = {
+      val ids = labels().select(col("batch_id")).distinct().collect()
+        .map(_.getLong(0))
+      assert(ids.length === 1); ids.head
+    }
+    def batchOver(k: Int) = canon(GraphOps.minLabelComponents(
+      chunks.take(k).flatten.toDF("src", "dst"), maxIters = 8))
+    try {
+      mem.addData(chunks(0)); q.processAllAvailable()
+      assert(stamp() === 0L) // batch 0 is on the cadence
+      assert(canon(labels().select(col("node"), col("label"))) === batchOver(1))
+      mem.addData(chunks(1)); q.processAllAvailable()
+      // batch 1 falls OFF the cadence: edges landed, labels did not move
+      assert(stamp() === 0L)
+      assert(canon(labels().select(col("node"), col("label"))) === batchOver(1))
+      mem.addData(chunks(2)); q.processAllAvailable()
+      // batch 2 recomputes — labels equal the batch operator over
+      // EVERYTHING landed so far, including the off-cadence batch 1
+      assert(stamp() === 2L)
+      assert(canon(labels().select(col("node"), col("label"))) === batchOver(3))
+      mem.addData(chunks(3)); q.processAllAvailable()
+      assert(stamp() === 2L)
+      assert(canon(labels().select(col("node"), col("label"))) === batchOver(3))
+      // re-delivery arrives as batch 4, ON the cadence: the recompute
+      // runs over the full store, and duplicate pairs move counts but
+      // never a label — full-corpus q37 exactly
+      mem.addData(chunks(1)); q.processAllAvailable()
+      assert(stamp() === 4L)
+      assert(canon(labels().select(col("node"), col("label")))
+        === canon(GraphOps.tokenComponents(spark, sf)))
+    } finally q.stop()
+  }
+
   test("empty bootstrap trigger writes nothing (the pageRank loop's guard)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -66,6 +66,54 @@ class PageRankStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("recompute cadence (r17 verdict Next #1): ranks refresh only on " +
+      "cadence batch ids and equal batch q36 at the final on-cadence " +
+      "trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+      .sortBy(r => (r._2.getTime, r._3))
+    // 5 in-order chunks with cadence 2: recomputes at batch ids 0, 2, 4
+    val chunks = (0 until 5).map(i =>
+      all.slice(i * all.length / 5, (i + 1) * all.length / 5).toSeq)
+    assert(chunks.forall(_.nonEmpty))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, java.sql.Timestamp, Long, String)]
+    val graphDir = java.nio.file.Files.createTempDirectory("graft-prm3").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-prm3-ck").toString
+    val q = Runner.pageRankMaintainQuery(spark, graphDir,
+      Pipelines.transitionStream(
+        mem.toDF().toDF("user_id", "ts", "event_id", "event_type")).toDF(),
+      ckpt, recomputeEveryBatches = 2)
+    def ranks() = spark.read.parquet(s"$graphDir/ranks")
+    def stamp(): Long = {
+      val ids = ranks().select(col("batch_id")).distinct().collect()
+        .map(_.getLong(0))
+      assert(ids.length === 1); ids.head
+    }
+    try {
+      mem.addData(chunks(0)); q.processAllAvailable()
+      assert(stamp() === 0L)
+      mem.addData(chunks(1)); q.processAllAvailable()
+      // batch 1 off the cadence: edges landed, ranks did not move
+      assert(stamp() === 0L)
+      mem.addData(chunks(2)); q.processAllAvailable()
+      assert(stamp() === 2L)
+      val atBatch2 = canon(ranks())
+      mem.addData(chunks(3)); q.processAllAvailable()
+      // off-cadence again: byte-stable ranks, stale-but-stamped
+      assert(stamp() === 2L)
+      assert(canon(ranks()) === atBatch2)
+      mem.addData(chunks(4)); q.processAllAvailable()
+      // final chunk lands ON the cadence: ranks equal batch q36 over
+      // the whole corpus
+      assert(stamp() === 4L)
+      assert(canon(ranks()) === canon(GraphOps.eventPageRank(spark, sf)))
+    } finally q.stop()
+  }
+
   test("same-millisecond events order by their microseconds (ADVICE r15 medium)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

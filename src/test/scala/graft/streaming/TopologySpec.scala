@@ -143,6 +143,56 @@ class TopologySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(boot === 0 && corr === 10)
   }
 
+  test("classifyOverBudget: two single-stage breaches in DIFFERENT stages " +
+      "far apart in time are BOTH isolated — the breadth rule is " +
+      "temporally gated (ADVICE r17), so independent regressions no " +
+      "longer launder each other") {
+    val wide = steady("wide", n = 20, ms = 2300).map {
+      case (s, b, t, _) if b == 2 => (s, b, t, 7000L)
+      case t => t
+    }
+    val router = steady("router", n = 20).map {
+      case (s, b, t, _) if b == 15 => (s, b, t, 8000L)
+      case t => t
+    }
+    // wide:2 ends at 17 s, router:15 starts at 75 s — 58 s apart, no
+    // shared time-cluster; each breach's concurrent neighbors sit at
+    // their medians, so BOTH must surface as stage regressions
+    assert(Topology.classifyOverBudget(
+      wide ++ router ++ steady("agg", n = 20), 5000L) === ((0, 0, 2)))
+    // ...while the SAME two breaches moved adjacent in time chain into
+    // one >=2-stage cluster and read correlated (the sustained-load
+    // signature the gate must keep)
+    val routerNear = steady("router", n = 20).map {
+      case (s, b, t, _) if b == 3 => (s, b, t, 8000L)
+      case t => t
+    }
+    assert(Topology.classifyOverBudget(
+      wide ++ routerNear ++ steady("agg", n = 20), 5000L) === ((0, 2, 0)))
+  }
+
+  test("classifyOverBudget: an unparseable start (start < 0) is excluded " +
+      "from temporal evidence and falls back to the non-temporal breadth " +
+      "rule for itself (ADVICE r17)") {
+    // alone: a no-position breach with quiet neighbors stays ISOLATED
+    val wideLone = steady("wide", ms = 2300).map {
+      case (s, b, _, _) if b == 7 => (s, b, -1L, 7000L)
+      case t => t
+    }
+    assert(Topology.classifyOverBudget(
+      wideLone ++ steady("router") ++ steady("agg"), 5000L) === ((0, 0, 1)))
+    // with a second breached stage anywhere: no temporal info, so the
+    // no-position breach takes the pre-gate breadth rule (correlated)
+    // while the POSITIONED far-apart breach still reads isolated — and
+    // the -1 row never serves as that breach's overlap evidence
+    val router = steady("router", n = 20).map {
+      case (s, b, t, _) if b == 15 => (s, b, t, 8000L)
+      case t => t
+    }
+    assert(Topology.classifyOverBudget(
+      wideLone ++ router ++ steady("agg"), 5000L) === ((0, 1, 1)))
+  }
+
   test("classifyOverBudget: empty ledger and under-budget ledgers " +
       "classify to zero everywhere") {
     assert(Topology.classifyOverBudget(Nil, 5000L) === ((0, 0, 0)))
