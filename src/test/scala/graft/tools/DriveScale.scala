@@ -123,9 +123,12 @@ object DriveScale {
     // min-label recompute converges in 2 iterations and the rung
     // prices the LOOP shape (edge landing + fold + recompute joins),
     // not an adversarial diameter
+    // `/` on columns is DOUBLE division — cast to long for the floor,
+    // or every edge mints its own center and the stars degrade to pairs
     def starEdges(nEdges: Long, compSize: Long = 100L): DataFrame =
       spark.range(nEdges).select(
-        concat(lit("c"), (col("id") / compSize).cast("string")).as("src"),
+        concat(lit("c"),
+          (col("id") / compSize).cast("long").cast("string")).as("src"),
         concat(lit("n"), col("id").cast("string")).as("dst"))
 
     def dirBytes(dir: String): Long = {
