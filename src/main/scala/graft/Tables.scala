@@ -14,8 +14,76 @@ import org.apache.spark.sql.functions._
   * (max order ~5e7 cents × 1e9 rows still < 2^63 when summed as Long).
   */
 object Tables {
+  /** (total bytes, file count) per path, memoized — one FileSystem
+    * listing per table per JVM; load() is called by every builder. */
+  private val scanStats = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** Below this input size the fan-out is skipped outright: tiny dim
+    * tables (nation/region/supplier) are broadcast-join sides whose
+    * scans finish in ms — an exchange would be pure per-query stage
+    * overhead. Override with -Dgraft.fanout.minBytes=N (0 disables the
+    * floor, Long.MaxValue disables fan-out entirely). */
+  private val fanOutMinBytes: Long =
+    java.lang.Long.getLong("graft.fanout.minBytes", 256L << 10)
+
+  /** Fan a small scan out to the session's parallelism — applied by the
+    * MEASURED map-heavy operators only (gram-explode text family, pHash
+    * encode, ADC mining), never blanket: the gate corpus ships each
+    * table as ONE single-row-group parquet file, so every map-side
+    * stage downstream otherwise runs as ONE task regardless of core
+    * count — parquet cannot split inside a row group, and
+    * `maxPartitionBytes` never sees a second split for a small file
+    * (opt guide §2.5 "input skew: one huge unsplittable file", §6
+    * input split sizing). A blanket fan-out in load() was measured a
+    * NET LOSS: the exchange + AQE stage barrier costs ~0.2-0.9 s per
+    * query, which only per-row-CPU-heavy pipelines amortize (bench A/B
+    * r18: t30 ×1.7, t31 ×2.4, m3 ×2.4, v13 ×1.9 faster — but q1/q20/
+    * q24/v2/v4/v8 each ~0.2-0.9 s slower), so the heavy operators opt
+    * in at their corpus read.
+    *
+    * Mechanics: the decision is pure file-metadata arithmetic (no
+    * probe job): estimated scan splits = max(file count, bytes /
+    * maxPartitionBytes); a scan that already yields >=
+    * defaultParallelism splits — any real multi-file corpus, and
+    * anything at production scale — is returned untouched, so the
+    * fan-out is scale-adaptive, not a local-mode constant. The
+    * exchange hash-partitions on the table's primary id (round-robin
+    * repartition(n) pays a sortBeforeRepartition local sort over the
+    * whole single input partition — measured as most of the exchange
+    * cost); filters and column pruning push through it, so scan
+    * pushdown is unaffected (plan-checked in plans/r18). */
+  private def fanOut(spark: SparkSession, df: DataFrame, path: String,
+                     key: String): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    val (bytes, files) = scanStats.computeIfAbsent(path, p => {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(hp, true)
+      var b = 0L; var n = 0L
+      while (it.hasNext) { val f = it.next(); b += f.getLen; n += 1 }
+      (b, n)
+    })
+    val maxSplit = math.max(1L,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+    val estSplits = math.max(files, (bytes + maxSplit - 1) / maxSplit)
+    if (bytes < fanOutMinBytes || estSplits >= target) df
+    else df.repartition(target, col(key))
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** [[documents]] fanned out to the cluster ([[fanOut]]) — the corpus
+    * read for the gram-explode operators whose per-row tokenize/hash
+    * work dominates their runtime. */
+  def documentsFanned(spark: SparkSession, dir: String): DataFrame =
+    fanOut(spark, documents(spark, dir), s"$dir/documents.parquet", "doc_id")
+
+  /** [[embeddings]] fanned out to the cluster ([[fanOut]]) — the
+    * corpus read for the mining-shaped ANN paths (per-query ADC lookup
+    * tables / PQ encodes are the heavy map work). */
+  def embeddingsFanned(spark: SparkSession, dir: String): DataFrame =
+    fanOut(spark, embeddings(spark, dir), s"$dir/embeddings.parquet", "vec_id")
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

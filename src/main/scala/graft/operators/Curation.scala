@@ -197,7 +197,14 @@ object Curation {
       .filter(!col("contaminated")).select(col("doc_id"))
     val classified = TextOps.nbQuality(spark, dir)
       .filter(col("keep")).select(col("doc_id"))
-    Tables.documents(spark, dir)
+    // the TEXT-carrying side, fanned (Tables.fanOut): the decision
+    // semi-joins broadcast, so without the fan-out the survivors keep
+    // the scan's single partition and the map-heavy tail (d16 span
+    // rewrite + t30 DSIR scoring both tokenize this relation) runs
+    // serial; the id-only decision sides above stay on plain scans —
+    // fanning THEM was measured a loss (per-stage exchange overhead,
+    // OPTIMIZATION_r18 Finding 1)
+    Tables.documentsFanned(spark, dir)
       .join(quality, Seq("doc_id"), "left_semi")
       .join(survivors, Seq("doc_id"), "left_semi")
       .join(clean, Seq("doc_id"), "left_semi")

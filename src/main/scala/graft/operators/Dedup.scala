@@ -27,7 +27,7 @@ object Dedup {
     * TextOps.tokenWindows over a materialized token array (see its note
     * on lambda-body re-evaluation). */
   private def docShingles(spark: SparkSession, dir: String, k: Int = 3) =
-    Tables.documents(spark, dir)
+    Tables.documentsFanned(spark, dir) // 64-perm md5 per doc: map-heavy (Tables.fanOut)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         array_distinct(tokenWindows(col("toks"), k, 1)).as("shingles"))
@@ -597,7 +597,7 @@ object Dedup {
     * (d11_exact_substring_dial2) via the parameterized oracle builder
     * `exactSubstringSql`. */
   def exactSubstring(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
-    exactSubstringOn(Tables.documents(spark, dir), k)
+    exactSubstringOn(Tables.documentsFanned(spark, dir), k)
 
   /** [[exactSubstring]] over any (doc_id, text) frame. */
   def exactSubstringOn(docs: DataFrame, k: Int): DataFrame = {
@@ -644,7 +644,7 @@ object Dedup {
     * The DuckDB oracle hard-codes the default `k = 8`; non-default
     * invocations are NOT gate-checked. */
   def spanDedup(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
-    spanDedupOn(Tables.documents(spark, dir), k)
+    spanDedupOn(Tables.documentsFanned(spark, dir), k)
 
   /** [[spanDedup]] over any (doc_id, text) frame. */
   def spanDedupOn(docs: DataFrame, k: Int): DataFrame = {
@@ -795,7 +795,7 @@ object Dedup {
       .select(col("source")).distinct()
       .agg(count(lit(1)).as("n_sources"))
     val grams = ScratchCache.arm( // feeds sizes + both sides of the self-join
-      Tables.documents(spark, dir)
+      Tables.documentsFanned(spark, dir) // 3-gram explode: map-heavy (Tables.fanOut)
         .select(col("source"), tokens(col("text")).as("toks"))
         .select(col("source"),
           explode(array_distinct(tokenWindows(col("toks"), k, 1))).as("gram"))

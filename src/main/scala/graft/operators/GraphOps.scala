@@ -61,8 +61,58 @@ object GraphOps {
     * All arithmetic is plain double in the same association order as
     * the DuckDB oracle ((rank × w) / out_w; (1.0 − damping)/N), so
     * the engines agree to the final 6-dp rounding. */
-  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame =
-    pageRankLoop(edges, iters, damping, tol = 0.0)._1
+  def pageRank(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
+               driverMaxEdges: Int = defaultDriverMaxEdges): DataFrame =
+    pageRankLoop(edges, iters, damping, tol = 0.0, driverMaxEdges)._1
+
+  /** Edge bound under which the iterative loops run on the DRIVER
+    * (collect once, iterate in memory, ship the node-sized result
+    * back) instead of launching diameter-many distributed rounds — the
+    * d7 `componentsOf` union-find precedent applied to the fixed-point
+    * loops. The gate graphs are structurally bounded (q36: ≤ |event
+    * types|² transition edges; q37: the ≥ minCount collocation graph),
+    * and a distributed round costs 2 jobs + a shuffle + an eager
+    * checkpoint EACH — measured ~0.3 s/iteration of pure fixed cost on
+    * an 11-node graph while 31 cores idle (opt guide §5: the driver
+    * should do almost no data work — but node-bounded iteration on a
+    * collected SMALL graph is less driver work than scheduling 10×
+    * that many jobs). The collect is STRICTLY bounded
+    * (limit driverMaxEdges+1); oversized graphs fall through to the
+    * distributed loop unchanged. 0 forces the distributed path. */
+  val defaultDriverMaxEdges: Int = 100000
+
+  /** UTF-8 binary ordering for driver-side label minima — matches both
+    * Spark's `least`/`min` on StringType (UTF8String compares unsigned
+    * UTF-8 bytes) and DuckDB's binary collation; Java's
+    * String.compareTo compares UTF-16 chars, which DIVERGES on
+    * supplementary-plane text, so it must not be used here. */
+  private val utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
+  /** Ordering for a node column's runtime values, when the type has a
+    * driver-replicable one (None → caller stays distributed). */
+  private def nodeOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some(utf8Ordering.asInstanceOf[Ordering[Any]])
+      case LongType => Some(Ordering.Long.asInstanceOf[Ordering[Any]])
+      case IntegerType => Some(Ordering.Int.asInstanceOf[Ordering[Any]])
+      case ShortType => Some(Ordering.Short.asInstanceOf[Ordering[Any]])
+      case _ => None
+    }
+  }
 
   /** The production stop rule: iterate until max |Δrank| < `tol`
     * (checked on the UNROUNDED ranks), with `maxIters` as the backstop
@@ -75,14 +125,96 @@ object GraphOps {
     * fraction of the iteration that produced the ranks. */
   def pageRankConverged(edges: DataFrame, tol: Double = 1e-6,
                         maxIters: Int = 50,
-                        damping: Double = 0.85): (DataFrame, Int) = {
+                        damping: Double = 0.85,
+                        driverMaxEdges: Int = defaultDriverMaxEdges): (DataFrame, Int) = {
     require(tol > 0.0, s"tol ($tol) must be > 0; use pageRank for fixed iterations")
-    pageRankLoop(edges, maxIters, damping, tol)
+    pageRankLoop(edges, maxIters, damping, tol, driverMaxEdges)
   }
 
+  /** SMALL-GRAPH FAST PATH (see [[defaultDriverMaxEdges]]): the whole
+    * loop on the driver over a bounded collect, identical arithmetic
+    * to the distributed body ((rank × w) / out_w per edge, base +
+    * damping × Σ per node, coalesce-to-0 for contribution-less nodes;
+    * the Σ association order differs by partitioning in the
+    * distributed form too, so the cross-path noise is the same
+    * ≤ ulp-scale the cross-ENGINE oracle already tolerates at the 6-dp
+    * rounding). Returns None when the graph exceeds the bound or the
+    * node type has no local representation. */
+  private def pageRankDriver(edges: DataFrame, iters: Int, damping: Double,
+                             tol: Double, maxEdges: Int): Option[(DataFrame, Int)] = {
+    val spark = edges.sparkSession
+    val nodeType = edges.schema("src").dataType
+    // rank keys only need equality, but keep the supported-type set
+    // explicit and small (the components ordering set); anything
+    // exotic stays distributed
+    if (nodeOrdering(nodeType).isEmpty) return None
+    val sample = edges.filter(col("w") > 0)
+      .select(col("src"), col("dst"), col("w").cast("double").as("w"))
+      .limit(maxEdges + 1).collect()
+    if (sample.length > maxEdges) return None
+    import scala.collection.mutable
+    val outW = mutable.LinkedHashMap.empty[Any, Double]
+    val nodes = mutable.LinkedHashSet.empty[Any]
+    sample.foreach { r =>
+      val (s, d, w) = (r.get(0), r.get(1), r.getDouble(2))
+      outW.update(s, outW.getOrElse(s, 0.0) + w)
+      nodes += s; nodes += d
+    }
+    val n = nodes.size
+    if (n == 0) {
+      // no positive-weight edges → no nodes, the distributed loop's
+      // empty result with the same schema
+      return Some((emptyRanks(spark, nodeType), 0))
+    }
+    val base = (1.0 - damping) / n
+    var rank = nodes.iterator.map(_ -> 1.0 / n).to(mutable.LinkedHashMap)
+    var itersRun = 0
+    var converged = false
+    while (itersRun < iters && !converged) {
+      val contrib = mutable.HashMap.empty[Any, Double]
+      sample.foreach { r =>
+        val (s, d, w) = (r.get(0), r.get(1), r.getDouble(2))
+        contrib.update(d, contrib.getOrElse(d, 0.0) + rank(s) * w / outW(s))
+      }
+      var maxDelta = 0.0
+      val next = nodes.iterator.map { nd =>
+        val v = base + damping * contrib.getOrElse(nd, 0.0)
+        if (tol > 0.0) maxDelta = math.max(maxDelta, math.abs(v - rank(nd)))
+        nd -> v
+      }.to(mutable.LinkedHashMap)
+      rank = next
+      itersRun += 1
+      if (tol > 0.0) converged = maxDelta < tol
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(nodes.iterator.map(nd =>
+        org.apache.spark.sql.Row(nd,
+          BigDecimal(rank(nd)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)).toSeq: _*)
+    Some((spark.createDataFrame(rows, ranksSchema(nodeType)), itersRun))
+  }
+
+  private def ranksSchema(nodeType: org.apache.spark.sql.types.DataType) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("pr",
+        org.apache.spark.sql.types.DoubleType)))
+
+  private def emptyRanks(spark: SparkSession,
+                         nodeType: org.apache.spark.sql.types.DataType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      ranksSchema(nodeType))
+
   private def pageRankLoop(edges: DataFrame, iters: Int, damping: Double,
-                           tol: Double): (DataFrame, Int) = {
+                           tol: Double,
+                           driverMaxEdges: Int = defaultDriverMaxEdges): (DataFrame, Int) = {
     require(iters >= 1 && damping > 0.0 && damping < 1.0)
+    if (driverMaxEdges > 0) {
+      pageRankDriver(edges, iters, damping, tol, driverMaxEdges) match {
+        case Some(r) => return r
+        case None => () // oversized or exotic node type: distributed
+      }
+    }
     // Loop scratch is persisted MANUALLY, not via ScratchCache.arm: the
     // in-loop materializations are actions, and the arm sweep would
     // unpersist the edge relation right after iteration 1 read it.
@@ -203,8 +335,67 @@ object GraphOps {
     * memory runs fine. Iterations needed = component diameter (the
     * classic min-label bound); at web scale the large-star/small-star
     * optimization would cut that — out of scope, documented. */
-  def minLabelComponents(pairs: DataFrame, maxIters: Int = 8): DataFrame = {
+  def minLabelComponents(pairs: DataFrame, maxIters: Int = 8,
+                         driverMaxEdges: Int = defaultDriverMaxEdges): DataFrame = {
     require(maxIters >= 1)
+    // SMALL-GRAPH FAST PATH (see defaultDriverMaxEdges): the bounded-hop
+    // min-label propagation on the driver — NOT union-find (d7's exact
+    // fixpoint): the contract here is "minimum label reachable within
+    // maxIters hops", so the driver replays the same per-iteration
+    // simultaneous update (label ← min(label, min over neighbors of
+    // their PREVIOUS label)) with the same early stop (an unchanged
+    // iteration is a fixpoint in both engines). String minima use
+    // UTF-8 binary order (what Spark's `least` and DuckDB's binary
+    // collation both compute). Bounded collect; oversized graphs fall
+    // through unchanged; driverMaxEdges=0 forces the distributed path.
+    if (driverMaxEdges > 0) {
+      val nodeType = pairs.schema("src").dataType
+      nodeOrdering(nodeType) match {
+        case Some(ord) =>
+          val sample = pairs.select(col("src"), col("dst"))
+            .limit(driverMaxEdges + 1).collect()
+          if (sample.length <= driverMaxEdges) {
+            import scala.collection.mutable
+            // symmetrized, deduplicated adjacency (the distributed
+            // union+distinct), insertion-ordered for determinism
+            val adj = mutable.LinkedHashMap.empty[Any, mutable.LinkedHashSet[Any]]
+            def addEdge(s: Any, d: Any): Unit =
+              adj.getOrElseUpdate(s, mutable.LinkedHashSet.empty[Any]) += d
+            sample.foreach { r =>
+              val (s, d) = (r.get(0), r.get(1))
+              addEdge(s, d); addEdge(d, s)
+            }
+            var label = adj.keysIterator.map(n => n -> n).to(mutable.LinkedHashMap)
+            var itersRun = 0
+            var converged = false
+            while (itersRun < maxIters && !converged) {
+              var changed = false
+              val next = adj.iterator.map { case (n, nbrs) =>
+                // neighbor minimum over the PREVIOUS generation — the
+                // distributed loop's simultaneous update
+                var m = label(n)
+                nbrs.foreach { s =>
+                  val l = label(s)
+                  if (ord.lt(l, m)) m = l
+                }
+                if (m != label(n)) changed = true
+                n -> m
+              }.to(mutable.LinkedHashMap)
+              label = next
+              converged = !changed
+              itersRun += 1
+            }
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("node", nodeType),
+              org.apache.spark.sql.types.StructField("label", nodeType)))
+            val rows: java.util.List[org.apache.spark.sql.Row] =
+              java.util.Arrays.asList(adj.keysIterator.map(n =>
+                org.apache.spark.sql.Row(n, label(n))).toSeq: _*)
+            return pairs.sparkSession.createDataFrame(rows, schema)
+          }
+        case None => () // exotic node type: distributed
+      }
+    }
     val sl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ed = pairs.select(col("src"), col("dst"))
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))

@@ -64,7 +64,7 @@ object Multimodal {
     * `spark.read.format("binaryFile")` at deployment. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(
+    Tables.documentsFanned(spark, dir).select( // stub decode: map-heavy
       col("doc_id").as("media_id"),
       struct(
         element_at(array(lit("image"), lit("audio"), lit("video")),

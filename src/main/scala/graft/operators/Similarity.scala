@@ -492,7 +492,14 @@ object Similarity {
         enc.join(Tables.embeddings(spark, dir)
           .select(col("vec_id"), col("embedding")), "vec_id")
       else enc
-    rows.write.mode("overwrite").partitionBy("cid").parquet(out)
+    // one shuffle so each cid partition lands as ONE file (the dedup
+    // index's layout rule): partitionBy alone writes one file per
+    // (task × touched cell) — the build previously landed single-file
+    // cells only because the single-row-group corpus scanned as one
+    // task; with fan-in-parallel encodes that would be tasks × cells
+    // sliver files, the small-file serve cost guide §6 warns about
+    rows.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(out)
     writeAnnMeta(out, family, nClusters, iters, m, nCodes)
   }
 
@@ -826,7 +833,7 @@ object Similarity {
   def annIvfSq8(spark: SparkSession, dir: String, nQueries: Int = 10,
                 k: Int = 5, nClusters: Int = 16, iters: Int = 2,
                 nprobe: Int = 4, rerank: Int = 16): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.embeddingsFanned(spark, dir) // per-row sq8 encode: map-heavy
     val cents = centsFor(spark, dir, nClusters, iters, trainFraction = 1.0)
     val index = withSq8(emb, "embedding")
       .select(col("vec_id"), assignCol(cents, col("embedding")).as("cid"),
@@ -900,7 +907,7 @@ object Similarity {
   def annIvfBq(spark: SparkSession, dir: String, nQueries: Int = 10,
                k: Int = 5, nClusters: Int = 16, iters: Int = 2,
                nprobe: Int = 4, rerank: Int = 64): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.embeddingsFanned(spark, dir) // per-row bq encode: map-heavy
     val dim = embDim(emb)
     require(dim <= 64, s"binary code packs into one long; dim ($dim) > 64")
     val cents = centsFor(spark, dir, nClusters, iters, trainFraction = 1.0)
@@ -1133,7 +1140,7 @@ object Similarity {
   /** Embedding-cosine near-dup pairs above a threshold. Exact at test SF
     * via block-nested join through LSH buckets; pairs output. */
   def nearDupPairs(spark: SparkSession, dir: String, minCos: Double = 0.4): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.embeddingsFanned(spark, dir) // all-pairs cosine map side
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -1155,7 +1162,7 @@ object Similarity {
     * near-complete recall. */
   def nearDupLsh(spark: SparkSession, dir: String, minCos: Double = 0.4,
                  nPlanes: Int = 6, tables: Int = 8): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.embeddingsFanned(spark, dir) // tables x signature map work
     val dim = embDim(emb)
     // persist ONLY the scalar (vec_id, tbl, bucket) index — persisting
     // the exploded relation with its embedding arrays would cache
@@ -1306,7 +1313,7 @@ object Similarity {
   def bitextMargin(spark: SparkSession, dir: String, k: Int = 4,
                    minMargin: Double = 1.0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.embeddingsFanned(spark, dir) // all-pairs cosine map side
     val src = emb.filter(col("vec_id") % 2 === 0)
       .select(col("vec_id").as("src_id"), col("embedding").as("src_emb"))
     val tgt = emb.filter(col("vec_id") % 2 === 1)
@@ -1492,7 +1499,7 @@ object Similarity {
                nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4,
                m: Int = 4, nCodes: Int = 16, rerank: Int = 64): DataFrame = {
     require(k >= 1 && rerank >= k, s"need 1 <= k <= rerank, got k=$k rerank=$rerank")
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.embeddingsFanned(spark, dir) // per-query ADC LUTs: map-heavy
     val dim = embDim(emb)
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
     val subDim = dim / m
@@ -1538,7 +1545,7 @@ object Similarity {
     val (family, nClusters, iters, m, nCodes) = readAnnMeta(indexPath)
     require(family == "pq",
       s"knnGraphServe mines from a pq index (ADC lookup tables); got '$family'")
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.embeddingsFanned(spark, dir) // per-query ADC LUTs: map-heavy
     val dim = embDim(emb)
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
     val subDim = dim / m
@@ -1584,7 +1591,7 @@ object Similarity {
                       m: Int = 4, nCodes: Int = 16, rerank: Int = 64): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.embeddingsFanned(spark, dir) // per-query ADC LUTs: map-heavy
     val dim = embDim(emb)
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
     val subDim = dim / m
@@ -1625,7 +1632,7 @@ object Similarity {
     val (family, nClusters, iters, m, nCodes) = readAnnMeta(indexPath)
     require(family == "pq",
       s"bitextMarginAnnServe mines from a pq index (ADC lookup tables); got '$family'")
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.embeddingsFanned(spark, dir) // per-query ADC LUTs: map-heavy
     val dim = embDim(emb)
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
     val subDim = dim / m

@@ -313,7 +313,7 @@ object TextOps {
     * tail window both engines produce (the shared window formula), so
     * coverage is every document. */
   def bigramLogProb(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsFanned(spark, dir) // bigram explode: map-heavy
     val bf = ScratchCache.arm(docs
       .select(col("doc_id"), tokens("text").as("toks"))
       .select(col("doc_id"),
@@ -448,7 +448,7 @@ object TextOps {
   def dsirSample(spark: SparkSession, dir: String,
                  targetSource: String = "src0",
                  nBuckets: Int = 1024, budget: Int = 100): DataFrame =
-    dsirSampleOf(Tables.documents(spark, dir), targetSource, nBuckets, budget)
+    dsirSampleOf(Tables.documentsFanned(spark, dir), targetSource, nBuckets, budget)
 
   /** [[dsirSample]]'s core over ANY (doc_id, source, text) relation —
     * composable on a curated subset (Curation selects FROM the
@@ -506,7 +506,7 @@ object TextOps {
     * distinct grams — no per-n re-scan, no join fan-in of five
     * pipelines. Fractions rounded to 6 dp for cross-engine parity. */
   def gopherNgramFracs(spark: SparkSession, dir: String): DataFrame =
-    gopherNgramFracsOf(Tables.documents(spark, dir))
+    gopherNgramFracsOf(Tables.documentsFanned(spark, dir))
 
   /** [[gopherNgramFracs]] over any (doc_id, text) relation — the spec
     * entry point: the pinned corpus never repeats a 5-gram inside one
@@ -923,7 +923,7 @@ object TextOps {
   def cmsSketch(spark: SparkSession, dir: String,
                 depth: Int = 4, width: Int = 512): DataFrame = {
     require(depth >= 1 && width >= 1, s"degenerate CMS: $depth x $width")
-    cmsSketchOn(Tables.documents(spark, dir), depth, width)
+    cmsSketchOn(Tables.documentsFanned(spark, dir), depth, width)
   }
 
   /** Sketch over an arbitrary documents-shaped relation — shared by the

@@ -115,6 +115,57 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"))
   }
 
+  test("driver fast path == distributed loop (driverMaxEdges=0) — pageRank, both node types") {
+    import spark.implicits._
+    // dense-ish pseudo-random digraph with weights, string nodes
+    val es = (0 until 200).map { i =>
+      (s"n${(i * 7) % 23}", s"n${(i * 13 + 5) % 23}", (i % 5 + 1).toLong)
+    }.distinct
+    val df = es.toDF("src", "dst", "w")
+    val driver = GraphOps.pageRank(df, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dist = GraphOps.pageRank(df, iters = 10, driverMaxEdges = 0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(driver === dist) // identical 6-dp values, both paths
+    // long node ids take the driver path too
+    val dfL = es.map { case (a, b, w) =>
+      (a.drop(1).toLong, b.drop(1).toLong, w) }.toDF("src", "dst", "w")
+    val driverL = GraphOps.pageRank(dfL, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val distL = GraphOps.pageRank(dfL, iters = 10, driverMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(driverL === distL)
+    // converged variant: same ranks AND same stop depth on both paths
+    val (cd, id) = GraphOps.pageRankConverged(df, tol = 1e-4)
+    val (cx, ix) = GraphOps.pageRankConverged(df, tol = 1e-4, driverMaxEdges = 0)
+    assert(id === ix)
+    assert(cd.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap ===
+      cx.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap)
+  }
+
+  test("driver fast path == distributed loop (driverMaxEdges=0) — minLabelComponents") {
+    import spark.implicits._
+    val pairs = (0 until 150).map { i =>
+      (s"t${(i * 11) % 40}", s"t${(i * 17 + 3) % 40}")
+    }.distinct.toDF("src", "dst")
+    for (depth <- Seq(1, 2, 8)) {
+      val driver = GraphOps.minLabelComponents(pairs, maxIters = depth)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val dist = GraphOps.minLabelComponents(pairs, maxIters = depth,
+          driverMaxEdges = 0)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(driver === dist, s"depth $depth")
+    }
+    // an over-bound graph falls through to the distributed loop (same
+    // answer; the bound is a routing decision, not a semantic one)
+    val small = GraphOps.minLabelComponents(pairs, maxIters = 8,
+        driverMaxEdges = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val full = GraphOps.minLabelComponents(pairs, maxIters = 8)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(small === full)
+  }
+
   test("q37 gate graph: components never cross languages") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
