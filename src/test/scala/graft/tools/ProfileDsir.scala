@@ -58,7 +58,7 @@ object ProfileDsir {
     t("warmup sf0.001")(tail(featsOf(Tables.documents(spark, "/root/testdata/sf0.001")), "src0", 100).count())
     spark.catalog.clearCache()
 
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsFanned(spark, dir) // match the committed t30 shape
     (1 to 2).foreach { rep =>
       println(s"[dsir] --- rep $rep ---")
       t("feats alone (no persist)")(featsOf(docs).count())
