@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * (max order ~5e7 cents × 1e9 rows still < 2^63 when summed as Long).
   */
 object Tables {
-  /** (total bytes, file count) per path, memoized — one FileSystem
-    * listing per table per JVM; load() is called by every builder. */
+  /** (total bytes, data-file count) per path, memoized — one FileSystem
+    * listing per table per JVM; load() is called by every builder.
+    * ASSUMES an immutable corpus: a path rewritten in place mid-JVM
+    * keeps its stale stats (and thus its fan-out routing). That only
+    * affects ROUTING, never results; the maintained stores write to
+    * fresh paths, so no current caller rewrites in place. */
   private val scanStats = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
   /** Below this input size the fan-out is skipped outright: tiny dim
@@ -60,7 +64,17 @@ object Tables {
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val it = fs.listFiles(hp, true)
       var b = 0L; var n = 0L
-      while (it.hasNext) { val f = it.next(); b += f.getLen; n += 1 }
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        // count DATA files only: sidecars (_SUCCESS, .crc, metadata)
+        // and empty files are not scan splits, and counting them
+        // inflates estSplits enough to skip a fan-out a real
+        // multi-sidecar corpus would benefit from (ADVICE r18)
+        if (f.getLen > 0 && !name.startsWith("_") && !name.startsWith(".")) {
+          b += f.getLen; n += 1
+        }
+      }
       (b, n)
     })
     val maxSplit = math.max(1L,

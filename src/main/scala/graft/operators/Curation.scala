@@ -103,13 +103,19 @@ object Curation {
     * form) so the two cannot drift. */
   private def fullCuratedIds(spark: SparkSession, dir: String,
                              evalN: Long, keepFrac: Double): DataFrame = {
-    val quality = TextOps.filterDecision(spark, dir)
+    // shared fanned corpus relation across the text-consuming decision
+    // sides — the llmCuratedDocs rationale (one scan + one reused
+    // exchange instead of four private single-task re-scans)
+    val docsF = Tables.documentsFanned(spark, dir)
+    val quality = TextOps.filterDecisionOn(docsF)
       .filter(col("keep")).select(col("doc_id"))
     val survivors = Dedup.keepBest(spark, dir)
       .select(col("keep_id").as("doc_id"))
-    val clean = TextOps.decontaminate(spark, dir, evalN)
+    val clean = TextOps.decontaminateOn(
+        docsF.filter(col("doc_id") >= evalN),
+        TextOps.evalGrams(spark, dir, evalN))
       .filter(!col("contaminated")).select(col("doc_id"))
-    val band = TextOps.quantileFilter(spark, dir, keepFrac)
+    val band = TextOps.quantileFilterOn(docsF, keepFrac)
       .select(col("doc_id"))
     Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
       .join(quality, Seq("doc_id"), "left_semi")
@@ -189,22 +195,28 @@ object Curation {
     * never drift. */
   private[graft] def llmCuratedDocs(spark: SparkSession, dir: String,
                              evalN: Long): DataFrame = {
-    val quality = TextOps.filterDecision(spark, dir)
+    // ONE fanned corpus relation feeds the text-carrying side AND every
+    // text-consuming decision side (r19): all subtrees share the
+    // identical scan + fan-out exchange, so the physical plan computes
+    // the corpus scan once and reuses the exchange (ReusedExchange)
+    // instead of four private single-task re-scans — and each side's
+    // tokenize/gram explode runs fanned. (r18 kept the decision sides
+    // on plain scans because fanning them as STANDALONE queries paid a
+    // per-query exchange; inside this one composed plan the exchange is
+    // paid once and shared.) keepBest stays on its own path — its pair
+    // graph is memoized (d7) and its shingle side is already fanned.
+    val docsF = Tables.documentsFanned(spark, dir)
+    val quality = TextOps.filterDecisionOn(docsF)
       .filter(col("keep")).select(col("doc_id"))
     val survivors = Dedup.keepBest(spark, dir)
       .select(col("keep_id").as("doc_id"))
-    val clean = TextOps.decontaminate(spark, dir, evalN)
+    val clean = TextOps.decontaminateOn(
+        docsF.filter(col("doc_id") >= evalN),
+        TextOps.evalGrams(spark, dir, evalN))
       .filter(!col("contaminated")).select(col("doc_id"))
-    val classified = TextOps.nbQuality(spark, dir)
+    val classified = TextOps.nbScoreOf(docsF, TextOps.nbModelOn(docsF))
       .filter(col("keep")).select(col("doc_id"))
-    // the TEXT-carrying side, fanned (Tables.fanOut): the decision
-    // semi-joins broadcast, so without the fan-out the survivors keep
-    // the scan's single partition and the map-heavy tail (d16 span
-    // rewrite + t30 DSIR scoring both tokenize this relation) runs
-    // serial; the id-only decision sides above stay on plain scans —
-    // fanning THEM was measured a loss (per-stage exchange overhead,
-    // OPTIMIZATION_r18 Finding 1)
-    Tables.documentsFanned(spark, dir)
+    docsF
       .join(quality, Seq("doc_id"), "left_semi")
       .join(survivors, Seq("doc_id"), "left_semi")
       .join(clean, Seq("doc_id"), "left_semi")

@@ -112,7 +112,12 @@ object Dedup {
   private[operators] def ngramJaccardScratch(spark: SparkSession, dir: String,
       minJ: Double): (DataFrame, Seq[DataFrame]) = {
     val docs =
-      withShingleHashes(Tables.documents(spark, dir), "text")
+      // fanned: the tokenize + shingle + xxhash64-sort projection is the
+      // pipeline's per-row-heavy map side — unfanned it ran as ~0.7 s
+      // single-task stages serializing q34's whole d7 leg
+      // (ProfileStages r19); fanning measured d2/d7/d8 and the curate
+      // composites faster with oracle green (r19 A/B)
+      withShingleHashes(Tables.documentsFanned(spark, dir), "text")
         .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh"))
         .persist()
     val prefixLen = (col("n_sh") - ceil(lit(minJ) * col("n_sh")) + 1).cast("int")
@@ -710,7 +715,9 @@ object Dedup {
                          minJ: Double = lshMinJ): DataFrame = {
     require(minJ > 0 && minJ <= 1, s"minJ must be in (0, 1], got $minJ")
     val docs = ScratchCache.arm( // feeds two prefix indexes + both verify joins
-      withShingleHashes(Tables.documents(spark, dir), "text")
+      // fanned: tokenize+shingle+sort is the map-heavy projection (the
+      // ngramJaccardScratch rationale, r19 A/B)
+      withShingleHashes(Tables.documentsFanned(spark, dir), "text")
         .select(col("doc_id"), col("sh_hashes"), size(col("sh_hashes")).as("n_sh")))
     val prefixLen = (col("n_sh") - ceil(lit(minJ) * col("n_sh")) + 1).cast("int")
     def prefixIdx(df: DataFrame) = df.select(col("doc_id"), col("n_sh"),
@@ -773,14 +780,12 @@ object Dedup {
     * cross-joined broadcast under the gram column's projection
     * (the t19/t23 scalar-broadcast shape, raise_error-armed like
     * [[Ranges.pointInIntervalJoin]]'s span guard). Ordering holds by
-    * stage dependency, not luck: the armed gram relation is CACHED,
-    * and its materialization — which evaluates every row's guarded
-    * projection — must COMPLETE before the self-join stage that fans
-    * out S² can consume it; even uncached, the guard wraps the join
-    * key itself, so the first candidate row raises before the fan-out
-    * aggregates anything. The refusal costs one narrow source-column
-    * scan inside the failing job; the admitted path pays the same
-    * one-row broadcast the other scalar-guard operators do.
+    * stage dependency, not luck: the guarded projection feeds the
+    * gram-keyed aggregation, so every row's guard evaluates while the
+    * per-gram source sets are being BUILT — before the pair explosion
+    * that fans out S² can consume them. The refusal costs one narrow
+    * source-column scan inside the failing job; the admitted path pays
+    * the same one-row broadcast the other scalar-guard operators do.
     *
     * One deliberate consequence of the guard being per-row: a corpus
     * yielding ZERO grams (every doc shorter than k tokens) returns
@@ -794,25 +799,41 @@ object Dedup {
     val nSrc = Tables.documents(spark, dir)
       .select(col("source")).distinct()
       .agg(count(lit(1)).as("n_sources"))
-    val grams = ScratchCache.arm( // feeds sizes + both sides of the self-join
+    // ONE gram-keyed aggregation replaces the r18 distinct + cached
+    // self-join (two extra full-relation exchanges): per gram, the
+    // sorted SET of sources holding it (collect_set dedups, so the
+    // separate distinct() stage is gone too; map-side partials collapse
+    // duplicate (source, gram) pairs before the shuffle — guide §2.3
+    // "aggregate before you shuffle", §2.4 "remove shuffles outright").
+    // Pair counts then come from exploding each gram's ordered source
+    // pairs — the same sources² fan-out the self-join produced, now
+    // generated WITHOUT re-shuffling the gram relation twice. Two
+    // chained generators (posexplode, then explode of the tail slice)
+    // keep peak row width at S, never S².
+    val byGram = ScratchCache.arm( // feeds sizes + the pair explosion
       Tables.documentsFanned(spark, dir) // 3-gram explode: map-heavy (Tables.fanOut)
         .select(col("source"), tokens(col("text")).as("toks"))
         .select(col("source"),
           explode(array_distinct(tokenWindows(col("toks"), k, 1))).as("gram"))
-        .distinct()
         .crossJoin(broadcast(nSrc))
         .select(col("source"),
           when(col("n_sources") > maxSources, raise_error(concat(
             lit("sourceOverlap: "), col("n_sources").cast("string"),
             lit(s" distinct sources exceeds maxSources=$maxSources — the " +
-              "gram self-join fans out sources² per shared gram; use " +
+              "per-gram pair fan-out is sources² per shared gram; use " +
               "sourceOverlapMinhash (the mergeable-sketch estimate) or " +
               "raise maxSources deliberately"))))
-            .otherwise(col("gram")).as("gram")))
-    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
-    grams.select(col("source").as("source_a"), col("gram"))
-      .join(grams.select(col("source").as("source_b"), col("gram")), "gram")
-      .filter(col("source_a") < col("source_b"))
+            .otherwise(col("gram")).as("gram"))
+        .groupBy(col("gram"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs")))
+    val sizes = byGram.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    byGram
+      .filter(size(col("srcs")) >= 2)
+      .select(col("srcs"), posexplode(col("srcs")))
+      .select(col("col").as("source_a"),
+        explode(slice(col("srcs"), col("pos") + lit(2), size(col("srcs"))))
+          .as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(sizes.select(col("source").as("source_a"),

@@ -152,6 +152,11 @@ object GraphOps {
       .select(col("src"), col("dst"), col("w").cast("double").as("w"))
       .limit(maxEdges + 1).collect()
     if (sample.length > maxEdges) return None
+    // null src/dst: the distributed loop's join-equality semantics
+    // (null never matches, but null still appears in the node union)
+    // have no cheap driver replica — defer to the canonical path
+    // instead of diverging (ADVICE r18)
+    if (sample.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
     import scala.collection.mutable
     val outW = mutable.LinkedHashMap.empty[Any, Double]
     val nodes = mutable.LinkedHashSet.empty[Any]
@@ -231,6 +236,15 @@ object GraphOps {
     val ed = e.select(col("src"), col("dst"), col("w").cast("double").as("w"))
       .join(outW, "src").persist(sl) // (src, dst, w, out_w), reused every iteration
     val n = nodes.count() // one scalar aggregate, driver-held like the IVF model
+    if (n == 0) {
+      // no positive-weight edges → no nodes: return the empty ranks
+      // relation with itersRun = 0, agreeing with the driver fast path
+      // and closing the tol > 0 NPE (max over an empty aggregate is
+      // null) — ADVICE r18
+      nodes.unpersist(blocking = false)
+      ed.unpersist(blocking = false)
+      return (emptyRanks(edges.sparkSession, edges.schema("src").dataType), 0)
+    }
     val base = lit((1.0 - damping) / n)
     // Each generation is an EAGER localCheckpoint: persist+count alone
     // caches the DATA but the logical plan still deepens by one
@@ -354,7 +368,12 @@ object GraphOps {
         case Some(ord) =>
           val sample = pairs.select(col("src"), col("dst"))
             .limit(driverMaxEdges + 1).collect()
-          if (sample.length <= driverMaxEdges) {
+          // null endpoints: fall through to the distributed loop (its
+          // join-equality null semantics are canonical — ADVICE r18);
+          // the sample is the COMPLETE edge set whenever it fits the
+          // bound, so the existence check cannot miss a null
+          if (sample.length <= driverMaxEdges &&
+              !sample.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
             import scala.collection.mutable
             // symmetrized, deduplicated adjacency (the distributed
             // union+distinct), insertion-ordered for determinism

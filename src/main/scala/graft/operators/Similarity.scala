@@ -447,13 +447,24 @@ object Similarity {
     val cand = index.join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("acos", cosineHof(col("q_emb"), recon))
+    // shortlist on SCALAR rows only (the annCandidatesOnIndex rationale,
+    // guide §2.3/§8): q_emb would otherwise ride the shortlist window's
+    // exchange on every probed-cell candidate row — |probed corpus| ×
+    // queries rows of query vector at scale — for a rerank-sized
+    // survivor set. Re-attach it from the one-row-per-query side
+    // (probes carries one identical q_emb per probed cell; the
+    // dropDuplicates is exact, not a choice among distinct values).
+    val qSide = probes.select(col("query_id"), col("q_emb"))
+      .dropDuplicates("query_id")
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("acos").desc, col("vec_id"))
-    val shortlist = cand.withColumn("arank", row_number().over(wa))
+    val shortlist = cand.select(col("query_id"), col("vec_id"), col("acos"))
+      .withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= rerank)
-      .select(col("query_id"), col("q_emb"), col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
     // exact rescore of the shortlist only
     val rescored = shortlist
+      .join(broadcast(qSide), "query_id")
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -959,13 +970,18 @@ object Similarity {
     val approx = codes.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("acos", cosineHof(col("q_emb"), recon))
+    // scalar shortlist window + q_emb re-attach (the ivfPqAnswerRecon
+    // rationale): the exhaustive ADC scan fans |corpus| × queries rows,
+    // none of which should carry the query vector into the exchange
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("acos").desc, col("vec_id"))
-    val shortlist = approx.withColumn("arank", row_number().over(wa))
+    val shortlist = approx.select(col("query_id"), col("vec_id"), col("acos"))
+      .withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= rerank)
-      .select(col("query_id"), col("q_emb"), col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
     // exact rescore of the shortlist only
     val rescored = shortlist
+      .join(broadcast(queries), "query_id")
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -1102,7 +1118,7 @@ object Similarity {
                        k: Int = 5, nClusters: Int = 16, iters: Int = 2,
                        nprobe: Int = 4, m: Int = 4, nCodes: Int = 16,
                        rerank: Int = 64): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+    val emb = Tables.embeddingsFanned(spark, dir) // per-row residual-PQ encode: map-heavy
     val dim = embDim(emb)
     require(dim % m == 0, s"m ($m) must divide dim ($dim)")
     val subDim = dim / m
@@ -1419,11 +1435,23 @@ object Similarity {
       .withColumn("acos",
         when(col("qnorm") * col("cnorm") === 0, lit(0.0))
           .otherwise(adcDot / (col("qnorm") * col("cnorm"))))
+    // shortlist on SCALAR rows only: the window's exchange otherwise
+    // carries q_emb (the full query vector) on every CANDIDATE row —
+    // at mining fan-outs that is queries × nprobe-cells × cell-size
+    // rows of payload for a rerank-sized survivor set (guide §2.3
+    // "project before the exchange", §8 "shuffle keys, not payloads").
+    // The query vector re-attaches to the shortlist by a qid equi-join
+    // against `queries` (rerank × |queries| rows meet |queries| rows;
+    // AQE broadcasts the small side), exactly like the corpus rescore
+    // join below — the output pairing is unchanged: each shortlist qid
+    // re-acquires its unique q_emb.
     val wa = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("id"))
-    val shortlist = cand.withColumn("arank", row_number().over(wa))
+    val shortlist = cand.select(col("qid"), col("id"), col("acos"))
+      .withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= rerank)
-      .select(col("qid"), col("q_emb"), col("id"))
-    shortlist.join(corpus, "id")
+      .select(col("qid"), col("id"))
+    shortlist.join(queries, "qid")
+      .join(corpus, "id")
       .withColumn("cos", cosine(col("q_emb"), col("embedding")))
       .select(col("qid"), col("id"), col("cos"))
   }

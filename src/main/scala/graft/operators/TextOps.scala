@@ -107,6 +107,9 @@ object TextOps {
     * orderBy+limit pattern stays a TakeOrderedAndProject — no full
     * sort of the aggregate at scale. */
   def ngramFreq(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    // plain scan: the downstream agg is VOCAB-keyed (gram), so the 1-task
+    // map-side combine already bounds the work — fanning measured 0.96×
+    // (r19 A/B; the doc_id fan multiplies partial-agg shuffle rows)
     val grams = Tables.documents(spark, dir)
       .select(tokens("text").as("toks"))
       .select(explode(tokenWindows(col("toks"), 2, 1)).as("gram"))
@@ -163,7 +166,7 @@ object TextOps {
     * partial/map-side combine keeps the shuffle proportional to DISTINCT
     * grams per doc, not tokens, at any corpus size. */
   def repetition(spark: SparkSession, dir: String): DataFrame =
-    repetitionOn(Tables.documents(spark, dir))
+    repetitionOn(Tables.documents(spark, dir)) // fanning measured 0.83× (r19 A/B)
 
   /** [[repetition]] over ANY (doc_id, text) relation (the qualityOn
     * rationale). */
@@ -240,7 +243,7 @@ object TextOps {
     * Scores rounded to 6 dp so a last-ulp `ln` divergence between
     * engines cannot flip the oracle compare. */
   def tfidf(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir) // fanning measured flat 1.00× (r19 A/B)
     val nDocs = docs.count()
     // persist: the tf relation feeds BOTH the document-frequency
     // aggregate and the scoring join — without it the 900k-token
@@ -275,7 +278,7 @@ object TextOps {
     * Σ n·ln(c/total) / Σ n over ≤ |vocab ∩ doc| terms and round to
     * 6 dp — the v7 centroid pattern. */
   def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsFanned(spark, dir) // token explode: map-heavy
     val tf = ScratchCache.arm(
       docs.select(col("doc_id"), explode(tokens("text")).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n")))
@@ -367,9 +370,13 @@ object TextOps {
     * are NOT gate-checked. */
   def nbQuality(spark: SparkSession, dir: String,
                 posSource: String = "src0",
-                negSource: String = "src1"): DataFrame =
-    nbScoreOf(Tables.documents(spark, dir),
-      nbModel(spark, dir, posSource, negSource))
+                negSource: String = "src1"): DataFrame = {
+    // ONE fanned corpus relation feeds both the model aggregate and the
+    // scoring side (token explodes: map-heavy) — identical subtrees, so
+    // the scan + fan-out exchange is computed once (ReusedExchange)
+    val docsF = Tables.documentsFanned(spark, dir)
+    nbScoreOf(docsF, nbModelOn(docsF, posSource, negSource))
+  }
 
   /** [[nbQuality]]'s trained model: per-token seed-class counts
     * (tok, cp, cn) — ONE vocab-bounded aggregate over the seed docs
@@ -380,9 +387,17 @@ object TextOps {
     * a broadcast relation instead of a binary blob. */
   def nbModel(spark: SparkSession, dir: String,
               posSource: String = "src0",
-              negSource: String = "src1"): DataFrame = {
+              negSource: String = "src1"): DataFrame =
+    nbModelOn(Tables.documents(spark, dir), posSource, negSource)
+
+  /** [[nbModel]] over ANY (source, text) relation — lets composers
+    * (t29, q34) train on the same shared corpus relation the scorer
+    * reads instead of a private re-scan. */
+  def nbModelOn(docs: DataFrame,
+                posSource: String = "src0",
+                negSource: String = "src1"): DataFrame = {
     require(posSource != negSource, "seed classes must differ")
-    Tables.documents(spark, dir)
+    docs
       .filter(col("source").isin(posSource, negSource))
       .select(col("source"), explode(tokens("text")).as("tok"))
       .groupBy(col("tok"))
@@ -705,7 +720,8 @@ object TextOps {
     * grams), join back, per-doc ratio. */
   def boilerplate(spark: SparkSession, dir: String, k: Int = 3,
                   minDf: Int = 25): DataFrame = {
-    val grams = ScratchCache.arm(docGrams(spark, dir, k))
+    val grams = ScratchCache.arm( // k-gram explode: map-heavy
+      docGramsOn(Tables.documentsFanned(spark, dir), k))
     val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     grams.join(dfreq, "gram")
       .groupBy(col("doc_id"))
@@ -755,7 +771,13 @@ object TextOps {
     * (t15_quantile_filter_dial2: keepFrac = 0.3) via the parameterized
     * [[quantileFilterSql]] builder. */
   def quantileFilter(spark: SparkSession, dir: String,
-                     keepFrac: Double = 0.5): DataFrame = {
+                     keepFrac: Double = 0.5): DataFrame =
+    quantileFilterOn(Tables.documents(spark, dir), keepFrac)
+
+  /** [[quantileFilter]] over ANY (doc_id, lang, text) relation — the
+    * qualityOn rationale; lets composers (q35) feed the shared corpus
+    * relation instead of a private re-scan. */
+  def quantileFilterOn(docs: DataFrame, keepFrac: Double): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("ttr"), col("doc_id"))
@@ -764,7 +786,7 @@ object TextOps {
     // percent_rank is exactly 0.3.
     val threshold =
       (BigDecimal(1) - BigDecimal(keepFrac.toString)).toDouble
-    Tables.documents(spark, dir)
+    docs
       .withColumn("toks", tokens("text"))
       .select(col("doc_id"), col("lang"),
         (size(array_distinct(col("toks")))
@@ -865,6 +887,8 @@ object TextOps {
                    summaryCap: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
     require(minCount >= 1 && summaryCap >= 1)
+    // plain scan: the exact recount is VOCAB-keyed and the MG summary
+    // is one pass — fanning measured 0.88× (r19 A/B)
     def grams = Tables.documents(spark, dir)
       .select(tokens("text").as("toks"))
       .select(explode(tokenWindows(col("toks"), k, 1)).as("gram"))
@@ -1068,7 +1092,7 @@ object TextOps {
     * double BEFORE the product (a long product overflows at corpus
     * scale) and round to 6 dp. */
   def pmiPhrases(spark: SparkSession, dir: String, minCount: Long = 5): DataFrame =
-    pmiPhrasesOn(Tables.documents(spark, dir), minCount)
+    pmiPhrasesOn(Tables.documents(spark, dir), minCount) // fanning measured 0.68× (r19 A/B)
 
   /** The mining pass over an arbitrary documents-shaped relation —
     * shared with TextOpsSketchSpec's closed-form corpus. */
@@ -1124,7 +1148,7 @@ object TextOps {
            queryTerms: Seq[String] = Seq("hash", "join", "scan"),
            k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty && topK >= 1)
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir) // fanning measured 0.76× (r19 A/B)
     val qlit = array(queryTerms.map(lit): _*)
     // one narrow scan: per-doc length + per-query-term occurrence counts
     val base = ScratchCache.arm(
@@ -1175,7 +1199,7 @@ object TextOps {
     * identical IEEE doubles on both engines (the t19 precedent). */
   def ngramNovelty(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val grams = Tables.documents(spark, dir)
+    val grams = Tables.documentsFanned(spark, dir) // k-gram explode: map-heavy
       .select(col("doc_id"), tokens("text").as("toks"))
       .select(col("doc_id"),
         explode(array_distinct(tokenWindows(col("toks"), k, 1))).as("gram"))

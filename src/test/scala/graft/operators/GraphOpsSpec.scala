@@ -166,6 +166,42 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(small === full)
   }
 
+  test("null edge endpoints: driver path defers, both paths agree (ADVICE r19)") {
+    import spark.implicits._
+    // a null src and a null dst among real edges: the driver fast path
+    // must FALL THROUGH (no NPE), and the default routing must equal
+    // the forced-distributed result exactly
+    val es = Seq((Some("a"), Some("b"), 1L), (Some("b"), Some("a"), 1L),
+      (None, Some("a"), 2L), (Some("b"), None, 3L))
+      .toDF("src", "dst", "w")
+    val auto = GraphOps.pageRank(es, iters = 5)
+      .collect().map(r => (r.get(0), r.getDouble(1))).toMap
+    val dist = GraphOps.pageRank(es, iters = 5, driverMaxEdges = 0)
+      .collect().map(r => (r.get(0), r.getDouble(1))).toMap
+    assert(auto === dist && auto.nonEmpty)
+    val pairs = Seq((Some("c"), Some("b")), (Some("b"), Some("a")),
+      (None, Some("z"))).toDF("src", "dst")
+    val autoC = GraphOps.minLabelComponents(pairs, maxIters = 4)
+      .collect().map(r => (r.get(0), r.get(1))).toMap
+    val distC = GraphOps.minLabelComponents(pairs, maxIters = 4,
+        driverMaxEdges = 0)
+      .collect().map(r => (r.get(0), r.get(1))).toMap
+    assert(autoC === distC && autoC.nonEmpty)
+  }
+
+  test("no positive-weight edges: empty ranks, 0 iterations, both paths (ADVICE r19)") {
+    import spark.implicits._
+    val es = Seq(("a", "b", 0L), ("b", "a", -1L)).toDF("src", "dst", "w")
+    // driver fast path
+    assert(GraphOps.pageRank(es, iters = 5).collect().isEmpty)
+    // distributed path — previously the tol > 0 probe NPE'd on the
+    // null max over an empty aggregate; now returns (empty, 0)
+    assert(GraphOps.pageRank(es, iters = 5, driverMaxEdges = 0).collect().isEmpty)
+    val (r1, i1) = GraphOps.pageRankConverged(es, tol = 1e-6)
+    val (r2, i2) = GraphOps.pageRankConverged(es, tol = 1e-6, driverMaxEdges = 0)
+    assert(r1.collect().isEmpty && r2.collect().isEmpty && i1 === 0 && i2 === 0)
+  }
+
   test("q37 gate graph: components never cross languages") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
