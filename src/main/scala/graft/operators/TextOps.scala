@@ -220,10 +220,43 @@ object TextOps {
   /** [[filterDecision]] over ANY (doc_id, text) relation — the rule
     * stage the streaming intake applies per micro-batch; ONE
     * implementation with the batch gate query so stream and batch
-    * verdicts cannot drift. */
-  def filterDecisionOn(docs: DataFrame): DataFrame =
-    qualityOn(docs)
-      .join(repetitionOn(docs).select(col("doc_id"), col("max_tok_frac")), "doc_id")
+    * verdicts cannot drift.
+    *
+    * ONE narrow per-row pass (r19): every input to the verdict —
+    * token count, stopword ratio, and repetition's max-token share —
+    * is a per-row function of the token array, so the former
+    * qualityOn ⋈ repetitionOn composition (two explode + groupBy
+    * aggregations and a doc_id join: three shuffles) collapses into a
+    * single shuffle-free projection. The max token count is the
+    * longest equal-run in the SORTED token array (any total order
+    * groups equal tokens; bit-identical to the explode + count max —
+    * oracle-pinned). t1/t8 keep their relational forms: their OUTPUTS
+    * are the aggregation shapes; only the decision fuses. At 100 TB
+    * the decision stage becomes a map-only scan (guide §1.2: remove
+    * shuffles the computation never needed). */
+  def filterDecisionOn(docs: DataFrame): DataFrame = {
+    val stop = Seq("a", "the")
+    // fold over the sorted array: (previous token, current run length,
+    // best run length); equal neighbors extend the run, others reset it
+    def maxRun(sortedToks: Column): Column = aggregate(
+      sortedToks,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs
+      .withColumn("toks", tokens("text"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        (maxRun(array_sort(col("toks")))
+          / size(col("toks")).cast("double")).as("max_tok_frac"),
+        (size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*)))
+          / size(col("toks")).cast("double")).as("stopword_ratio"))
       .select(col("doc_id"), col("n_tokens"), col("max_tok_frac"),
         col("stopword_ratio"),
         when(col("n_tokens") < 15, "too_short")
@@ -231,6 +264,7 @@ object TextOps {
           .when(col("stopword_ratio") > 0.15, "stopword_heavy")
           .as("drop_reason"))
       .withColumn("keep", col("drop_reason").isNull)
+  }
 
   /** t11: TF-IDF top terms per document — the classic corpus-statistic
     * join: per-(doc, token) term frequency ⋈ per-token document
